@@ -1,0 +1,137 @@
+"""Declared-schema readers and sinks.
+
+Upgrades the reference's inference-based scans (SURVEY.md §2.1
+S1-S5) to schema-validated Spark reads. At scale: passing an explicit
+schema skips the file-listing/inference job, and select-pruning plus
+filter pushdown reach the parquet scan (ReadSchema / PushedFilters in
+`.explain("formatted")`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from afg_data_pipeline_spark import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_star_table(
+    spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """Read one driver star-schema table with its declared schema.
+
+    The declared StructType is asserted against the file footer
+    (names + types) rather than passed to the reader: parquet is
+    self-describing, and a silent mismatch is exactly the fragility
+    the reference suffers from (SURVEY.md §1).
+    """
+    if name not in schemas.STAR:
+        raise KeyError(f"unknown star table {name!r}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    declared = schemas.STAR[name]
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    projected = []
+    for field in declared.fields:
+        if field.name not in actual:
+            raise ValueError(
+                f"{name}: missing declared column {field.name!r}"
+            )
+        have = actual[field.name]
+        if isinstance(
+            field.dataType, (T.TimestampType, T.TimestampNTZType)
+        ) and isinstance(have, T.LongType):
+            # INT64 TIMESTAMP(NANOS) read as raw nanos (session
+            # config nanosAsLong): truncate nanos -> micros, the
+            # same truncation DuckDB applies reading the file.
+            # `div` = integer division on longs; a float divide
+            # would round epoch-nanos (~1.7e18 > 2^53) and corrupt
+            # the microseconds. Session TZ is UTC, so the
+            # LTZ->NTZ cast is value-preserving.
+            projected.append(
+                F.expr(
+                    f"cast(timestamp_micros(`{field.name}` div 1000)"
+                    " as timestamp_ntz)"
+                ).alias(field.name)
+            )
+            continue
+        if have != field.dataType:
+            raise ValueError(
+                f"{name}.{field.name}: file has {have}, "
+                f"declared {field.dataType}"
+            )
+        projected.append(F.col(field.name))
+    return df.select(*projected)
+
+
+def read_parquet_glob(
+    spark: SparkSession, directory: str, name_contains: str
+) -> DataFrame:
+    """Parquet scan with a filename predicate (operator S1).
+
+    Reference: atenciones_urgencia.py:4,9-11 lists a directory and
+    loads the file whose name contains "urg". Spark-first: push the
+    filename predicate into the reader with pathGlobFilter so
+    non-matching files are never opened.
+    """
+    return (
+        spark.read.option("pathGlobFilter", f"*{name_contains}*")
+        .parquet(directory)
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Header CSV scan with declared schema (operator S2).
+
+    Reference: matriz_movilidad.ipynb cell 4 (nb:50-52) reads three
+    enrollment CSVs with inferred schemas; we declare instead, which
+    also skips Spark's extra inference pass over the file.
+    """
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_excel_driver_side(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sheet_name: str | int = 0,
+) -> DataFrame:
+    """Excel scan via driver-side pandas (operators S3/S4).
+
+    Reference: matriz_movilidad.ipynb cells 8 and 16 (nb:88, nb:190)
+    read KB-scale .xls/.xlsx dimension tables. Spark has no native
+    Excel reader; for dimension-table-sized inputs the idiomatic move
+    is a driver-side pandas read -> createDataFrame with a declared
+    schema (SURVEY.md S3/S4). Requires openpyxl/xlrd at runtime; this
+    container has neither, so the call raises ImportError unless the
+    caller supplies rows (tests inject pandas frames directly).
+    """
+    import pandas as pd  # noqa: PLC0415 — optional heavy dep path
+
+    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink (operator S10), partitioned for pruning.
+
+    The reference's upstream produced at_urg_respiratorio_semanal
+    .parquet (.MISSING_LARGE_BLOBS:12) unpartitioned. At 100 TB a
+    sink must partition on the dominant filter key (year/date) so
+    downstream scans prune entire directories.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline declared queries and prints
+one JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+cores from $SPARK_GRAFT_CPUS (default all). Each query executes to
+completion on the cluster via the noop sink (full computation, no
+driver collect bottleneck) after a warm-up pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from afg_data_pipeline_spark.plans import REGISTRY  # noqa: E402
+from afg_data_pipeline_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the shapes
+# that dominate at scale (scan-agg, star join, window, session).
+HEADLINE = [
+    "flagship_filter_project",
+    "pricing_summary",
+    "star_join_revenue",
+    "agg_median",
+    "topk_per_group",
+    "window_analytics",
+    "row_share_normalize",
+    "sessionize_lag_gap",
+    "melt_unpivot",
+    "left_join_composite",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_session("afg-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM/codegen once with a trivial action so the
+    # first measured query doesn't pay session startup.
+    spark.range(1000).count()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.time()
+        df = q.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

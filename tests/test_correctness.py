@@ -1,0 +1,39 @@
+"""DuckDB-oracle correctness gate over every declared query.
+
+Mirrors the driver's t2 check (SURVEY.md §5.1) at sf0.001 so the
+whole registry is validated on every pytest run. Exact compare —
+floats must match bit-for-bit, which the decimal-accumulation
+convention (functions/numeric.py) guarantees.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from afg_data_pipeline_spark.plans import REGISTRY
+from tests.conftest import SF_DIR, assert_frames_match
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    if q.oracle is None:
+        # Rows-only check, mirroring the driver's weaker fallback.
+        assert df.count() >= 0
+        return
+    assert_frames_match(df, duck.execute(q.oracle))
+
+
+def test_registry_integrity():
+    for name, q in REGISTRY.items():
+        assert q.doc, f"{name} has no docstring"
+        assert q.fn.__name__, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
