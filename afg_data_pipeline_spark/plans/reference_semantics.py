@@ -1,1 +1,338 @@
-"""Placeholder — queries land in the next milestone."""
+"""Declared queries for the reference's distinctive semantics
+(SURVEY.md §2.8, §2.9 — the actual work of Phase 3).
+
+Star-schema instantiations of the operators in operators/: the
+events-derived hourly grid plays the per-comuna daily temperature
+series, nations play comunas for the gravity model, and
+customer→supplier 1-D distance plays the station assignment.
+Characterization tests against reference-shaped fixtures live in
+tests/test_reference_semantics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.io import read_star_table
+from afg_data_pipeline_spark.operators.forecast import (
+    ols_forecast_per_group,
+    ols_forecast_sql,
+)
+from afg_data_pipeline_spark.operators.gravity import gravity_flows
+from afg_data_pipeline_spark.operators.imputation import (
+    interpolate_linear,
+    knn_impute,
+    seasonal_median_impute,
+)
+from afg_data_pipeline_spark.operators.spatial import (
+    nearest_neighbor_assign,
+)
+from afg_data_pipeline_spark.operators.timeseries import (
+    GRID_SQL,
+    hourly_user_grid,
+)
+from afg_data_pipeline_spark.plans.registry import register
+
+
+@register(
+    "interp_linear_series",
+    oracle=f"""
+        WITH {GRID_SQL},
+        calc AS (
+            SELECT user_id, hidx, avg_value,
+                LAST_VALUE(avg_value IGNORE NULLS) OVER wp AS prev_v,
+                LAST_VALUE(CASE WHEN avg_value IS NOT NULL
+                                THEN hidx END IGNORE NULLS)
+                    OVER wp AS prev_h,
+                FIRST_VALUE(avg_value IGNORE NULLS) OVER wf AS next_v,
+                FIRST_VALUE(CASE WHEN avg_value IS NOT NULL
+                                 THEN hidx END IGNORE NULLS)
+                    OVER wf AS next_h
+            FROM series
+            WINDOW wp AS (PARTITION BY user_id ORDER BY hidx
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY hidx
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, hidx, avg_value,
+               COALESCE(
+                   avg_value,
+                   prev_v + (next_v - prev_v) *
+                       (CAST(hidx - prev_h AS DOUBLE)
+                        / CAST(next_h - prev_h AS DOUBLE)),
+                   prev_v, next_v) AS value_filled
+        FROM calc
+    """,
+    ops=("W1", "W4", "O1"),
+)
+def interp_linear_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: per-user linear interpolation over the hourly grid.
+
+    Reference: temperaturas_rm.py:180-190 (interpolate('linear') +
+    ffill + bfill per comuna). Pure window algebra — see
+    operators/imputation.py:interpolate_linear.
+    """
+    grid = hourly_user_grid(spark, sf_dir)
+    return interpolate_linear(
+        grid, ["user_id"], "hidx", "avg_value", "value_filled"
+    )
+
+
+@register(
+    "seasonal_median_series",
+    oracle=f"""
+        WITH {GRID_SQL}
+        SELECT user_id, hidx, avg_value,
+               COALESCE(
+                   avg_value,
+                   quantile_cont(avg_value, 0.5) OVER (
+                       PARTITION BY user_id, hidx % 24),
+                   quantile_cont(avg_value, 0.5) OVER (
+                       PARTITION BY user_id, (hidx % 24) // 6),
+                   quantile_cont(avg_value, 0.5) OVER (
+                       PARTITION BY user_id)
+               ) AS value_filled
+        FROM series
+    """,
+    ops=("W2", "A2", "A3"),
+)
+def seasonal_median_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: seasonal-median imputation with coarse/global fallbacks.
+
+    Reference: temperaturas_rm.py:192-222 — missing day takes the
+    comuna's dia_año median, falls back to month median, then the
+    comuna median. Analogue seasons on the hourly grid: hour-of-day,
+    then 6-hour block, then the user's overall median.
+    """
+    grid = hourly_user_grid(spark, sf_dir).withColumns(
+        {
+            "hod": F.col("hidx") % 24,
+            "block": F.expr("(hidx % 24) div 6"),
+        }
+    )
+    out = seasonal_median_impute(
+        grid, ["user_id"], "hod", "block", "avg_value", "value_filled"
+    )
+    return out.select("user_id", "hidx", "avg_value", "value_filled")
+
+
+@register(
+    "knn_impute_series",
+    oracle=None,  # pandas-UDF numeric path; driver rows-only check.
+    ops=("W3", "M4"),
+)
+def knn_impute_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: cross-sectional KNN imputation per hour slice.
+
+    Reference: temperaturas_rm.py:224-243 — per date,
+    KNNImputer(n_neighbors=3, weights='distance') across comunas.
+    Here: per hour, donors are other users with data that hour,
+    feature space = (user_id scaled, user's overall mean value) —
+    the same fully-observed-features regime as the reference's
+    (lat, lon, distance) triple. numpy inside applyInPandas;
+    characterization + property tests pin the semantics
+    (tests/test_reference_semantics.py).
+    """
+    grid = hourly_user_grid(spark, sf_dir)
+    user_stats = grid.groupBy("user_id").agg(
+        F.avg("avg_value").alias("user_mean")
+    )
+    featured = grid.join(F.broadcast(user_stats), "user_id").select(
+        "user_id",
+        "hidx",
+        "avg_value",
+        (F.col("user_id").cast("double") / 10.0).alias("f_user"),
+        F.coalesce(F.col("user_mean"), F.lit(0.0)).alias("f_mean"),
+    )
+    out = knn_impute(
+        featured,
+        slice_col="hidx",
+        feature_cols=["f_user", "f_mean"],
+        value_col="avg_value",
+        k=3,
+        out_col="value_filled",
+    )
+    return out.select("user_id", "hidx", "avg_value", "value_filled")
+
+
+_YEARLY_SPEND_SQL = """(
+    SELECT o_custkey,
+           year(o_orderdate) AS yr,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS spend
+    FROM orders
+    GROUP BY 1, 2
+) t"""
+
+
+@register(
+    "ols_forecast",
+    oracle=ols_forecast_sql(
+        _YEARLY_SPEND_SQL, ["o_custkey"], "yr", "spend", 2002
+    ),
+    ops=("M1", "F9"),
+)
+def ols_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: per-customer OLS trend on yearly spend, forecast 2002.
+
+    Reference: per-comuna LinearRegression(año -> trabajadores)
+    predicting the next year, clamped at zero —
+    matriz_movilidad.ipynb cell 13 (nb:140-162). Closed-form
+    covariance/variance expression in one groupBy — identical math
+    to sklearn OLS on one feature (SURVEY.md M1).
+    """
+    o = read_star_table(spark, "orders", sf_dir)
+    yearly = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+        ).alias("spend")
+    )
+    return ols_forecast_per_group(
+        yearly, ["o_custkey"], "yr", "spend", predict_x=2002
+    )
+
+
+@register(
+    "gravity_flows",
+    oracle="""
+        WITH attrs AS (
+            SELECT n.n_nationkey AS key,
+                   count(*) AS mass,
+                   n.n_nationkey * 1.5 AS lat,
+                   n.n_nationkey * 0.75 AS lon
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_nationkey
+        )
+        SELECT o.key AS origin, d.key AS dest,
+               sqrt(pow(o.lat - d.lat, 2) + pow(o.lon - d.lon, 2))
+                 AS distance,
+               1.0 * CAST(o.mass * d.mass AS DOUBLE)
+                 / pow(sqrt(pow(o.lat - d.lat, 2)
+                            + pow(o.lon - d.lon, 2)), 2.0) AS flow,
+               (1.0 * CAST(o.mass * d.mass AS DOUBLE)
+                 / pow(sqrt(pow(o.lat - d.lat, 2)
+                            + pow(o.lon - d.lon, 2)), 2.0))
+               / CAST(SUM(CAST(
+                     1.0 * CAST(o.mass * d.mass AS DOUBLE)
+                       / pow(sqrt(pow(o.lat - d.lat, 2)
+                                  + pow(o.lon - d.lon, 2)), 2.0)
+                     AS DECIMAL(18,6))) OVER (PARTITION BY o.key)
+                 AS DOUBLE) AS flow_share
+        FROM attrs o CROSS JOIN attrs d
+        WHERE o.key <> d.key
+    """,
+    ops=("M2", "M3", "J4", "J5", "F6", "F7", "F10", "A6"),
+)
+def gravity_flows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M3: gravity flows between nations + row-share normalize.
+
+    Reference: the comuna×comuna gravity loop (nb:329-353, K=1,
+    β=2, diagonal zeroed) and the row-sum normalization that the
+    notebook mislabels softmax (nb:369-390; SURVEY.md F7 —
+    faithful semantics = flow / origin row sum). Nations play
+    comunas; mass = customer count; synthetic centroid coords are a
+    deterministic function of the key (the engine consumes
+    (key, lat, lon) exactly as it would consume precomputed comuna
+    centroids, SURVEY.md M5).
+    """
+    c = read_star_table(spark, "customer", sf_dir)
+    n = read_star_table(spark, "nation", sf_dir)
+    attrs = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("mass"))
+        .select(
+            F.col("n_nationkey").alias("key"),
+            "mass",
+            F.col("mass").alias("attraction"),
+            (F.col("n_nationkey") * 1.5).alias("lat"),
+            (F.col("n_nationkey") * 0.75).alias("lon"),
+        )
+    )
+    return gravity_flows(
+        attrs,
+        key_col="key",
+        mass_col="mass",
+        attraction_col="attraction",
+        lat_col="lat",
+        lon_col="lon",
+        beta=2.0,
+        k=1.0,
+    )
+
+
+@register(
+    "nn_assign",
+    oracle="""
+        SELECT c_custkey,
+               s_suppkey AS nearest_s_suppkey,
+               dist AS nearest_distance,
+               s_name AS nearest_s_name
+        FROM (
+            SELECT c.c_custkey, s.s_suppkey, s.s_name,
+                   abs(c.c_acctbal - s.s_acctbal) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_custkey
+                       ORDER BY abs(c.c_acctbal - s.s_acctbal) ASC,
+                                s.s_suppkey ASC
+                   ) AS rn
+            FROM customer c CROSS JOIN supplier s
+        ) WHERE rn = 1
+    """,
+    ops=("J3", "A5", "F10"),
+)
+def nn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: 1-NN assignment — each customer's nearest supplier.
+
+    Reference: cdist(comunas, estaciones) -> per-comuna argmin
+    (temperaturas_rm.py:121-130). 1-D account-balance distance
+    stands in for the euclidean centroid distance; the operator
+    (operators/spatial.py) takes any distance Column.
+    """
+    c = read_star_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal"
+    )
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return nearest_neighbor_assign(
+        c,
+        s,
+        left_key="c_custkey",
+        right_key="s_suppkey",
+        distance=F.abs(F.col("c_acctbal") - F.col("s_acctbal")),
+        carry=["s_name"],
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER)
+                 AS prop_k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+    ops=("S7",),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 analogue: nested-JSON flattening + null-skipping filter.
+
+    Reference: the API payload flatten at temperaturas_rm.py:71-85
+    (datos[mes][dia].media, skipping nulls). The events.props JSON
+    string is the star-schema stand-in; extraction stays JVM-side
+    (get_json_object), no UDF.
+    """
+    ev = read_star_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id", "user_id", k.alias("prop_k")
+    ).filter(F.col("prop_k") > 50)

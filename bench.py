@@ -36,6 +36,10 @@ HEADLINE = [
     "sessionize_lag_gap",
     "melt_unpivot",
     "left_join_composite",
+    "interp_linear_series",
+    "ols_forecast",
+    "gravity_flows",
+    "nn_assign",
 ]
 
 
