@@ -58,13 +58,22 @@ def interpolate_linear(
     """
     w = Window.partitionBy(*group_cols).orderBy(order_col)
     wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # "next non-null" == last non-null at-or-before current under the
+    # REVERSED ordering. Spark evaluates unbounded-PRECEDING frames
+    # incrementally (O(n) per partition) but re-scans the tail for
+    # every row of an unbounded-following frame (O(n²)) — at 720
+    # ticks/group that is 4x wall-clock, at 16k rows it was 11s.
+    wn = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     v = F.col(value_col)
     o = F.col(order_col)
     prev_v = F.last(v, ignorenulls=True).over(wp)
     prev_o = F.last(F.when(v.isNotNull(), o), ignorenulls=True).over(wp)
-    next_v = F.first(v, ignorenulls=True).over(wf)
-    next_o = F.first(F.when(v.isNotNull(), o), ignorenulls=True).over(wf)
+    next_v = F.last(v, ignorenulls=True).over(wn)
+    next_o = F.last(F.when(v.isNotNull(), o), ignorenulls=True).over(wn)
     interp = prev_v + (next_v - prev_v) * (
         (o - prev_o).cast("double") / (next_o - prev_o).cast("double")
     )

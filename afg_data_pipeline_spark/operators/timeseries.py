@@ -51,7 +51,19 @@ def hourly_user_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "hidx"
     )
     users = cells.select("user_id").distinct()
-    spine = users.crossJoin(hours)
+    # Expansion-side choice matters: the distinct-users exchange
+    # carries ~1 row per user, so AQE coalesces it to 1 partition
+    # and a users×hours crossJoin would inherit that — the whole
+    # |users|·|hours| grid (and the downstream windows, which would
+    # reuse the partitioning exchange-free) would execute in one
+    # task. Streaming the Range instead keeps its native splits
+    # (defaultParallelism, no exchange for AQE to shrink) and
+    # broadcasts the small users list, so the expansion itself is
+    # parallel; the window's own user_id shuffle then sees the
+    # *expanded* size and coalesces proportionally.
+    spine = hours.crossJoin(F.broadcast(users))
+    # cells: no broadcast hint — small at bench scale (auto-BHJ),
+    # shuffle join at real scale; AQE picks per run.
     return spine.join(cells, ["user_id", "hidx"], "left")
 
 

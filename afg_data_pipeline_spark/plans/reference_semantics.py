@@ -26,7 +26,7 @@ from afg_data_pipeline_spark.operators.imputation import (
     seasonal_median_impute,
 )
 from afg_data_pipeline_spark.operators.spatial import (
-    nearest_neighbor_assign,
+    nearest_neighbor_1d,
 )
 from afg_data_pipeline_spark.operators.timeseries import (
     GRID_SQL,
@@ -302,12 +302,16 @@ def nn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_star_table(spark, "supplier", sf_dir).select(
         "s_suppkey", "s_name", "s_acctbal"
     )
-    return nearest_neighbor_assign(
+    # Scalar distance -> the sort-based O(n log n) formulation; the
+    # generic crossJoin+min_by operator (nearest_neighbor_assign)
+    # stays the fallback for multi-dimensional metrics.
+    return nearest_neighbor_1d(
         c,
         s,
         left_key="c_custkey",
         right_key="s_suppkey",
-        distance=F.abs(F.col("c_acctbal") - F.col("s_acctbal")),
+        left_pos="c_acctbal",
+        right_pos="s_acctbal",
         carry=["s_name"],
     )
 

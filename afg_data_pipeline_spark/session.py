@@ -69,6 +69,16 @@ def get_session(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in _BASE_CONF.items():
         builder = builder.config(k, v)
+    # Single-JVM local mode: the "driver" heap is also every
+    # executor thread's working memory. The 1g default with 32
+    # concurrent tasks OOMs on any broadcast + window workload;
+    # size it to the machine. Ignored when a real cluster's
+    # spark-submit sets memory explicitly (only applies at JVM
+    # launch).
+    builder = builder.config(
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+    )
     builder = builder.config(
         "spark.sql.shuffle.partitions", str(shuffle_partitions)
     )
