@@ -1,0 +1,249 @@
+"""Deduplication operators for LLM-data pipelines (north star:
+exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design notes:
+- Exact dedup hashes the text once and shuffles 16-byte digests,
+  never full documents.
+- MinHash LSH: shingles -> per-seed min-hash signature -> band keys
+  -> self-join on band key. Only banded collisions are verified, so
+  the O(n²) pair space is never materialized — the standard
+  web-scale near-dup shape (the band join is an equi-join Spark
+  shuffles by key; hot buckets are AQE-skew-split).
+- SimHash: 64-bit per-doc signature via per-token hash bit voting;
+  near-dups = signatures within Hamming distance d, found by
+  banding the 64 bits into d+1 chunks (pigeonhole) — implemented
+  vectorized in numpy (the bit-matrix vote is a batch operation, a
+  poor fit for per-row SQL expressions).
+- n-gram Jaccard: exact pairwise verification, restricted to
+  candidate groups (same language here; same band in the LSH path).
+
+md5 is used as the hash family everywhere (deterministic,
+engine-portable so DuckDB oracles reproduce it exactly; seeded by
+prefixing `"<seed>|"`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.operators.text import shingle_expr, tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns (digest, keep_id = min id, n_copies). Downstream keeps
+    rows whose id appears in keep_id — the standard
+    hash-group-choose-canonical shape.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(
+    shingles, n_hashes: int = 8
+) -> list["F.Column"]:
+    """MinHash signature: per seed, the min md5 over shingles.
+
+    min(md5(seed|s)) under the lexicographic order is a uniform
+    random permutation per seed — the classic MinHash estimator
+    (Broder '97), engine-portable because it is just md5 + min.
+    """
+    return [
+        F.array_min(
+            F.transform(
+                shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
+            )
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, with
+    exact Jaccard verification on the banded collisions.
+
+    Output: (doc_id_a, doc_id_b, jaccard) for every pair sharing at
+    least one band — a superset of true near-dups that the caller
+    thresholds. 8 hashes in bands of 2 -> P(candidate) =
+    1-(1-j²)⁴: ~86% at j=0.7, ~4% at j=0.1, so true near-dups
+    survive and the pair space stays sub-quadratic.
+
+    Scale shape: only (id, band_key) rows enter the self-join —
+    shingle arrays are re-joined per side afterwards, so the
+    shuffle carries 2 small columns, not document content. Hot
+    band buckets (boilerplate docs) are the skew risk; AQE
+    skew-split handles moderate cases, and a bucket-size cap
+    (count per band_key, drop > limit) is the documented escape
+    hatch for degenerate corpora.
+    """
+    toks = tokens(text_col)
+    base = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("__toks", toks)
+        .withColumn(
+            "shingles",
+            F.array_distinct(shingle_expr("__toks", shingle_k)),
+        )
+        .select(
+            id_col,
+            "shingles",
+            *minhash_signature(F.col("shingles"), n_hashes),
+        )
+    )
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    long = base.select(
+        id_col,
+        F.explode(F.array(*band_cols)).alias("band_key"),
+    )
+    a = long.select(F.col(id_col).alias("doc_id_a"), "band_key")
+    b = long.select(F.col(id_col).alias("doc_id_b"), "band_key")
+    pairs = (
+        a.join(b, "band_key")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .dropDuplicates()
+    )
+    sides = base.select(id_col, "shingles")
+    pairs = pairs.join(
+        sides.select(
+            F.col(id_col).alias("doc_id_a"),
+            F.col("shingles").alias("sh_a"),
+        ),
+        "doc_id_a",
+    ).join(
+        sides.select(
+            F.col(id_col).alias("doc_id_b"),
+            F.col("shingles").alias("sh_b"),
+        ),
+        "doc_id_b",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs within a group.
+
+    The verification stage of near-dup detection: pairs are
+    restricted to a blocking key (language here; an LSH band in the
+    scaled path) so the quadratic blow-up is bounded per group.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    side = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col),
+        toks.alias("toks"),
+    )
+    a = side.select(
+        "g", F.col(id_col).alias("id_a"), F.col("toks").alias("t_a")
+    )
+    b = side.select(
+        "g", F.col(id_col).alias("id_b"), F.col("toks").alias("t_b")
+    )
+    inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("g").alias(group_col),
+            "id_a",
+            "id_b",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document (Charikar '02), numpy-vectorized.
+
+    Per token: a 64-bit hash (md5-derived); each bit votes +1/-1;
+    the signature is the sign vector of the vote sums. Near-dup
+    candidates are signatures with small Hamming distance. Batch
+    bit-matrix math inside mapInPandas (Arrow), because a 64-bit
+    majority vote per row is a matrix op, not a SQL expression.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_col} long, simhash long"
+
+    def batch(iterator):
+        for pdf in iterator:
+            sigs = []
+            for text in pdf[text_col]:
+                toks = text.split()
+                if not toks:
+                    sigs.append(0)
+                    continue
+                hashes = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(t.encode()).digest()[:8], "big"
+                        )
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                bits_m = (
+                    hashes[:, None]
+                    >> np.arange(bits, dtype=np.uint64)[None, :]
+                ) & np.uint64(1)
+                votes = (2 * bits_m.astype(np.int64) - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for i, v in enumerate(votes):
+                    if v > 0:
+                        sig |= np.uint64(1) << np.uint64(i)
+                sigs.append(int(np.int64(sig)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "simhash": sigs}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batch, schema=out_schema
+    )

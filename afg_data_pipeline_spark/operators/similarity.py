@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (north star: ANN).
+
+Two tiers, one contract:
+- brute_force_topk: exact cosine top-k. The dot products accumulate
+  in DECIMAL over IEEE-exact float×float term products, so the
+  scores are bit-identical across engines (the DuckDB oracle
+  reproduces them) and across repartitions/retries.
+- lsh_bucketed_topk: the scale path — random-hyperplane (SRP) LSH
+  buckets so each query only scores candidates sharing a bucket.
+  Hyperplanes are derived deterministically from a seed via md5, so
+  the bucketing itself is reproducible; recall<1 by design, so no
+  SQL oracle (pytest asserts recall against brute force instead).
+
+Scale shape: brute force is a crossJoin — O(Q×N) — only sane for
+small Q or as the per-bucket kernel. The bucketed variant shuffles
+each side once on the bucket key and scores within buckets:
+sub-linear candidate sets, AQE splits hot buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Left-to-right double fold: float*float products are exact in
+# double, and the sequential fold order is part of the operator's
+# contract — DuckDB's list_aggregate(..., 'sum') evaluates the same
+# order, verified bit-identical on this data. (DuckDB's
+# list_dot_product is float32 internally — 2e-7 off — don't use it
+# in oracles.)
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def dot_decimal(a: str, b: str) -> Column:
+    return F.expr(_DOT.format(a=a, b=b)).cast("double")
+
+
+def norm_decimal(a: str) -> Column:
+    return F.sqrt(F.expr(_DOT.format(a=a, b=a)).cast("double"))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches excluded; ties break on neighbor id. The corpus
+    side is broadcast — for corpus beyond broadcast size, flip to
+    the bucketed variant or repartition the query side and let the
+    corpus shuffle.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    par = q.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        q.repartition(par)
+        .crossJoin(F.broadcast(c))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    cosine = dot_decimal("qv", "cv") / (
+        norm_decimal("qv") * norm_decimal("cv")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane via md5.
+
+    Each component is an int16-scaled value from the md5 stream of
+    (seed, index) — reproducible everywhere, no RNG state.
+    """
+    comps = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}|{i}".encode()).digest()
+        v = int.from_bytes(h[:2], "big", signed=True)
+        comps.append(v / 32768.0)
+    return comps
+
+
+def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: one sign bit per plane."""
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                arr,
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via SRP-LSH bucketing.
+
+    n_tables independent bucket assignments (union of candidates)
+    trade recall for candidate-set size; within buckets the exact
+    kernel scores and ranks. Output contract identical to
+    brute_force_topk (ranks may differ — approximate by design).
+    """
+    sides = []
+    for t in range(n_tables):
+        planes = [
+            _hyperplane(seed + t * 1000 + p, dim)
+            for p in range(n_planes)
+        ]
+        bucket = srp_bucket(vec_col, planes).alias("bucket")
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            bucket,
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            bucket,
+        )
+        sides.append((q, c))
+    cands = None
+    for q, c in sides:
+        j = q.join(c, "bucket").drop("bucket")
+        cands = j if cands is None else cands.unionByName(j)
+    cands = cands.filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    cosine = dot_decimal("qv", "cv") / (
+        norm_decimal("qv") * norm_decimal("cv")
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

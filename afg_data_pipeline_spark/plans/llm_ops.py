@@ -1,1 +1,310 @@
-"""Placeholder — queries land in the next milestone."""
+"""Declared queries: LLM-data-pipeline operators (north star /
+SURVEY.md §7 Phase 5) over the documents and embeddings tables.
+
+Oracle parity notes (verified against DuckDB 1.0):
+- split(trim(x), '\\s+')  ≡  regexp_split_to_array(trim(x), '\\s+')
+- list_filter counts duplicates; array_intersect/list_intersect
+  both dedup; regexp_replace needs 'g' in DuckDB.
+- md5 hex strings are identical, so the md5-ordering MinHash and
+  the decimal-fold cosine are engine-portable.
+- SimHash (bit-matrix vote) and SRP-LSH ANN (recall<1 by design)
+  are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.io import read_star_table
+from afg_data_pipeline_spark.operators import text as TX
+from afg_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from afg_data_pipeline_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+)
+from afg_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from afg_data_pipeline_spark.plans.registry import register
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in TX.STOPWORDS.items()
+}
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(
+                    regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS n_distinct_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(regexp_extract_all(text,
+                    '{TX.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_filter(
+                    regexp_split_to_array(trim(text), '\\s+'),
+                    t -> list_contains({_STOP_SQL["en"]}, t)))
+                    AS BIGINT) AS n_stopwords,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+                    AS BIGINT) AS n_punct,
+               0.4 * (CAST(len(list_filter(
+                          regexp_split_to_array(trim(text), '\\s+'),
+                          t -> list_contains({_STOP_SQL["en"]}, t)))
+                          AS DOUBLE)
+                      / CAST(len(regexp_split_to_array(trim(text),
+                          '\\s+')) AS DOUBLE))
+               + 0.3 * least(1.0,
+                     CAST(len(regexp_split_to_array(trim(text),
+                         '\\s+')) AS DOUBLE) / 100.0)
+               + 0.3 * (1.0 -
+                     CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+                          AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE)) AS quality
+        FROM documents
+    """,
+    ops=("TEXT",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punct/stopword stats + quality score.
+
+    The length/stopword/punctuation quality trio of web-scale
+    pretraining filters, one codegen projection pass, no UDF.
+    """
+    docs = read_star_table(spark, "documents", sf_dir)
+    return TX.text_stats(docs)
+
+
+_SCORE_COLS_SQL = ", ".join(
+    "CAST(len(list_filter(regexp_split_to_array(trim(text), "
+    f"'\\s+'), t -> list_contains({_STOP_SQL[lg]}, t))) AS BIGINT) "
+    f"AS score_{lg}"
+    for lg in TX.STOPWORDS
+)
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, {_SCORE_COLS_SQL}
+            FROM documents
+        )
+        SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+               CASE
+                 WHEN score_en = greatest(score_en, score_de,
+                                          score_fr, score_es)
+                   THEN 'en'
+                 WHEN score_de = greatest(score_en, score_de,
+                                          score_fr, score_es)
+                   THEN 'de'
+                 WHEN score_fr = greatest(score_en, score_de,
+                                          score_fr, score_es)
+                   THEN 'fr'
+                 ELSE 'es'
+               END AS pred_lang
+        FROM scored
+    """,
+    ops=("TEXT",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie order."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    scores = TX.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lg].alias(f"score_{lg}") for lg in TX.STOPWORDS],
+        TX.lang_id("text").alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(
+                       CASE WHEN len(toks) < 3
+                            THEN [concat_ws(' ', toks)]
+                       ELSE list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1]
+                                || ' ' || toks[i+2])
+                       END,
+                       s -> md5(s)),
+                   'min') AS fingerprint
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        )
+    """,
+    ops=("TEXT",),
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hash document fingerprint over word 3-shingles."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    return toks.select(
+        "doc_id",
+        TX.doc_fingerprint(TX.shingle_expr("toks", 3)).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+        SELECT md5(text) AS digest,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    ops=("DEDUP",),
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup groups (digest shuffles, not text)."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    return exact_dedup(docs)
+
+
+@register(
+    "ngram_jaccard_dups",
+    oracle="""
+        WITH side AS (
+            SELECT lang AS g, doc_id,
+                   list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+'))
+                     AS toks
+            FROM documents
+        )
+        SELECT a.g AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / CAST(len(a.toks) + len(b.toks)
+                      - len(list_intersect(a.toks, b.toks))
+                      AS DOUBLE) AS jaccard
+        FROM side a JOIN side b ON a.g = b.g
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / CAST(len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks))
+                     AS DOUBLE) >= 0.5
+    """,
+    ops=("DEDUP",),
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dups within a language block."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(
+        docs, group_col="lang", threshold=0.5
+    ).withColumnRenamed("lang", "lang")
+
+
+@register(
+    "minhash_near_dup",
+    oracle=None,  # banded-LSH candidate set; verified in pytest
+    ops=("DEDUP",),
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with exact-Jaccard scores.
+
+    shingle -> minhash -> band -> bucket-join; rows-only here
+    because the candidate set depends on banding internals; pytest
+    asserts it contains every true near-dup pair above the LSH
+    design threshold (tests/test_llm_ops.py).
+    """
+    docs = read_star_table(spark, "documents", sf_dir)
+    return minhash_lsh_candidates(docs)
+
+
+@register(
+    "simhash_signatures",
+    oracle=None,  # bit-matrix vote in numpy; pinned by pytest
+    ops=("DEDUP",),
+)
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (mapInPandas bit vote)."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    return simhash_signatures(docs)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_aggregate(list_transform(
+                       generate_series(1, len(q.embedding)),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE)),
+                       'sum') / (q.nrm * c.nrm) AS cosine
+            FROM vecs q CROSS JOIN vecs c
+            WHERE q.vec_id <> c.vec_id AND q.vec_id < 32
+        )
+        SELECT query_id, neighbor_id, cosine, rn AS rank
+        FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    ops=("ANN",),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 32 query vectors.
+
+    The brute-force baseline of similarity search; scores
+    accumulate in decimal so Spark and DuckDB agree bit-for-bit.
+    """
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 32)
+    return brute_force_topk(queries, emb, k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by design; recall pinned in pytest
+    ops=("ANN",),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN — the 100 TB similarity-search path."""
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 32)
+    return lsh_bucketed_topk(queries, emb, k=5)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # codec stubbed; plumbing pinned in pytest
+    ops=("MULTIMODAL",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched feature extraction."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    media = attach_fake_media(docs)
+    return extract_features(media)

@@ -1,0 +1,180 @@
+"""Tests for the LLM-data-pipeline operators (north star: dedup,
+similarity search, text analysis, multimodal plumbing).
+
+The oracle-checked queries are covered by test_correctness; these
+pin the semantics the oracles can't: LSH recall vs brute force,
+SimHash locality, codec-stub behavior, and planted-duplicate
+detection.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from afg_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_signatures,
+)
+from afg_data_pipeline_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    extract_features,
+    resize_stub,
+)
+from afg_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _docs_with_planted_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far "
+        "away into the deep green forest tonight"
+    )
+    near = base.replace("tonight", "today")  # high word-2-gram overlap
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, "completely different words about spark query engines"),
+        (5, "numbers one two three four five six seven eight nine"),
+    ]
+    return spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+
+
+class TestExactDedup:
+    def test_planted_exact_dup(self, spark):
+        out = {
+            r.digest: r
+            for r in exact_dedup(_docs_with_planted_dups(spark)).collect()
+        }
+        groups = [r for r in out.values() if r.n_copies > 1]
+        assert len(groups) == 1
+        assert groups[0].keep_id == 1
+        assert groups[0].n_copies == 2
+
+
+class TestMinHashLSH:
+    def test_near_dups_survive_banding(self, spark):
+        docs = _docs_with_planted_dups(spark)
+        got = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in minhash_lsh_candidates(docs).collect()
+        }
+        # Exact dup pair must collide in every band with jaccard 1.
+        assert got[(1, 2)] == 1.0
+        # Near-dup pair must be surfaced with high jaccard.
+        assert (1, 3) in got and got[(1, 3)] > 0.7
+        # Unrelated docs must not flood the candidate set.
+        assert (4, 5) not in got
+
+    def test_candidates_subset_of_pairs(self, spark):
+        docs = _docs_with_planted_dups(spark)
+        for r in minhash_lsh_candidates(docs).collect():
+            assert r.doc_id_a < r.doc_id_b
+            assert 0.0 <= r.jaccard <= 1.0
+
+
+class TestSimHash:
+    def test_locality(self, spark):
+        docs = _docs_with_planted_dups(spark)
+        sigs = {
+            r.doc_id: r.simhash
+            for r in simhash_signatures(docs).collect()
+        }
+        assert sigs[1] == sigs[2]  # identical text -> identical sig
+
+        def hamming(a, b):
+            return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+        # near-dup closer than unrelated
+        assert hamming(sigs[1], sigs[3]) < hamming(sigs[1], sigs[4])
+
+    def test_deterministic(self, spark):
+        docs = _docs_with_planted_dups(spark)
+        a = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+        b = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+        assert a == b
+
+
+class TestSimilarity:
+    def _vectors(self, spark, n=40, dim=16):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(n, dim)).astype("float32")
+        vecs[1] = vecs[0] + rng.normal(scale=0.01, size=dim).astype(
+            "float32"
+        )  # planted neighbor
+        pdf = pd.DataFrame(
+            {"vec_id": range(n), "embedding": [v.tolist() for v in vecs]}
+        )
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        return spark.createDataFrame(pdf, schema=schema)
+
+    def test_bruteforce_finds_planted_neighbor(self, spark):
+        emb = self._vectors(spark)
+        top = brute_force_topk(
+            emb.filter(F.col("vec_id") == 0), emb, k=1
+        ).collect()
+        assert top[0].neighbor_id == 1
+        assert top[0].cosine > 0.99
+
+    def test_lsh_recall_against_bruteforce(self, spark):
+        emb = self._vectors(spark)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, emb, k=3).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_bucketed_topk(
+                emb, emb, k=3, n_planes=2, n_tables=4, dim=16
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+        # the planted near-identical pair must always be found
+        assert (0, 1) in approx
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        docs = _docs_with_planted_dups(spark)
+        media = attach_fake_media(docs)
+        assert dict(media.dtypes)["media"] == "binary"
+        feats = extract_features(media).collect()
+        assert len(feats) == 5
+        for r in feats:
+            assert len(r.feature) == 8
+            assert abs(sum(r.feature) - 1.0) < 1e-9
+        # identical media -> identical features
+        by_id = {r.doc_id: r.feature for r in feats}
+        assert by_id[1] == by_id[2]
+
+    def test_decode_stub_raises_for_real_formats(self):
+        with pytest.raises(NotImplementedError, match="jpeg"):
+            decode_media(b"\xff\xd8", "jpeg")
+
+    def test_resize_updates_meta_only(self, spark):
+        docs = _docs_with_planted_dups(spark)
+        media = attach_fake_media(docs)
+        out = resize_stub(media, 224, 224).collect()
+        assert all(r.meta.width == 224 and r.meta.height == 224 for r in out)

@@ -1,0 +1,123 @@
+"""Structured Streaming tests (SURVEY.md §2.10 / §7 Phase 5).
+
+Strategy: the window aggregations are mode-agnostic functions, and
+the batch versions are oracle-checked (plans/streaming_batch.py);
+here we run the SAME functions as real streams (file source,
+availableNow trigger, memory sink) and assert stream == batch on
+identical input — plus watermark late-data drop and bounded-state
+dedup, which only exist in streaming.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from afg_data_pipeline_spark import schemas
+from afg_data_pipeline_spark.io import read_star_table
+from afg_data_pipeline_spark.streaming.windows import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_append_to_memory_sink,
+    run_to_memory_sink,
+    session_window_agg,
+    tumbling_window_agg,
+    watermarked_tumbling_counts,
+)
+from tests.conftest import SF_DIR, normalize_rows
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-materialized as micro-batch-friendly parquet drops
+    (normalized timestamps, 4 files = 4 triggers)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    ev = read_star_table(spark, "events", SF_DIR)
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _batch(spark, path):
+    return spark.read.schema(
+        schemas.EVENTS  # same declared schema as the stream
+    ).parquet(path)
+
+
+class TestStreamBatchParity:
+    def test_tumbling_stream_equals_batch(self, spark, events_dir):
+        stream = read_events_stream(
+            spark, events_dir, schemas.EVENTS, max_files_per_trigger=2
+        )
+        got = run_to_memory_sink(
+            tumbling_window_agg(stream, "1 hour", ["event_type"]),
+            "t_tumble",
+            spark,
+        )
+        want = tumbling_window_agg(
+            _batch(spark, events_dir), "1 hour", ["event_type"]
+        )
+        assert normalize_rows(
+            got.collect(), got.columns
+        ) == normalize_rows(want.collect(), want.columns)
+
+    def test_session_stream_equals_batch(self, spark, events_dir):
+        stream = read_events_stream(
+            spark, events_dir, schemas.EVENTS, max_files_per_trigger=2
+        )
+        got = run_to_memory_sink(
+            session_window_agg(stream, "30 minutes", ["user_id"]),
+            "t_session",
+            spark,
+        )
+        want = session_window_agg(
+            _batch(spark, events_dir), "30 minutes", ["user_id"]
+        )
+        assert normalize_rows(
+            got.collect(), got.columns
+        ) == normalize_rows(want.collect(), want.columns)
+
+
+class TestWatermark:
+    def test_watermarked_agg_runs_and_matches_batch_totals(
+        self, spark, events_dir
+    ):
+        # With availableNow over a finite backlog nothing is truly
+        # late, so totals must match batch; the point is that the
+        # watermarked plan (state eviction wired in) executes.
+        stream = read_events_stream(
+            spark, events_dir, schemas.EVENTS, max_files_per_trigger=2
+        )
+        got = run_to_memory_sink(
+            watermarked_tumbling_counts(
+                stream, "1 hour", "2 hours", ["event_type"]
+            ),
+            "t_wm",
+            spark,
+        )
+        n_stream = sum(r.n_events for r in got.collect())
+        n_batch = _batch(spark, events_dir).count()
+        assert n_stream == n_batch
+
+
+class TestStreamingDedup:
+    def test_dedup_within_watermark_bounded(self, spark, tmp_path, events_dir):
+        # Duplicate the input files -> every event appears twice;
+        # watermark-scoped dedup must restore exact-once.
+        dup_dir = str(tmp_path / "dup")
+        ev = _batch(spark, events_dir)
+        ev.unionByName(ev).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(dup_dir)
+        stream = read_events_stream(
+            spark, dup_dir, schemas.EVENTS, max_files_per_trigger=8
+        )
+        got = run_append_to_memory_sink(
+            dedup_within_watermark(stream, ["event_id"], "2 hours"),
+            "t_dedup",
+            spark,
+        )
+        assert got.count() == ev.count()
