@@ -75,13 +75,12 @@ def read_parquet_glob(
 
     Reference: atenciones_urgencia.py:4,9-11 lists a directory and
     loads the file whose name contains "urg". Spark-first: push the
-    filename predicate into the reader with pathGlobFilter so
-    non-matching files are never opened.
+    name predicate into the read path as a glob so non-matching
+    entries are never opened. A path glob (not pathGlobFilter)
+    matches both single parquet files and Spark-written parquet
+    directories, whose leaf part-files wouldn't carry the name.
     """
-    return (
-        spark.read.option("pathGlobFilter", f"*{name_contains}*")
-        .parquet(directory)
-    )
+    return spark.read.parquet(f"{directory}/*{name_contains}*")
 
 
 def read_csv(
