@@ -15,6 +15,7 @@ from afg_data_pipeline_spark.plans import (  # noqa: F401, E402
     reference_semantics,
     llm_ops,
     streaming_batch,
+    extended,
 )
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,215 @@
+"""Extended join/set-op surface (SURVEY.md §2.4 closing note: the
+reference has no right/full/semi/anti/as-of joins — the engine
+exposes them anyway as declared, oracle-checked queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.functions.numeric import dsum, sql_dsum
+from afg_data_pipeline_spark.io import read_star_table
+from afg_data_pipeline_spark.operators.joins import (
+    asof_join_backward,
+    salted_join,
+)
+from afg_data_pipeline_spark.plans.registry import register
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+               p.ts AS asof_ts, p.value AS asof_value
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    ops=("J-ASOF",),
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's most recent
+    purchase at-or-before it.
+
+    Spark lacks a native ASOF JOIN; the union+window formulation
+    (operators/joins.py) is one key-partitioned shuffle — compare
+    DuckDB's first-class ASOF LEFT JOIN in the oracle.
+    """
+    ev = read_star_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("pvalue"),
+    )
+    out = asof_join_backward(
+        ev.select("event_id", "user_id", "ts", "value"),
+        purchases.select(
+            "user_id", "ts", F.col("pvalue").alias("value")
+        ).withColumnRenamed("ts", "pts"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_values=["pts", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_pts").alias("asof_ts"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment,
+               TRUE AS has_order
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        UNION ALL
+        SELECT c.c_custkey, c.c_mktsegment, FALSE AS has_order
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+    """,
+    ops=("J-SEMI", "J-ANTI"),
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins, tagged and unioned.
+
+    Semi/anti never materialize the right side's columns — at scale
+    this is the difference between shuffling keys and shuffling the
+    orders table.
+    """
+    c = read_star_table(spark, "customer", sf_dir)
+    big = (
+        read_star_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    semi = c.join(
+        big, c.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment", F.lit(True).alias("has_order"))
+    anti = c.join(
+        big, c.c_custkey == big.o_custkey, "left_anti"
+    ).select(
+        "c_custkey", "c_mktsegment", F.lit(False).alias("has_order")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "full_outer_join",
+    oracle="""
+        SELECT coalesce(b.c_custkey, o.o_custkey) AS custkey,
+               b.c_acctbal,
+               o.n_orders
+        FROM (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_mktsegment = 'BUILDING') b
+        FULL OUTER JOIN (
+            SELECT o_custkey, count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ) o ON b.c_custkey = o.o_custkey
+    """,
+    ops=("J-FULL",),
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls on both sides."""
+    b = (
+        read_star_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        read_star_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return b.join(o, b.c_custkey == o.o_custkey, "full").select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias(
+            "custkey"
+        ),
+        "c_acctbal",
+        "n_orders",
+    )
+
+
+@register(
+    "intersect_except",
+    oracle="""
+        SELECT c_custkey, 'both' AS tag FROM (
+            SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey FROM orders
+        )
+        UNION ALL
+        SELECT c_custkey, 'building_only' AS tag FROM (
+            SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT o_custkey FROM orders
+        )
+    """,
+    ops=("U-SET",),
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (distinct semantics)."""
+    b = (
+        read_star_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = read_star_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = b.intersect(o).select(
+        "c_custkey", F.lit("both").alias("tag")
+    )
+    only = b.exceptAll(o).distinct().select(
+        "c_custkey", F.lit("building_only").alias("tag")
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "salted_join_revenue",
+    oracle=f"""
+        SELECT d.flag_name,
+               count(*) AS n_items,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)",
+                         "revenue")}
+        FROM lineitem l
+        JOIN (VALUES ('R', 'returned'), ('A', 'acknowledged'),
+                     ('N', 'none')) d(l_returnflag, flag_name)
+          ON l.l_returnflag = d.l_returnflag
+        GROUP BY d.flag_name
+    """,
+    ops=("J-SKEW",),
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: 3-value join key (maximal skew) spread over
+    16 salt buckets; the oracle is the plain join — salting must be
+    semantically invisible.
+    """
+    li = read_star_table(spark, "lineitem", sf_dir)
+    dim = li.sparkSession.createDataFrame(
+        [("R", "returned"), ("A", "acknowledged"), ("N", "none")],
+        schema="l_returnflag string, flag_name string",
+    )
+    joined = salted_join(li, dim, key="l_returnflag", salt_buckets=16)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("flag_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(revenue.cast("decimal(18,6)")).cast("double").alias(
+            "revenue"
+        ),
+    )

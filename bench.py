@@ -40,6 +40,11 @@ HEADLINE = [
     "ols_forecast",
     "gravity_flows",
     "nn_assign",
+    "asof_join_last_purchase",
+    "tumbling_window_agg",
+    "text_stats",
+    "exact_dedup",
+    "ann_cosine_topk",
 ]
 
 
@@ -60,10 +65,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         q = REGISTRY[name]
-        t0 = time.time()
-        df = q.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # Best of 2: the first execution of a plan pays whole-stage
+        # codegen JIT (~0.5-2s); the second measures the plan.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = q.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
