@@ -1,0 +1,155 @@
+"""Unit tests for the join operators (as-of semantics, salting
+invariance) and a hypothesis property sweep for the interpolation
+family (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.operators.imputation import (
+    interpolate_linear,
+)
+from afg_data_pipeline_spark.operators.joins import (
+    asof_join_backward,
+    salted_join,
+)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        trades = spark.createDataFrame(
+            [
+                ("A", 3, 100.0),
+                ("A", 7, 101.0),
+                ("A", 10, 99.0),
+                ("B", 5, 50.0),
+            ],
+            schema="sym string, t int, px double",
+        )
+        quotes = spark.createDataFrame(
+            [
+                ("A", 2, 99.5),
+                ("A", 7, 100.5),
+                ("A", 9, 98.5),
+                ("B", 6, 49.5),
+            ],
+            schema="sym string, qt int, bid double",
+        )
+        return trades, quotes
+
+    def test_backward_inclusive(self, spark):
+        trades, quotes = self._frames(spark)
+        out = asof_join_backward(
+            trades, quotes, "sym", "t", "qt", ["qt", "bid"]
+        )
+        got = {(r.sym, r.t): (r.asof_qt, r.asof_bid) for r in out.collect()}
+        assert got[("A", 3)] == (2, 99.5)
+        assert got[("A", 7)] == (7, 100.5)  # equal ts matches (>=)
+        assert got[("A", 10)] == (9, 98.5)
+        assert got[("B", 5)] == (None, None)  # nothing at-or-before
+
+    def test_strict_excludes_equal_ts(self, spark):
+        trades, quotes = self._frames(spark)
+        out = asof_join_backward(
+            trades, quotes, "sym", "t", "qt", ["qt", "bid"], strict=True
+        )
+        got = {(r.sym, r.t): r.asof_qt for r in out.collect()}
+        assert got[("A", 7)] == 2  # the 7-quote is invisible
+
+    def test_matches_pandas_merge_asof(self, spark):
+        trades, quotes = self._frames(spark)
+        out = asof_join_backward(
+            trades, quotes, "sym", "t", "qt", ["bid"]
+        )
+        got = (
+            out.orderBy("sym", "t")
+            .toPandas()[["sym", "t", "asof_bid"]]
+        )
+        want = pd.merge_asof(
+            trades.toPandas().sort_values("t"),
+            quotes.toPandas()
+            .sort_values("qt")
+            .rename(columns={"qt": "t", "bid": "asof_bid"}),
+            on="t",
+            by="sym",
+            direction="backward",
+        ).sort_values(["sym", "t"])[["sym", "t", "asof_bid"]]
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+
+class TestSaltedJoin:
+    def test_salting_is_semantically_invisible(self, spark):
+        big = spark.range(0, 5000).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.createDataFrame(
+            [(0, "x"), (1, "y"), (2, "z")], schema="k long, lbl string"
+        )
+        plain = (
+            big.join(small, "k")
+            .groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        salted = (
+            salted_join(big, small, "k", salt_buckets=8)
+            .groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+
+class TestInterpolationProperties:
+    """Hypothesis sweep of W1 (SURVEY.md §5.3): non-nulls
+    untouched, completeness given one donor, pandas parity."""
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        values=st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-100,
+                    max_value=100,
+                    allow_nan=False,
+                    width=32,
+                ),
+            ),
+            min_size=2,
+            max_size=12,
+        ).filter(lambda vs: any(v is not None for v in vs))
+    )
+    def test_matches_pandas_for_random_series(self, spark, values):
+        pdf = pd.DataFrame(
+            {
+                "g": "a",
+                "i": range(len(values)),
+                "v": [float(v) if v is not None else None for v in values],
+            }
+        )
+        sdf = spark.createDataFrame(
+            pdf, schema="g string, i int, v double"
+        )
+        got = (
+            interpolate_linear(sdf, ["g"], "i", "v", "f")
+            .orderBy("i")
+            .toPandas()["f"]
+            .to_numpy()
+        )
+        want = (
+            pdf["v"].interpolate(method="linear").ffill().bfill().to_numpy()
+        )
+        import numpy as np
+
+        assert np.allclose(got, want)
