@@ -232,3 +232,32 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
     )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(grouping(lang) AS INTEGER) AS g_lang,
+               CAST(grouping(source) AS INTEGER) AS g_source
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+    """,
+    ops=("A1",),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicator columns.
+
+    The indicators disambiguate subtotal rows from genuine-null
+    groups — the piece rollup/cube queries omit; one shuffle for
+    all three groupings.
+    """
+    docs = read_star_table(spark, "documents", sf_dir)
+    grouped = docs.groupingSets(
+        [["lang"], ["source"], ["lang", "source"]], "lang", "source"
+    )
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.grouping("source").cast("int").alias("g_source"),
+    )

@@ -308,3 +308,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_star_table(spark, "documents", sf_dir)
     media = attach_fake_media(docs)
     return extract_features(media)
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle="""
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        JOIN (
+            SELECT min(doc_id) AS keep_id
+            FROM documents
+            GROUP BY md5(text)
+        ) k ON d.doc_id = k.keep_id
+    """,
+    ops=("DEDUP",),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *action*: keep one canonical row per content hash.
+
+    exact_dedup computes the groups; this applies them — a
+    semi-join of the corpus against the keep-set, which shuffles
+    ids, never text.
+    """
+    docs = read_star_table(spark, "documents", sf_dir)
+    keep = exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

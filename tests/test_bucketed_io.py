@@ -1,0 +1,94 @@
+"""Bucketing + Excel-edge tests.
+
+Bucketing is the SURVEY.md §7 co-located-join lever: writing both
+join sides bucketed by the key lets Spark sort-merge-join them with
+ZERO exchange — at 100 TB that's the difference between shuffling
+the fact table per join and never shuffling it at all.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.io import (
+    read_excel_driver_side,
+    read_star_table,
+)
+from tests.conftest import SF_DIR
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_test")
+        try:
+            li = read_star_table(spark, "lineitem", SF_DIR)
+            o = read_star_table(spark, "orders", SF_DIR)
+            (
+                li.write.bucketBy(8, "l_orderkey")
+                .sortBy("l_orderkey")
+                .mode("overwrite")
+                .saveAsTable("bucketed_test.li_b")
+            )
+            (
+                o.withColumnRenamed("o_orderkey", "l_orderkey")
+                .write.bucketBy(8, "l_orderkey")
+                .sortBy("l_orderkey")
+                .mode("overwrite")
+                .saveAsTable("bucketed_test.o_b")
+            )
+            a = spark.table("bucketed_test.li_b")
+            b = spark.table("bucketed_test.o_b")
+            # merge hint: the small local tables would otherwise
+            # broadcast; the property under test is the bucketed
+            # sort-merge join path (the 100 TB shape).
+            joined = a.hint("merge").join(b, "l_orderkey").groupBy(
+                "o_orderstatus"
+            ).agg(F.count(F.lit(1)).alias("n"))
+            joined.collect()
+            executed = (
+                joined._jdf.queryExecution().executedPlan().toString()
+            )
+            # The join itself must not exchange either side: only
+            # the final tiny aggregation may shuffle.
+            join_part = executed.split("SortMergeJoin")[-1]
+            assert "Exchange" not in join_part, (
+                "bucketed join re-shuffled a side:\n" + executed
+            )
+            # Sanity: result matches the plain join.
+            plain = (
+                li.join(
+                    o, li.l_orderkey == o.o_orderkey
+                )
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            assert sorted(map(tuple, joined.collect())) == sorted(
+                map(tuple, plain.collect())
+            )
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS bucketed_test CASCADE")
+
+
+class TestExcelEdge:
+    def test_read_excel_driver_side(self, spark, monkeypatch):
+        """S3/S4: the Excel edge is a driver-side pandas read with a
+        declared schema; the engine container has no Excel engine,
+        so pandas is monkeypatched (the contract under test is the
+        pandas -> createDataFrame -> declared-schema path)."""
+        fake = pd.DataFrame(
+            {"comuna": ["santiago", "pudahuel"], "2020": [10, 20]}
+        )
+        monkeypatch.setattr(
+            pd, "read_excel", lambda path, sheet_name=0: fake
+        )
+        df = read_excel_driver_side(
+            spark,
+            "/nonexistent/workers.xlsx",
+            schema="comuna string, `2020` long",
+            sheet_name="poblacion_total",
+        )
+        rows = sorted((r["comuna"], r["2020"]) for r in df.collect())
+        assert rows == [("pudahuel", 20), ("santiago", 10)]
+        assert df.schema.simpleString() == "struct<comuna:string,2020:bigint>"
