@@ -94,8 +94,13 @@ def minhash_lsh_candidates(
     hatch for degenerate corpora.
     """
     toks = tokens(text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = (
+        # Round-robin first: the corpus often arrives in one file /
+        # one row group, and the signature computation (n_hashes
+        # md5 passes per shingle) should use every core.
         df.select(F.col(id_col), F.col(text_col))
+        .repartition(par)
         .withColumn("__toks", toks)
         .withColumn(
             "shingles",
@@ -157,22 +162,40 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    n: int = 2,
 ) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs within a group.
+    """Exact word-n-gram-set Jaccard over candidate pairs within a
+    group.
 
     The verification stage of near-dup detection: pairs are
     restricted to a blocking key (language here; an LSH band in the
     scaled path) so the quadratic blow-up is bounded per group.
+    n-grams with n>=2 (not unigrams) — on a small shared vocabulary
+    unigram sets of unrelated documents overlap almost completely,
+    while n-gram sets only overlap under genuine shared phrasing.
     """
-    toks = F.array_distinct(tokens(text_col))
-    side = df.select(
-        F.col(group_col).alias("g"),
-        F.col(id_col),
-        toks.alias("toks"),
+    side = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(id_col),
+            tokens(text_col).alias("__toks"),
+        )
+        .withColumn(
+            "toks",
+            F.array_distinct(shingle_expr("__toks", n)),
+        )
+        .drop("__toks")
     )
+    # The group self-join multiplies |group| rows into |group|²/2
+    # pairs — an expansion AQE cannot see from the (small) input
+    # shuffle sizes, so without intervention every pair evaluates
+    # in one task. Round-robin the probe side across all cores and
+    # broadcast the build side: the Jaccard verification then
+    # parallelizes with the pair count.
+    par = df.sparkSession.sparkContext.defaultParallelism
     a = side.select(
         "g", F.col(id_col).alias("id_a"), F.col("toks").alias("t_a")
-    )
+    ).repartition(par)
     b = side.select(
         "g", F.col(id_col).alias("id_b"), F.col("toks").alias("t_b")
     )
@@ -180,7 +203,7 @@ def ngram_jaccard_pairs(
     union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
     jac = inter.cast("double") / union.cast("double")
     return (
-        a.join(b, "g")
+        a.join(F.broadcast(b), "g")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             F.col("g").alias(group_col),

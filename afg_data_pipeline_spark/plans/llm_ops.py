@@ -184,12 +184,21 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_dups",
     oracle="""
-        WITH side AS (
+        WITH tokd AS (
             SELECT lang AS g, doc_id,
-                   list_distinct(
-                       regexp_split_to_array(trim(text), '\\s+'))
-                     AS toks
+                   regexp_split_to_array(trim(text), '\\s+') AS t
             FROM documents
+        ),
+        side AS (
+            SELECT g, doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS toks
+            FROM tokd
         )
         SELECT a.g AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -206,11 +215,12 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("DEDUP",),
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dups within a language block."""
+    """Exact word-bigram-set Jaccard near-dups within a language
+    block (unigram sets are degenerate on a shared vocabulary)."""
     docs = read_star_table(spark, "documents", sf_dir)
     return ngram_jaccard_pairs(
-        docs, group_col="lang", threshold=0.5
-    ).withColumnRenamed("lang", "lang")
+        docs, group_col="lang", threshold=0.5, n=2
+    )
 
 
 @register(
@@ -336,4 +346,69 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "curate_corpus",
+    oracle="""
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        ),
+        stats AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   0.4 * (CAST(len(list_filter(
+                              regexp_split_to_array(trim(text), '\\s+'),
+                              t -> list_contains(['the','a','of','and','is'], t)))
+                              AS DOUBLE)
+                          / CAST(len(regexp_split_to_array(trim(text),
+                              '\\s+')) AS DOUBLE))
+                   + 0.3 * least(1.0,
+                         CAST(len(regexp_split_to_array(trim(text),
+                             '\\s+')) AS DOUBLE) / 100.0)
+                   + 0.3 * (1.0 -
+                         CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+                              AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)) AS quality
+            FROM documents
+        )
+        SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+        FROM stats s
+        JOIN keep k ON s.doc_id = k.doc_id
+        WHERE s.quality >= 0.4 AND s.n_tokens >= 20
+    """,
+    ops=("TEXT", "DEDUP"),
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pass: exact dedup ->
+    quality score -> length floor, composed from the operator
+    library in one lazy plan.
+
+    The canonical pretraining-pipeline shape: one text scan feeds
+    both the hash-dedup keep-set (ids shuffle) and the quality
+    projection (no shuffle); the semi-join + filters emit the
+    curated corpus. At 100 TB this runs as two passes over text and
+    one id-join — no full-text shuffle anywhere.
+    """
+    from afg_data_pipeline_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    keep = exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    return (
+        stats.join(keep, "doc_id", "left_semi")
+        .filter((F.col("quality") >= 0.4) & (F.col("n_tokens") >= 20))
     )
