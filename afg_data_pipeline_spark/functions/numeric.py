@@ -62,3 +62,36 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
     )
+
+
+def lsum(col: Column | str, alias: str, decimals: int = 2) -> Column:
+    """Order-independent SUM for values with known fixed precision:
+    scale to integers, sum longs (codegen fast path), unscale.
+
+    TPC-H-style money/quantity columns carry <= `decimals` decimal
+    places; round(x * 10^d) is exact for them (the float error of a
+    d-decimal value times 10^d is ~1e-10, never near .5), so the
+    long sum is exact and order-free like dsum but runs in
+    whole-stage-codegen long arithmetic instead of JVM BigDecimal —
+    ~7x faster per aggregate.
+
+    Overflow bound: |Σ x·10^d| must stay under 2^63 ≈ 9.2e18 —
+    fine for counts/quantities at any scale, borderline for money
+    columns beyond ~10^10 rows × 10^7 scaled units. dsum (decimal,
+    38 digits) is the unconditional scale-safe default; lsum is the
+    opt-in fast path when the bound is provably satisfied.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10 ** decimals
+    return (
+        F.sum(F.round(c * scale, 0).cast("long")).cast("double")
+        / F.lit(float(scale))
+    ).alias(alias)
+
+
+def sql_lsum(expr: str, alias: str, decimals: int = 2) -> str:
+    scale = 10 ** decimals
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {scale}, 0) AS BIGINT))"
+        f" AS DOUBLE) / {float(scale)} AS {alias}"
+    )
