@@ -19,6 +19,35 @@ from afg_data_pipeline_spark import schemas
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Correctness-critical runtime confs, pinned on every table read so
+# the engine behaves identically under a SparkSession it did not
+# build (the driver harness constructs its own). All are
+# runtime-settable SQL confs; without nanosAsLong a foreign session
+# cannot even read the events table (PARQUET_TYPE_ILLEGAL), and a
+# non-UTC timezone would shift every timestamp comparison.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+_conf_pinned_sessions: set[int] = set()
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Idempotently pin the runtime confs on a session."""
+    key = id(spark)
+    if key in _conf_pinned_sessions:
+        return
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf is fatal
+            # only if behavior actually diverges; reads will raise
+            # their own clear error then.
+            pass
+    _conf_pinned_sessions.add(key)
+
 
 def read_star_table(
     spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR
@@ -32,6 +61,7 @@ def read_star_table(
     """
     if name not in schemas.STAR:
         raise KeyError(f"unknown star table {name!r}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     declared = schemas.STAR[name]
     actual = {f.name: f.dataType for f in df.schema.fields}
