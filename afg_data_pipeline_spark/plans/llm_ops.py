@@ -412,3 +412,65 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.join(keep, "doc_id", "left_semi")
         .filter((F.col("quality") >= 0.4) & (F.col("n_tokens") >= 20))
     )
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+        WITH vecs AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_aggregate(list_transform(
+                   generate_series(1, len(a.embedding)),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)),
+                   'sum') / (a.nrm * b.nrm) AS cosine
+        FROM vecs a CROSS JOIN vecs b
+        WHERE a.vec_id < b.vec_id
+          AND list_aggregate(list_transform(
+                  generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)),
+                  'sum') / (a.nrm * b.nrm) >= 0.2
+    """,
+    ops=("DEDUP", "ANN"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north star: the
+    semantic-dedup method of training pipelines).
+
+    Brute-force pairwise here (bit-exact oracle); the sub-quadratic
+    production path is the SRP-LSH bucketing of ann_lsh_topk with a
+    cosine threshold instead of top-k. Threshold 0.2 on this
+    synthetic corpus surfaces the heavy-overlap tail without
+    degenerating to the full pair set.
+    """
+    from afg_data_pipeline_spark.operators.similarity import (
+        dot_decimal,
+        norm_decimal,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    ).repartition(par)
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    cosine = dot_decimal("va", "vb") / (
+        norm_decimal("va") * norm_decimal("vb")
+    )
+    return pairs.select(
+        "id_a", "id_b", cosine.alias("cosine")
+    ).filter(F.col("cosine") >= 0.2)
