@@ -177,3 +177,127 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its n_probe nearest centroids
+    (squared-L2), long-form (id, vec, centroid_id, rank).
+
+    crossJoin with the broadcast centroid table + per-vector
+    row_number — centroid counts are small by construction (IVF
+    nlist << corpus), so this is a map-side-only pass.
+    """
+    c = centroids.select(
+        F.col("centroid_id"), F.col("centroid").alias("cv")
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        df.select(F.col(id_col), F.col(vec_col).alias("v"))
+        .repartition(par)
+        .crossJoin(F.broadcast(c))
+    )
+    # squared L2 = |v|^2 - 2 v.c + |c|^2; the fold computes it
+    # directly as sum of squared diffs (deterministic double fold).
+    d2 = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) ->"
+        " (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0 as double), (acc, t) -> acc + t)"
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        d2.asc(), F.col("centroid_id").asc()
+    )
+    return (
+        pairs.select(
+            id_col,
+            F.col("v").alias(vec_col),
+            "centroid_id",
+            F.row_number().over(w).alias("probe_rank"),
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+    )
+
+
+def seeded_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+) -> DataFrame:
+    """Deterministic IVF 'training': take the vectors whose md5(id)
+    sorts lowest as centroids — a seeded uniform sample without RNG
+    state (real IVF would k-means these; centroid *selection* is
+    not the operator under test, the bucketed search shape is).
+    """
+    w = Window.orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus bucketed by nearest
+    centroid, queries probe their n_probe nearest cells, exact
+    cosine kernel within the probed cells.
+
+    The second of the two sub-quadratic ANN shapes (SRP-LSH being
+    the other): candidate count ~ corpus * n_probe / n_centroids.
+    Same output contract as brute_force_topk; recall < 1 by design
+    (pytest pins recall against the exact kernel).
+    """
+    cents = seeded_centroids(corpus, id_col, vec_col, n_centroids)
+    corpus_cells = ivf_assign(
+        corpus, cents, id_col, vec_col, n_probe=1
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+    query_cells = ivf_assign(
+        queries, cents, id_col, vec_col, n_probe=n_probe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "centroid_id",
+    )
+    cands = (
+        query_cells.join(corpus_cells, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cosine = dot_decimal("qv", "cv") / (
+        norm_decimal("qv") * norm_decimal("cv")
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -213,3 +213,47 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "range_join_bands",
+    oracle="""
+        SELECT e.event_id, e.value, b.band_id, b.band_name
+        FROM events e
+        JOIN (VALUES (0, 'low', 0.0, 25.0),
+                     (1, 'mid', 25.0, 50.0),
+                     (2, 'high', 50.0, 75.0),
+                     (3, 'top', 75.0, 1e9))
+             b(band_id, band_name, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+    """,
+    ops=("J-RANGE",),
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join: each event matched to its
+    value band via a non-equi predicate.
+
+    Spark executes this as a broadcast nested-loop join — correct
+    and cheap while the band table is small (the usual case). For
+    two large interval sets the scale path is binning: add a
+    bucket = floor(value/width) key to both sides, equi-join on the
+    bucket, then apply the range predicate — same contract, shuffle
+    instead of loop (the as-of and 1-D-NN operators in
+    operators/joins.py and operators/spatial.py are built
+    generalizations of that trick).
+    """
+    ev = read_star_table(spark, "events", sf_dir)
+    bands = spark.createDataFrame(
+        [
+            (0, "low", 0.0, 25.0),
+            (1, "mid", 25.0, 50.0),
+            (2, "high", 50.0, 75.0),
+            (3, "top", 75.0, 1e9),
+        ],
+        schema="band_id int, band_name string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+    )
+    return joined.select("event_id", "value", "band_id", "band_name")

@@ -474,3 +474,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", cosine.alias("cosine")
     ).filter(F.col("cosine") >= 0.2)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by design; recall pinned in pytest
+    ops=("ANN",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate cosine top-5 (the second ANN scale
+    path next to SRP-LSH): corpus partitioned by nearest centroid,
+    queries probe 4 of 16 cells."""
+    from afg_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 32)
+    return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)

