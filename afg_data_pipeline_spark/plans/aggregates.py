@@ -261,3 +261,97 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("lang").cast("int").alias("g_lang"),
         F.grouping("source").cast("int").alias("g_source"),
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)",
+                         "revenue")},
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+        LIMIT 10
+    """,
+    ops=("A1", "J1", "O2"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join, filtered, revenue per order,
+    global top-10 — the classic join-agg-topk pipeline. Segment
+    filter prunes customer before the join; TakeOrderedAndProject
+    avoids the global sort.
+    """
+    c = read_star_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_star_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = read_star_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    oracle=f"""
+        SELECT n.n_name,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)",
+                         "revenue")}
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+    """,
+    ops=("A1", "J1"),
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table star join filtered to one region and
+    a date range, revenue per nation. Region/nation broadcast;
+    the fact side streams through hash joins.
+    """
+    r = read_star_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "ASIA"
+    )
+    n = read_star_table(spark, "nation", sf_dir)
+    c = read_star_table(spark, "customer", sf_dir)
+    o = read_star_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = read_star_table(spark, "lineitem", sf_dir)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_expr(revenue, "revenue"))
+    )

@@ -210,3 +210,49 @@ def sessionize_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "range_frame_window",
+    oracle="""
+        SELECT user_id, event_id, ts, value,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) // 1000000
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_1h_sum,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) // 1000000
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS rolling_1h_n
+        FROM events
+    """,
+    ops=("O1", "A6"),
+)
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling 1-hour sum/count.
+
+    The value-based frame (all rows within 3600s of the current
+    row's event time) — the frame spec rowsBetween can't express;
+    ordering on epoch seconds so the frame bound is numeric in both
+    engines.
+    """
+    ev = read_star_table(spark, "events", sf_dir)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast(_DEC))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
+    )

@@ -45,6 +45,8 @@ HEADLINE = [
     "text_stats",
     "exact_dedup",
     "ann_cosine_topk",
+    "q3_shipping_priority",
+    "q5_region_volume",
 ]
 
 
