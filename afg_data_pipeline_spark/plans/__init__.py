@@ -16,6 +16,7 @@ from afg_data_pipeline_spark.plans import (  # noqa: F401, E402
     llm_ops,
     streaming_batch,
     extended,
+    classics,
 )
 
 __all__ = ["REGISTRY", "Query", "register"]
