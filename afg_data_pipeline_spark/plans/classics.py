@@ -790,3 +790,366 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice) AS supplycost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ), euro AS (
+            SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'
+        )
+        SELECT e.s_acctbal, e.s_name, e.n_name,
+               p.p_partkey, p.p_name, c.supplycost
+        FROM part p
+        JOIN cost c ON c.l_partkey = p.p_partkey
+        JOIN euro e ON e.s_suppkey = c.l_suppkey
+        WHERE p.p_size = 15
+          AND c.supplycost = (
+              SELECT min(c2.supplycost)
+              FROM cost c2
+              JOIN euro e2 ON e2.s_suppkey = c2.l_suppkey
+              WHERE c2.l_partkey = p.p_partkey
+          )
+        ORDER BY e.s_acctbal DESC, e.n_name ASC, e.s_name ASC,
+                 p.p_partkey ASC
+        LIMIT 100
+    """,
+    ops=("A1", "A5", "J1", "O2"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted: cheapest regional supplier per part —
+    a correlated scalar MIN decorrelated into a per-part aggregate
+    rejoined on equality (no partsupp table, so "supply cost" is
+    the minimum observed sale price per part-supplier pair in
+    lineitem).
+
+    The per-part minimum is computed once over the already
+    region-filtered cost side and broadcast back; membership is an
+    equality on MIN of raw doubles — no arithmetic, so exact. Both
+    aggregate sides shuffle on l_partkey and AQE aligns the layouts.
+    """
+    li = read_star_table(spark, "lineitem", sf_dir)
+    s = read_star_table(spark, "supplier", sf_dir)
+    n = read_star_table(spark, "nation", sf_dir)
+    r = read_star_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "EUROPE"
+    )
+    p = read_star_table(spark, "part", sf_dir).filter(
+        F.col("p_size") == 15
+    )
+    euro = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    euro_cost = cost.join(
+        F.broadcast(euro), cost.l_suppkey == euro.s_suppkey
+    )
+    best = euro_cost.groupBy(
+        F.col("l_partkey").alias("best_partkey")
+    ).agg(F.min("supplycost").alias("min_cost"))
+    return (
+        euro_cost.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("best_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+        WITH nat_li AS (
+            SELECT l.l_partkey, l.l_extendedprice
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_7'
+        )
+        SELECT l_partkey AS p_partkey,
+               {sql_dsum("l_extendedprice", "part_value")}
+        FROM nat_li
+        GROUP BY l_partkey
+        HAVING part_value > CAST(0.001 AS DOUBLE) * (
+            SELECT {sql_dsum("l_extendedprice", "total")}
+            FROM nat_li
+        )
+    """,
+    ops=("A1", "J1", "F2"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape, adapted: parts that concentrate a nation's
+    trade value — per-group aggregate filtered against a scalar
+    fraction of the global aggregate (no partsupp, so "value" is
+    summed sale price through the nation's suppliers).
+
+    One shuffled scan feeds both aggregates; the global total is a
+    1-row broadcast cross join, so the threshold compare never
+    leaves the executors. Both sums accumulate in decimal — the
+    HAVING boundary is deterministic, which is what makes row
+    membership (not just values) reproducible.
+    """
+    li = read_star_table(spark, "lineitem", sf_dir)
+    s = read_star_table(spark, "supplier", sf_dir)
+    n = read_star_table(spark, "nation", sf_dir).filter(
+        F.col("n_name") == "NATION_7"
+    )
+    nat_li = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("l_partkey", "l_extendedprice")
+    )
+    total = nat_li.agg(dsum("l_extendedprice", "total"))
+    return (
+        nat_li.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(dsum("l_extendedprice", "part_value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("total"))
+        .select("p_partkey", "part_value")
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_linestatus
+    """,
+    ops=("A1", "J1", "F6"),
+)
+def q12_priority_by_linestatus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 shape, adapted: order-priority mix per line status
+    (no l_shipmode column, so l_linestatus is the grouping axis; no
+    commit/receipt dates, so the year filter is on ship date).
+
+    The canonical pivot-by-CASE: one pass, two conditional integer
+    counts — exact arithmetic, no float concerns. The date filter
+    pushes to the fact scan; the orders join shuffles on orderkey.
+    """
+    o = read_star_table(spark, "orders", sf_dir)
+    li = read_star_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey,
+                   count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '5-LOW'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    ops=("A1", "J1"),
+)
+def q13_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order
+    counts — a filtered LEFT OUTER join under a double aggregation
+    (the filter lives in the join condition, not a WHERE, so
+    zero-order customers survive as count 0).
+
+    count(o_orderkey) counts only matched rows — the outer-join
+    null-extension does the NULL bookkeeping. The second aggregate
+    groups ~thousands of distinct counts: a cheap second shuffle on
+    an already-collapsed input.
+    """
+    c = read_star_table(spark, "customer", sf_dir)
+    o = read_star_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_dsum("l_extendedprice * (1 - l_discount)",
+                             "total_revenue")}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON r.supplier_no = s.s_suppkey
+        WHERE r.total_revenue = (
+            SELECT max(total_revenue) FROM revenue
+        )
+    """,
+    ops=("A1", "A5", "J1", "F2"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's top revenue supplier — the view-
+    plus-scalar-max pattern. The revenue "view" is computed once
+    and feeds both the max and the membership filter (Spark reuses
+    the exchange; no second scan of lineitem).
+
+    Max-equality on decimal-accumulated doubles is exact, and ties
+    (if any) are all returned — same as the spec.
+    """
+    li = read_star_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    s = read_star_table(spark, "supplier", sf_dir)
+    revenue = li.groupBy(
+        F.col("l_suppkey").alias("supplier_no")
+    ).agg(
+        dsum_expr(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_revenue",
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            F.broadcast(s), F.col("supplier_no") == s.s_suppkey
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    oracle=f"""
+        WITH yr AS (
+            SELECT l_partkey, l_suppkey,
+                   {sql_lsum("l_quantity", "qty")}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ), tot AS (
+            SELECT l_partkey,
+                   {sql_lsum("qty", "total")}
+            FROM yr
+            GROUP BY l_partkey
+        )
+        SELECT DISTINCT s.s_name, n.n_name
+        FROM yr y
+        JOIN tot t ON t.l_partkey = y.l_partkey
+        JOIN part p ON p.p_partkey = y.l_partkey
+        JOIN supplier s ON s.s_suppkey = y.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE 'small%'
+          AND y.qty > CAST(0.5 AS DOUBLE) * t.total
+    """,
+    ops=("A1", "J1", "F5"),
+)
+def q20_excess_share_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape, adapted: suppliers who dominate a part's
+    annual volume — nested IN subqueries decorrelated into a
+    two-level aggregate plus threshold join (no partsupp/availqty,
+    so "excess" is >50% share of a part's shipped quantity).
+
+    The per-pair and per-part sums reuse one shuffle lineage
+    (second groupBy is a subset of the first's keys). Quantities
+    are 2-decimal bounded, so the long fast path applies — the 0.5×
+    threshold compares exactly-represented doubles. DISTINCT
+    collapses multi-part qualifiers; name join is broadcast.
+    """
+    li = read_star_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    p = read_star_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("small%")
+    )
+    s = read_star_table(spark, "supplier", sf_dir)
+    n = read_star_table(spark, "nation", sf_dir)
+    yr = li.groupBy("l_partkey", "l_suppkey").agg(
+        lsum("l_quantity", "qty")
+    )
+    tot = yr.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        lsum("qty", "total")
+    )
+    return (
+        yr.join(
+            F.broadcast(tot), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .filter(F.col("qty") > 0.5 * F.col("total"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+    )
