@@ -24,6 +24,7 @@ prefixing `"<seed>|"`).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -92,6 +93,13 @@ def minhash_lsh_candidates(
     skew-split handles moderate cases, and a bucket-size cap
     (count per band_key, drop > limit) is the documented escape
     hatch for degenerate corpora.
+
+    The signature table is persisted (memory-and-disk): it feeds
+    four plan branches (both band-join sides and both shingle
+    re-joins), and without a persist each branch re-tokenizes and
+    re-hashes the corpus — at 100 TB that is 4 full passes of
+    n_hashes md5 evaluations instead of 1. The cache holds only
+    (id, shingles, signature) — never raw text.
     """
     toks = tokens(text_col)
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -112,6 +120,7 @@ def minhash_lsh_candidates(
             *minhash_signature(F.col("shingles"), n_hashes),
         )
     )
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = n_hashes // band_size
     band_cols = [
         F.concat_ws(

@@ -234,15 +234,19 @@ def seeded_centroids(
     sorts lowest as centroids — a seeded uniform sample without RNG
     state (real IVF would k-means these; centroid *selection* is
     not the operator under test, the bucketed search shape is).
+
+    orderBy+limit compiles to TakeOrderedAndProject — each task
+    keeps its local top-n_centroids and the driver merges — unlike
+    a partitionless row_number window, which would funnel the whole
+    corpus through one task's sort.
     """
-    w = Window.orderBy(
-        F.md5(F.col(id_col).cast("string")).asc(),
-        F.col(id_col).asc(),
-    )
     return (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_centroids)
+        .orderBy(
+            F.md5(F.col(id_col).cast("string")).asc(),
+            F.col(id_col).asc(),
+        )
+        .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("centroid"),

@@ -106,6 +106,21 @@ def nearest_neighbor_1d(
         F.col(left_key).alias("__lkey"),
     )
     both = r.unionByName(l_side)
+    return _nn_resolve(both, left_key, right_key, carry)
+
+
+def _nn_resolve(
+    both: DataFrame,
+    left_key: str,
+    right_key: str,
+    carry: list[str],
+    part_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Resolve the unioned (left + right) position stream into per-
+    left-row nearest assignments. ``part_cols`` scopes the windows —
+    empty for the global single-sort variant, the bucket column for
+    the range-partitioned variant.
+    """
     # Right rows sort before left rows at equal position, so an
     # exact-position match lands in the "prev" direction with
     # distance 0.
@@ -114,10 +129,10 @@ def nearest_neighbor_1d(
     # because Spark evaluates preceding frames incrementally but
     # unbounded-following frames by re-scanning the tail per row
     # (O(n²) per partition).
-    wp = Window.orderBy(
+    wp = Window.partitionBy(*part_cols).orderBy(
         F.col("__pos").asc(), F.col("__is_right").desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wn = Window.orderBy(
+    wn = Window.partitionBy(*part_cols).orderBy(
         F.col("__pos").desc(), F.col("__is_right").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -166,3 +181,127 @@ def nearest_neighbor_1d(
             sel(F.col(f"{c}_p"), F.col(f"{c}_n")).alias(f"nearest_{c}")
         )
     return annotated.select(*out)
+
+
+def nearest_neighbor_1d_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_pos: str,
+    right_pos: str,
+    carry: list[str] | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """1-D 1-NN with range bucketing — the scale path promised by
+    ``nearest_neighbor_1d``'s docstring, same output contract.
+
+    Both sides bucket by a fixed-width monotone split of the right
+    side's [min, max] position range (one tiny agg, broadcast). A
+    left row's nearest right row from below is then either in its
+    own bucket or it is the max-position right row of the nearest
+    non-empty bucket below — because bucketing is monotone in
+    position. So each bucket is augmented with exactly two boundary
+    candidates (nearest edge row from below and from above),
+    computed on a per-bucket summary of at most n_buckets rows, and
+    the union+window resolution runs partitioned by bucket:
+    n_buckets-way parallel, no global sort anywhere on the big
+    data. The only partitionless windows scan the n_buckets-row
+    summary.
+
+    Fixed-width buckets skew under non-uniform positions (a hot
+    bucket gets more rows), but correctness never depends on the
+    split — any monotone bucketing gives the same answer — so
+    n_buckets can simply be raised, or the bucket expression swapped
+    for quantile boundaries, without touching the resolution logic.
+    Like the base variant, assumes right positions are distinct.
+    """
+    carry = carry or []
+    spark = left.sparkSession
+    stats = right.agg(
+        F.min(F.col(right_pos).cast("double")).alias("__rmin"),
+        F.max(F.col(right_pos).cast("double")).alias("__rmax"),
+    )
+
+    def bucket_of(pos) -> Column:
+        width = (F.col("__rmax") - F.col("__rmin")) / F.lit(
+            float(n_buckets)
+        )
+        raw = F.when(
+            width > 0,
+            F.floor((pos.cast("double") - F.col("__rmin")) / width),
+        ).otherwise(F.lit(0))
+        return (
+            F.greatest(F.lit(0), F.least(F.lit(n_buckets - 1), raw))
+            .cast("long")
+        )
+
+    r = right.crossJoin(F.broadcast(stats)).select(
+        bucket_of(F.col(right_pos)).alias("__bucket"),
+        F.col(right_pos).alias("__pos"),
+        F.col(right_key).alias("__rkey"),
+        *[F.col(c) for c in carry],
+    )
+    row_struct = F.struct(
+        F.col("__pos"), F.col("__rkey"), *[F.col(c) for c in carry]
+    )
+    edges = r.groupBy("__bucket").agg(
+        F.max_by(row_struct, F.col("__pos")).alias("__hi"),
+        F.min_by(row_struct, F.col("__pos")).alias("__lo"),
+    )
+    spine = spark.range(n_buckets).select(
+        F.col("id").alias("__bucket")
+    )
+    summary = spine.join(F.broadcast(edges), "__bucket", "left")
+    w_below = Window.orderBy(F.col("__bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_above = Window.orderBy(F.col("__bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cands = summary.select(
+        "__bucket",
+        F.last("__hi", ignorenulls=True).over(w_below).alias("__below"),
+        F.last("__lo", ignorenulls=True).over(w_above).alias("__above"),
+    )
+    extra = (
+        cands.select("__bucket", F.col("__below").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .unionByName(
+            cands.select("__bucket", F.col("__above").alias("s"))
+            .filter(F.col("s").isNotNull())
+        )
+        .select(
+            "__bucket",
+            F.col("s.__pos").alias("__pos"),
+            F.col("s.__rkey").alias("__rkey"),
+            *[F.col(f"s.{c}").alias(c) for c in carry],
+        )
+    )
+    r_full = r.unionByName(extra).select(
+        "__bucket",
+        "__pos",
+        "__rkey",
+        *carry,
+        F.lit(1).alias("__is_right"),
+        F.lit(None)
+        .cast(left.schema[left_key].dataType)
+        .alias("__lkey"),
+    )
+    l_side = left.crossJoin(F.broadcast(stats)).select(
+        bucket_of(F.col(left_pos)).alias("__bucket"),
+        F.col(left_pos).alias("__pos"),
+        F.lit(None).cast(right.schema[right_key].dataType).alias(
+            "__rkey"
+        ),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in carry
+        ],
+        F.lit(0).alias("__is_right"),
+        F.col(left_key).alias("__lkey"),
+    )
+    both = r_full.unionByName(l_side)
+    return _nn_resolve(
+        both, left_key, right_key, carry, part_cols=("__bucket",)
+    )

@@ -224,6 +224,87 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_signals",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) < 2
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(
+                            generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1])
+                   END AS bi,
+                   CASE WHEN len(toks) < 3
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(
+                            generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i + 1]
+                                 || ' ' || toks[i + 2])
+                   END AS tri
+            FROM t
+        )
+        SELECT doc_id,
+               1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)
+                     / CAST(len(bi) AS DOUBLE) AS dup_bigram_frac,
+               1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+                     / CAST(len(tri) AS DOUBLE) AS dup_trigram_frac,
+               CAST(list_max(list_transform(list_distinct(toks),
+                        tk -> len(list_filter(toks, x -> x = tk))))
+                    AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS top_token_share
+        FROM g
+    """,
+    ops=("TEXT",),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher-rule family:
+    duplicate-bigram fraction, duplicate-trigram fraction, and the
+    most-frequent-token share. High values flag boilerplate, SEO
+    spam, and degenerate generations before they reach training.
+
+    All three are per-row array expressions inside one codegen
+    projection — no shuffle, no UDF; a 100 TB documents scan is a
+    single pass. The top-token count is O(distinct×total) per
+    document, which is bounded by document length, not corpus size.
+    """
+    docs = read_star_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", TX.tokens("text").alias("__toks")
+    )
+
+    def dup_frac(sh):
+        return F.lit(1.0) - F.size(F.array_distinct(sh)).cast(
+            "double"
+        ) / F.size(sh).cast("double")
+
+    top_share = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("__toks")),
+                lambda t: F.size(
+                    F.filter(F.col("__toks"), lambda x: x == t)
+                ),
+            )
+        ).cast("double")
+        / F.size(F.col("__toks")).cast("double")
+    )
+    return base.select(
+        "doc_id",
+        dup_frac(TX.shingle_expr("__toks", 2)).alias(
+            "dup_bigram_frac"
+        ),
+        dup_frac(TX.shingle_expr("__toks", 3)).alias(
+            "dup_trigram_frac"
+        ),
+        top_share.alias("top_token_share"),
+    )
+
+
+@register(
     "minhash_near_dup",
     oracle=None,  # banded-LSH candidate set; verified in pytest
     ops=("DEDUP",),

@@ -27,6 +27,7 @@ from afg_data_pipeline_spark.operators.imputation import (
 )
 from afg_data_pipeline_spark.operators.spatial import (
     nearest_neighbor_1d,
+    nearest_neighbor_1d_bucketed,
 )
 from afg_data_pipeline_spark.operators.timeseries import (
     GRID_SQL,
@@ -313,6 +314,51 @@ def nn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_pos="c_acctbal",
         right_pos="s_acctbal",
         carry=["s_name"],
+    )
+
+
+@register(
+    "nn_assign_bucketed",
+    oracle="""
+        SELECT c_custkey,
+               s_suppkey AS nearest_s_suppkey,
+               dist AS nearest_distance,
+               s_name AS nearest_s_name
+        FROM (
+            SELECT c.c_custkey, s.s_suppkey, s.s_name,
+                   abs(c.c_acctbal - s.s_acctbal) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_custkey
+                       ORDER BY abs(c.c_acctbal - s.s_acctbal) ASC,
+                                s.s_suppkey ASC
+                   ) AS rn
+            FROM customer c CROSS JOIN supplier s
+        ) WHERE rn = 1
+    """,
+    ops=("J3", "A5", "F10"),
+)
+def nn_assign_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 at scale: the same 1-NN assignment as ``nn_assign`` but
+    through the range-bucketed operator — no global single-task
+    sort; the position stream resolves bucket-parallel with
+    boundary-candidate duplication. Identical output (and oracle)
+    to the single-sort variant by construction.
+    """
+    c = read_star_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal"
+    )
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return nearest_neighbor_1d_bucketed(
+        c,
+        s,
+        left_key="c_custkey",
+        right_key="s_suppkey",
+        left_pos="c_acctbal",
+        right_pos="s_acctbal",
+        carry=["s_name"],
+        n_buckets=64,
     )
 
 

@@ -17,6 +17,86 @@ from afg_data_pipeline_spark.operators.joins import (
     asof_join_backward,
     salted_join,
 )
+from afg_data_pipeline_spark.operators.spatial import (
+    nearest_neighbor_1d,
+    nearest_neighbor_1d_bucketed,
+)
+
+
+class TestBucketedNearestNeighbor:
+    """The range-bucketed 1-NN must be indistinguishable from the
+    global-sort variant — bucketing is an execution detail."""
+
+    def _sides(self, spark, rights):
+        left = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate([3, -50, 0, 7.5, 99, 42])],
+            "lid long, lpos double",
+        )
+        right = spark.createDataFrame(
+            [(100 + i, float(v), f"r{i}") for i, v in enumerate(rights)],
+            "rid long, rpos double, tag string",
+        )
+        return left, right
+
+    def _run(self, fn, left, right, **kw):
+        rows = fn(
+            left,
+            right,
+            left_key="lid",
+            right_key="rid",
+            left_pos="lpos",
+            right_pos="rpos",
+            carry=["tag"],
+            **kw,
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    @pytest.mark.parametrize("n_buckets", [1, 3, 64])
+    def test_matches_global_sort_variant(self, spark, n_buckets):
+        left, right = self._sides(spark, [-10, 2, 5, 40, 41, 80])
+        base = self._run(nearest_neighbor_1d, left, right)
+        bucketed = self._run(
+            nearest_neighbor_1d_bucketed,
+            left,
+            right,
+            n_buckets=n_buckets,
+        )
+        assert bucketed == base
+
+    def test_single_right_row(self, spark):
+        # Degenerate width (rmin == rmax): everything lands in
+        # bucket 0 and every left row gets the only candidate.
+        left, right = self._sides(spark, [5])
+        bucketed = self._run(
+            nearest_neighbor_1d_bucketed, left, right, n_buckets=8
+        )
+        base = self._run(nearest_neighbor_1d, left, right)
+        assert bucketed == base
+        assert all(r[1] == 100 for r in bucketed)
+
+    def test_left_outside_right_range(self, spark):
+        # Left positions clamp into the edge buckets; the boundary
+        # candidates cover them.
+        left = spark.createDataFrame(
+            [(1, -1000.0), (2, 1000.0)], "lid long, lpos double"
+        )
+        right = spark.createDataFrame(
+            [(100, 0.0, "a"), (101, 1.0, "b")],
+            "rid long, rpos double, tag string",
+        )
+        rows = {
+            r["lid"]: r["nearest_rid"]
+            for r in nearest_neighbor_1d_bucketed(
+                left,
+                right,
+                left_key="lid",
+                right_key="rid",
+                left_pos="lpos",
+                right_pos="rpos",
+                n_buckets=16,
+            ).collect()
+        }
+        assert rows == {1: 100, 2: 101}
 
 
 class TestAsofJoin:

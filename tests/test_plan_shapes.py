@@ -81,6 +81,71 @@ class TestJoinStrategies:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestClassicShapes:
+    """The TPC-H classic plans must show the scale shapes their
+    docstrings promise."""
+
+    def test_q6_is_pure_scan_aggregate(self, spark):
+        plan = plan_of(REGISTRY["q6_revenue_delta"].fn(spark, SF_DIR))
+        # zero joins, predicates reach the scan
+        assert "Join" not in plan
+        assert "PushedFilters:" in plan
+        assert "GreaterThanOrEqual(l_shipdate" in plan
+        assert "LessThan(l_quantity" in plan
+
+    def test_q3_q10_q18_use_take_ordered(self, spark):
+        for name in (
+            "q3_shipping_priority",
+            "q10_returned_items",
+            "q18_large_volume",
+        ):
+            plan = plan_of(REGISTRY[name].fn(spark, SF_DIR))
+            # global top-k never materializes a full sort
+            assert "TakeOrderedAndProject" in plan, name
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "q7_volume_shipping",
+            "q8_market_share",
+            "q9_profit_by_nation_year",
+            "q19_disjunctive_revenue",
+            "q2_min_cost_supplier",
+        ],
+    )
+    def test_classics_broadcast_dimensions(self, spark, name):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    def test_q4_q21_semi_anti_joins(self, spark):
+        plan = plan_of(REGISTRY["q4_priority_exists"].fn(spark, SF_DIR))
+        assert "LeftSemi" in plan
+        plan = plan_of(
+            REGISTRY["q21_waiting_supplier"].fn(spark, SF_DIR)
+        )
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    def test_nn_bucketed_windows_are_partitioned(self, spark):
+        """The big-data windows of the bucketed 1-NN carry the
+        bucket partition spec — only the n_buckets-row summary may
+        sort globally."""
+        plan = plan_of(REGISTRY["nn_assign_bucketed"].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        # Every window spec ordering on __pos (the full data stream)
+        # must lead with the __bucket partition key; the only
+        # unpartitioned specs order by __bucket itself (the tiny
+        # spine summary).
+        specs = plan.split("windowspecdefinition(")[1:]
+        assert specs, "expected window nodes in the plan"
+        for seg in specs:
+            head = seg.split("specifiedwindowframe")[0]
+            if "__pos" in head:
+                assert head.index("__bucket") < head.index(
+                    "__pos"
+                ), head
+
+
 class TestWindowFrames:
     @pytest.mark.parametrize(
         "name", ["interp_linear_series", "nn_assign", "asof_join_last_purchase"]
