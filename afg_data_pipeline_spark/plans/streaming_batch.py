@@ -16,11 +16,40 @@ from pyspark.sql import functions as F
 from afg_data_pipeline_spark.functions.numeric import dsum, sql_dsum
 from afg_data_pipeline_spark.io import read_star_table
 from afg_data_pipeline_spark.plans.registry import register
+from afg_data_pipeline_spark.streaming.joins import attribution_join
 from afg_data_pipeline_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
 )
+
+
+@register(
+    "stream_attribution_join",
+    oracle="""
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+               v.user_id, v.ts AS view_ts, c.ts AS click_ts
+        FROM events v
+        JOIN events c
+          ON c.user_id = v.user_id
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL 4 HOUR
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    ops=("STREAM", "J1"),
+)
+def stream_attribution_join_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream interval join, batch-twin oracle: per-user
+    view→click pairs within a 4-hour attribution window. The same
+    function runs over two readStream inputs in
+    tests/test_streaming.py (stream == batch)."""
+    ev = read_star_table(spark, "events", sf_dir)
+    return attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
 
 
 @register(

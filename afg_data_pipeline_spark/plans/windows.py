@@ -18,6 +18,49 @@ _DEC = "decimal(18,6)"
 
 
 @register(
+    "ranking_functions",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cdist,
+               ntile(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+        )
+    """,
+    ops=("O1", "A6"),
+)
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family over one window spec: rank,
+    dense_rank, percent_rank, cume_dist, ntile.
+
+    All five share a single (partition, order) sort, so Spark
+    evaluates them in one Window node — one shuffle + one sort per
+    partition, however many ranking columns ride on it. The order
+    key carries a unique tie-break (o_orderkey), which is what
+    makes ntile bucket membership and percent_rank exact across
+    engines.
+    """
+    o = read_star_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "topk_per_group",
     oracle="""
         SELECT o_custkey, o_orderkey, o_totalprice, rn

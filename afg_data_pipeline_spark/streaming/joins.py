@@ -1,0 +1,63 @@
+"""Stream-stream joins (SURVEY.md §2.10 extended surface).
+
+View→click attribution: each click joins the views of the same user
+in the preceding attribution window. The join condition brackets
+click time into [view_ts, view_ts + window] — the event-time
+constraint Structured Streaming needs to bound state on BOTH sides:
+a buffered view is evicted once the click watermark passes
+view_ts + window (no future click can match it), and vice versa.
+Without the bracket, a stream-stream join would buffer both streams
+forever.
+
+withWatermark is a no-op on batch DataFrames, so the very same
+function is oracle-checked against DuckDB SQL in batch
+(plans/streaming_batch.py) and asserted stream == batch in
+tests/test_streaming.py — the same close-the-loop pattern as the
+windowed aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    window: str = "4 hours",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Per-user view→click pairs within the attribution window.
+
+    Works on batch and streaming inputs; streaming requires both
+    sides watermarked (done here) and emits inner-join results
+    incrementally as matches arrive.
+    """
+    # Watermarks require TIMESTAMP (LTZ); NTZ -> LTZ is an identity
+    # under the engine's pinned UTC session timezone.
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    ).withWatermark("view_ts", delay)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    ).withWatermark("click_ts", delay)
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    return v.join(c, cond, "inner").select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "click_ts",
+    )

@@ -81,6 +81,36 @@ class TestStreamBatchParity:
         ) == normalize_rows(want.collect(), want.columns)
 
 
+class TestStreamStreamJoin:
+    def test_attribution_stream_equals_batch(self, spark, events_dir):
+        from pyspark.sql import functions as F
+
+        from afg_data_pipeline_spark.streaming.joins import (
+            attribution_join,
+        )
+
+        stream = read_events_stream(
+            spark, events_dir, schemas.EVENTS, max_files_per_trigger=2
+        )
+        got = run_append_to_memory_sink(
+            attribution_join(
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "click"),
+            ),
+            "t_attr_join",
+            spark,
+        )
+        b = _batch(spark, events_dir)
+        want = attribution_join(
+            b.filter(F.col("event_type") == "view"),
+            b.filter(F.col("event_type") == "click"),
+        )
+        assert want.count() > 0
+        assert normalize_rows(
+            got.collect(), got.columns
+        ) == normalize_rows(want.collect(), want.columns)
+
+
 class TestWatermark:
     def test_watermarked_agg_runs_and_matches_batch_totals(
         self, spark, events_dir
