@@ -235,6 +235,33 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_quantiles",
+    oracle=None,  # KLL-style sketch values are engine-specific.
+    ops=("A2", "A7"),
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile quantile sketch per group — the 100 TB
+    quantile path (mergeable sketches: one pass, partial-aggregate
+    combine, no per-group sort).
+
+    No oracle: sketch outputs are engine-specific by design; the
+    exact twin (agg_median) anchors correctness and pytest asserts
+    each estimate lands within the sketch's rank-error bound of the
+    exact percentile.
+    """
+    li = read_star_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice",
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(10_000),
+        ).alias("price_quartiles"),
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10_000))
+        .alias("approx_median_qty"),
+    )
+
+
+@register(
     "grouping_sets",
     oracle="""
         SELECT lang, source, count(*) AS n_docs,

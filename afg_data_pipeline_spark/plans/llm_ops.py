@@ -322,6 +322,40 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_components",
+    oracle=None,  # iterative fixpoint; pinned by pytest union-find
+    ops=("DEDUP",),
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash candidate pairs above
+    the Jaccard threshold become an edge list, connected components
+    collapse transitive chains (A~B, B~C => one cluster), and each
+    doc gets its cluster id — the step between "pair list" and
+    "keep one canonical doc per cluster" that pairwise dedup alone
+    cannot express.
+
+    Iterative min-label propagation (operators/graph.py) — no SQL
+    oracle (DuckDB has no recursive fixpoint over this shape at
+    parity); pytest pins the operator against a union-find
+    reference on the same pairs.
+    """
+    from afg_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_candidates(docs).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comps = connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    )
+    return comps.select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
+
+
+@register(
     "simhash_signatures",
     oracle=None,  # bit-matrix vote in numpy; pinned by pytest
     ops=("DEDUP",),

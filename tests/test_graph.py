@@ -1,0 +1,90 @@
+"""Connected-components operator tests: known topologies plus a
+union-find cross-check on a pseudo-random graph (the operator is
+oracle-less — this is its correctness pin)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.operators.graph import (
+    canonical_per_component,
+    connected_components,
+)
+
+
+def _components_of(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df)
+    return {r["vertex"]: r["component"] for r in out.collect()}
+
+
+class TestConnectedComponents:
+    def test_known_topologies(self, spark):
+        # chain 1-2-3-4, triangle 10-11-12, pair 20-21
+        edges = [
+            (1, 2),
+            (2, 3),
+            (3, 4),
+            (10, 11),
+            (11, 12),
+            (12, 10),
+            (20, 21),
+        ]
+        got = _components_of(spark, edges)
+        assert got == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20,
+        }
+
+    def test_long_chain_converges(self, spark):
+        n = 16  # diameter 15 < max_iter
+        got = _components_of(spark, [(i, i + 1) for i in range(n)])
+        assert set(got.values()) == {0}
+
+    def test_matches_union_find_on_pseudorandom_graph(self, spark):
+        # Seeded edge set via md5 — no RNG state, reproducible.
+        n, edges = 60, []
+        for i in range(120):
+            h = hashlib.md5(f"edge|{i}".encode()).digest()
+            a = int.from_bytes(h[:4], "big") % n
+            b = int.from_bytes(h[4:8], "big") % n
+            if a != b:
+                edges.append((a, b))
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # Canonicalize union-find roots to min member id.
+        members: dict[int, list[int]] = {}
+        touched = {v for e in edges for v in e}
+        for v in touched:
+            members.setdefault(find(v), []).append(v)
+        want = {
+            v: min(group)
+            for group in members.values()
+            for v in group
+        }
+        assert _components_of(spark, edges) == want
+
+    def test_canonical_per_component(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "src long, dst long"
+        )
+        comps = connected_components(df)
+        keep = {
+            r["component"]: (r["keep_id"], r["n_members"])
+            for r in canonical_per_component(comps).collect()
+        }
+        assert keep == {1: (1, 3), 7: (7, 2)}

@@ -1,0 +1,60 @@
+"""Accuracy pins for the sketch-based (oracle-less) aggregates:
+HLL distinct counts within rsd, approx_percentile within its rank
+error of the exact quantile. These are the correctness anchors the
+query docstrings promise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.io import read_star_table
+from afg_data_pipeline_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+class TestSketchAccuracy:
+    def test_hll_within_rsd(self, spark):
+        got = REGISTRY["approx_distinct_counts"].fn(
+            spark, SF_DIR
+        ).collect()[0]
+        li = read_star_table(spark, "lineitem", SF_DIR)
+        exact = li.agg(
+            F.count_distinct("l_orderkey").alias("orders"),
+            F.count_distinct("l_partkey").alias("parts"),
+        ).collect()[0]
+        # rsd 0.02 → allow 4 sigma
+        assert abs(got["approx_orders"] - exact["orders"]) <= max(
+            8, 0.08 * exact["orders"]
+        )
+        assert abs(got["approx_parts"] - exact["parts"]) <= max(
+            8, 0.08 * exact["parts"]
+        )
+
+    def test_approx_percentile_within_rank_error(self, spark):
+        got = {
+            r["l_returnflag"]: r
+            for r in REGISTRY["approx_quantiles"].fn(
+                spark, SF_DIR
+            ).collect()
+        }
+        li = read_star_table(spark, "lineitem", SF_DIR)
+        rows = (
+            li.select("l_returnflag", "l_extendedprice", "l_quantity")
+            .collect()
+        )
+        by_flag: dict[str, list] = {}
+        for r in rows:
+            by_flag.setdefault(r["l_returnflag"], []).append(r)
+        for flag, grp in by_flag.items():
+            prices = sorted(x["l_extendedprice"] for x in grp)
+            n = len(prices)
+            # accuracy 10000 → rank error 1/10000; grant ±1 rank
+            # for the discrete data plus the sketch bound.
+            err = max(2, n // 10_000 + 1)
+            for q, est in zip(
+                (0.25, 0.5, 0.75), got[flag]["price_quartiles"]
+            ):
+                target = int(q * (n - 1))
+                lo = prices[max(0, target - err)]
+                hi = prices[min(n - 1, target + err)]
+                assert lo <= est <= hi, (flag, q, est, lo, hi)
