@@ -16,7 +16,36 @@ from pyspark.sql import functions as F
 from afg_data_pipeline_spark.functions.numeric import dsum, sql_dsum
 from afg_data_pipeline_spark.io import read_star_table
 from afg_data_pipeline_spark.plans.registry import register
-from afg_data_pipeline_spark.streaming.joins import attribution_join
+from afg_data_pipeline_spark.streaming.joins import (
+    attribution_join,
+    enrich_with_dimension,
+)
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               c.c_name, c.c_mktsegment
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    ops=("STREAM", "J1"),
+)
+def stream_static_enrich_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment, batch-twin oracle: events stamped
+    with customer dimension attributes through a broadcast join —
+    per-micro-batch lookup with zero join state when the same
+    function runs over readStream (tests/test_streaming.py)."""
+    ev = read_star_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cust = read_star_table(spark, "customer", sf_dir)
+    return enrich_with_dimension(
+        ev, cust, "user_id", "c_custkey", ["c_name", "c_mktsegment"]
+    )
 from afg_data_pipeline_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,

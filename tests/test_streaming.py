@@ -111,6 +111,43 @@ class TestStreamStreamJoin:
         ) == normalize_rows(want.collect(), want.columns)
 
 
+class TestStreamStaticJoin:
+    def test_enrich_stream_equals_batch(self, spark, events_dir):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from afg_data_pipeline_spark.streaming.joins import (
+            enrich_with_dimension,
+        )
+
+        cust = read_star_table(spark, "customer", SF_DIR)
+        stream = read_events_stream(
+            spark, events_dir, schemas.EVENTS, max_files_per_trigger=2
+        )
+        got = run_append_to_memory_sink(
+            enrich_with_dimension(
+                stream.select("event_id", "user_id", "value"),
+                cust,
+                "user_id",
+                "c_custkey",
+                ["c_mktsegment"],
+            ),
+            "t_enrich",
+            spark,
+        )
+        b = _batch(spark, events_dir)
+        want = enrich_with_dimension(
+            b.select("event_id", "user_id", "value"),
+            cust,
+            "user_id",
+            "c_custkey",
+            ["c_mktsegment"],
+        )
+        assert want.count() > 0
+        assert normalize_rows(
+            got.collect(), got.columns
+        ) == normalize_rows(want.collect(), want.columns)
+
+
 class TestWatermark:
     def test_watermarked_agg_runs_and_matches_batch_totals(
         self, spark, events_dir
