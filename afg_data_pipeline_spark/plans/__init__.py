@@ -17,6 +17,7 @@ from afg_data_pipeline_spark.plans import (  # noqa: F401, E402
     streaming_batch,
     extended,
     classics,
+    product_analytics,
 )
 
 __all__ = ["REGISTRY", "Query", "register"]

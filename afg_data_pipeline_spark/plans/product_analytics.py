@@ -1,0 +1,143 @@
+"""Product-analytics query shapes over the events table: funnel
+conversion and cohort retention — the two canonical event-log
+aggregations a large-scale analytics engine must express well.
+
+Both stay in conditional-aggregate + equi-join algebra (no window
+over the full event stream, no per-user UDF): every stage shuffles
+on user_id, so AQE aligns the exchanges, and the per-user state is
+a handful of timestamps — the shape that survives a 100 TB event
+log with billions of users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.io import read_star_table
+from afg_data_pipeline_spark.plans.registry import register
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS s_ts
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        ), v AS (
+            SELECT e.user_id, min(e.ts) AS v_ts
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'view' AND e.ts > s.s_ts
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s) AS n_signup,
+               (SELECT count(*) FROM v) AS n_view_after_signup,
+               (SELECT count(*) FROM p) AS n_purchase_after_view
+    """,
+    ops=("A1", "J1", "STREAM"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first view after signup → first
+    purchase after that view, counted per stage.
+
+    Each stage is min-timestamp conditional aggregation joined to
+    the previous stage's per-user anchor — strictly sequential
+    semantics (a view before the signup does not count) without
+    sorting the event stream. Three shuffles, all on user_id; the
+    per-user state never exceeds one timestamp per stage.
+    """
+    ev = read_star_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = [
+        s.agg(F.count(F.lit(1)).alias("n_signup")),
+        v.agg(F.count(F.lit(1)).alias("n_view_after_signup")),
+        p.agg(F.count(F.lit(1)).alias("n_purchase_after_view")),
+    ]
+    out = counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+    return out
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH cohort AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                       AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP)
+                       AS active_week
+            FROM events
+        )
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, a.active_week)
+                    / 7 AS BIGINT) AS weeks_since,
+               count(*) AS n_active_users
+        FROM cohort c
+        JOIN activity a ON a.user_id = c.user_id
+        GROUP BY c.cohort_week, weeks_since
+    """,
+    ops=("A1", "J1", "P12"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid: users bucketed by first-seen
+    week, counted in each subsequent week they were active.
+
+    cohort and activity both reduce the raw log before the join —
+    the join carries (user, week) pairs, never events. The
+    week-difference is exact integer arithmetic on dates, so the
+    grid is bit-stable. (user, week) dedup is a partial-aggregable
+    distinct; at 100 TB it collapses billions of events to at most
+    users × weeks rows map-side.
+    """
+    ev = read_star_table(spark, "events", sf_dir).select(
+        "user_id", "ts"
+    )
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    cohort = ev.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", week(F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
