@@ -76,6 +76,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_k: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, with
     exact Jaccard verification on the banded collisions.
@@ -90,9 +91,14 @@ def minhash_lsh_candidates(
     shingle arrays are re-joined per side afterwards, so the
     shuffle carries 2 small columns, not document content. Hot
     band buckets (boilerplate docs) are the skew risk; AQE
-    skew-split handles moderate cases, and a bucket-size cap
-    (count per band_key, drop > limit) is the documented escape
-    hatch for degenerate corpora.
+    skew-split handles moderate cases, and ``max_bucket_size``
+    is the escape hatch for degenerate corpora: band keys with
+    more than that many docs are excluded from the self-join
+    (a bucket of b docs costs b² pairs — one boilerplate bucket
+    of 10⁶ docs is 10¹² pairs, i.e. the whole job). Exact
+    duplicates should be removed by hash dedup BEFORE MinHash —
+    identical docs collide in every band by construction and are
+    precisely the buckets the cap drops.
 
     The signature table is persisted (memory-and-disk): it feeds
     four plan branches (both band-join sides and both shingle
@@ -134,6 +140,17 @@ def minhash_lsh_candidates(
         id_col,
         F.explode(F.array(*band_cols)).alias("band_key"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            long.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band_key")
+        )
+        # Semi join on the same key the self-join shuffles on —
+        # AQE reuses the partitioning; no broadcast assumption
+        # (the band-key set scales with the corpus).
+        long = long.join(ok, "band_key", "left_semi")
     a = long.select(F.col(id_col).alias("doc_id_a"), "band_key")
     b = long.select(F.col(id_col).alias("doc_id_b"), "band_key")
     pairs = (

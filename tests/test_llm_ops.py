@@ -86,6 +86,35 @@ class TestMinHashLSH:
             assert r.doc_id_a < r.doc_id_b
             assert 0.0 <= r.jaccard <= 1.0
 
+    def test_bucket_cap_drops_boilerplate_not_neardups(self, spark):
+        # 40 identical boilerplate docs (one hot bucket per band)
+        # plus one genuine near-dup pair in small buckets.
+        boiler = [
+            (100 + i, "all rights reserved terms of service apply here")
+            for i in range(40)
+        ]
+        pair = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+        ]
+        docs = spark.createDataFrame(
+            boiler + pair, "doc_id long, text string"
+        )
+        capped = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in minhash_lsh_candidates(
+                docs, max_bucket_size=10
+            ).collect()
+        }
+        assert (1, 2) in capped
+        assert not any(a >= 100 and b >= 100 for a, b in capped)
+        # Uncapped, the boilerplate pairs dominate the output.
+        uncapped = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in minhash_lsh_candidates(docs).collect()
+        }
+        assert sum(1 for a, b in uncapped if a >= 100) > 100
+
 
 class TestSimHash:
     def test_locality(self, spark):
