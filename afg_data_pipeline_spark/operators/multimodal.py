@@ -103,6 +103,59 @@ def extract_features(
     )
 
 
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    fps_out: float = 1.0,
+) -> DataFrame:
+    """Sample n_frames per media row — the row-EXPANDING multimodal
+    stage (1 video -> N frame rows), Arrow-batched.
+
+    Output: (doc_id, frame_idx, frame_ts, frame binary). The
+    "decode + seek" is stubbed deterministically (frame i is a
+    keyed md5 stream over the media bytes); the Spark-side contract
+    is real: fixed output schema, per-batch pandas expansion, and —
+    critically — a round-robin repartition of the INPUT, because
+    AQE sizes partitions from input shuffle bytes and cannot see
+    the N× row expansion (CLAUDE.md rule: pre-expansion side must
+    be spread or the whole expansion runs in few tasks). Frame
+    bytes dominate output size, so downstream stages should select
+    metadata columns only unless they consume pixels.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    out_schema = (
+        "doc_id long, frame_idx int, frame_ts double, frame binary"
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select("doc_id", "media", "meta").repartition(par)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(media)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i / fps_out)
+                    frames.append(
+                        hashlib.md5(raw + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts": tss,
+                    "frame": frames,
+                }
+            )
+
+    return src.mapInPandas(batches, schema=out_schema)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize contract: new meta dims; pixel work is codec-stubbed.
 

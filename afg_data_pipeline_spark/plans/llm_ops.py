@@ -436,6 +436,27 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle=None,  # codec stubbed; expansion plumbing pinned in pytest
+    ops=("MULTIMODAL",),
+)
+def multimodal_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Row-expanding frame sampling: each media row yields 4 frame
+    rows via mapInPandas, with the pre-expansion repartition that
+    keeps the N× blow-up parallel (AQE cannot see expansion in
+    input shuffle bytes)."""
+    from afg_data_pipeline_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    media = attach_fake_media(docs)
+    return frame_sample(media, n_frames=4)
+
+
+@register(
     "dedup_keep_canonical",
     oracle="""
         SELECT d.doc_id, d.lang, d.source, d.n_chars

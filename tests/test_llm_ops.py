@@ -202,6 +202,34 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError, match="jpeg"):
             decode_media(b"\xff\xd8", "jpeg")
 
+    def test_frame_sample_expands_deterministically(self, spark):
+        from afg_data_pipeline_spark.operators.multimodal import (
+            attach_fake_media,
+            frame_sample,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a video"), (2, "another video")],
+            "doc_id long, text string",
+        )
+        media = attach_fake_media(docs)
+        out = frame_sample(media, n_frames=3, fps_out=2.0)
+        rows = sorted(
+            (r.doc_id, r.frame_idx, r.frame_ts, bytes(r.frame))
+            for r in out.collect()
+        )
+        assert len(rows) == 6  # 2 docs x 3 frames
+        assert [r[1] for r in rows[:3]] == [0, 1, 2]
+        assert rows[0][2] == 0.0 and rows[1][2] == 0.5
+        # Deterministic across re-evaluation.
+        rows2 = sorted(
+            (r.doc_id, r.frame_idx, r.frame_ts, bytes(r.frame))
+            for r in out.collect()
+        )
+        assert rows == rows2
+        # Frames differ per index and per doc (keyed stub).
+        assert len({r[3] for r in rows}) == 6
+
     def test_resize_updates_meta_only(self, spark):
         docs = _docs_with_planted_dups(spark)
         media = attach_fake_media(docs)
