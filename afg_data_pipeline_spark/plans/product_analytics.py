@@ -141,3 +141,45 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "cdc_upsert_snapshot",
+    oracle="""
+        SELECT user_id, event_id, event_type, value, ts
+        FROM (
+            SELECT user_id, event_id, event_type, value, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    ops=("A5", "J1"),
+)
+def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: current state per user — a first-half-of-month
+    base snapshot upserted with the second half's changes via
+    latest-wins merge (operators/cdc.py).
+
+    The merge is one grouped max_by (partial-aggregable: each map
+    task pre-collapses to one candidate per key), not the
+    window/row_number formulation the oracle uses — same result,
+    no per-group sort of the full history.
+    """
+    from afg_data_pipeline_spark.operators.cdc import merge_latest
+
+    ev = read_star_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
+    base = ev.filter(F.col("ts") < cut)
+    updates = ev.filter(F.col("ts") >= cut)
+    return merge_latest(
+        base,
+        updates,
+        keys=["user_id"],
+        ts_col="ts",
+        tie_col="event_id",
+    )
