@@ -125,6 +125,45 @@ def read_csv(
     return spark.read.csv(path, header=True, schema=schema)
 
 
+def read_jsonl_with_corrupt_capture(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines scan that quarantines malformed records instead of
+    failing the job or silently dropping rows.
+
+    PERMISSIVE mode + an explicit ``_corrupt_record`` column: rows
+    that parse get their fields, rows that don't carry the raw line
+    in ``_corrupt_record`` with every schema field null. The caller
+    splits on ``_corrupt_record IS NULL`` — good rows continue, bad
+    rows go to a quarantine sink with full fidelity for replay. At
+    100 TB a single malformed line must never kill a multi-hour
+    job (FAILFAST) or vanish unaccounted (DROPMALFORMED).
+    """
+    full = T.StructType(
+        schema.fields
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return spark.read.schema(full).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) split of a corrupt-capture scan.
+
+    The scan is persisted first — Spark refuses plans that
+    reference ONLY the internal corrupt-record column of a raw
+    JSON/CSV scan (the parser would have nothing to fail on), and
+    the two sides would otherwise re-parse the input twice anyway.
+    """
+    df = df.persist()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
+
+
 def read_excel_driver_side(
     spark: SparkSession,
     path: str,

@@ -183,3 +183,47 @@ def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         tie_col="event_id",
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+        SELECT user_id, event_id, value AS state_value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(CASE WHEN lead(ts) OVER w IS NULL
+                         THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        )
+    """,
+    ops=("O1", "A6"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing history: every change record becomes
+    a validity interval [valid_from, valid_to) closed by the next
+    change of the same key; the open interval is the current row.
+
+    One window (lead over the per-key change order) builds the
+    whole history — the warehousing twin of the CDC latest-wins
+    merge: merge_latest keeps only the current row, this keeps them
+    all with their validity ranges.
+    """
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("state_value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+    )

@@ -194,6 +194,40 @@ class TestRestSource:
         )
 
 
+class TestCorruptRecordCapture:
+    def test_malformed_lines_quarantined_not_dropped(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import types as T
+
+        from afg_data_pipeline_spark.io import (
+            read_jsonl_with_corrupt_capture,
+            split_quarantine,
+        )
+
+        p = tmp_path / "events.jsonl"
+        p.write_text(
+            '{"id": 1, "v": 10.0}\n'
+            "this is not json\n"
+            '{"id": 2, "v": 20.0}\n'
+            '{"id": 3, "v": broken}\n'
+        )
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        )
+        df = read_jsonl_with_corrupt_capture(spark, str(p), schema)
+        good, bad = split_quarantine(df)
+        assert {r["id"] for r in good.collect()} == {1, 2}
+        quarantined = [r["_corrupt_record"] for r in bad.collect()]
+        # Raw lines preserved verbatim for replay.
+        assert "this is not json" in quarantined
+        assert any("broken" in q for q in quarantined)
+        assert good.count() + bad.count() == 4
+
+
 class TestSinkSemantics:
     """ingestion.py:20-43 validation + no-rollback error contract."""
 
