@@ -117,3 +117,43 @@ def salted_join(
     replicated = small.select("*", salts)
     out = salted_big.join(replicated, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 3,
+    length_band: int = 1,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: edit-distance match under a
+    blocking key, so the O(L×R) pair space never materializes.
+
+    Blocking = equi-join on the first character plus a length band
+    as a residual predicate — Catalyst extracts the equality as the
+    hash-join key, so only same-block pairs are enumerated, and the
+    expensive levenshtein evaluates on that reduced set. Single-key
+    blocking trades recall for cost (pairs differing in their first
+    character are missed); the standard fix is a second pass with a
+    different key (last char, phonetic code) unioned in — same
+    operator, different block expression.
+
+    Output: (left value, right value, distance), deduplicated.
+    """
+    a = left.select(F.col(left_col).alias("name_a")).distinct()
+    b = right.select(F.col(right_col).alias("name_b")).distinct()
+    block = (
+        F.substring(F.col("name_a"), 1, 1)
+        == F.substring(F.col("name_b"), 1, 1)
+    )
+    band = (
+        F.abs(F.length("name_a") - F.length("name_b")) <= length_band
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, block & band)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= max_distance)
+        .select("name_a", "name_b", dist.alias("distance"))
+    )

@@ -227,3 +227,31 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     )
+
+
+@register(
+    "fuzzy_part_names",
+    oracle="""
+        WITH p AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER)
+                   AS distance
+        FROM p a JOIN p b
+          ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+         AND abs(length(a.p_name) - length(b.p_name)) <= 1
+         AND a.p_name < b.p_name
+         AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    ops=("J1", "F1"),
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-match over part names: edit
+    distance ≤ 3 under first-character blocking + length band
+    (operators/joins.fuzzy_join_blocked) — the dedup-adjacent
+    string-matching shape, without enumerating all pairs."""
+    from afg_data_pipeline_spark.operators.joins import (
+        fuzzy_join_blocked,
+    )
+
+    p = read_star_table(spark, "part", sf_dir)
+    return fuzzy_join_blocked(p, p, "p_name", "p_name")

@@ -47,6 +47,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "q3_shipping_priority",
     "q5_region_volume",
+    "q6_revenue_delta",
+    "q18_large_volume",
+    "cohort_retention",
+    "cdc_upsert_snapshot",
 ]
 
 
