@@ -191,6 +191,7 @@ def write_parquet(
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    dynamic_partition_overwrite: bool = False,
 ) -> None:
     """Parquet sink (operator S10), partitioned for pruning.
 
@@ -198,8 +199,78 @@ def write_parquet(
     .parquet (.MISSING_LARGE_BLOBS:12) unpartitioned. At 100 TB a
     sink must partition on the dominant filter key (year/date) so
     downstream scans prune entire directories.
+
+    ``dynamic_partition_overwrite``: overwrite replaces ONLY the
+    partitions present in ``df`` instead of truncating the whole
+    table — the idempotent-backfill write mode (re-running one
+    day's job must not delete the other days).
     """
     writer = df.write.mode(mode)
+    if dynamic_partition_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_parquet_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with a data layout tuned for min/max skipping.
+
+    repartitionByRange on the sort keys clusters each key range
+    into one file, and sortWithinPartitions orders rows inside it —
+    so every row group's min/max footer stats on those columns are
+    tight, and a later filtered scan skips whole row groups /
+    files instead of reading them. This is the (single-column
+    special case of the) Z-order idea expressed with built-in
+    operators: at 100 TB the layout decides whether a selective
+    filter reads gigabytes or terabytes.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in sort_by]
+    (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a fragmented dataset into
+    ~target_file_mb files; returns the output file count.
+
+    Streaming sinks and over-parallel writers produce thousands of
+    KB-scale files; each costs a task + open + footer parse per
+    scan, and at 100 TB the file listing alone dominates planning.
+    Sizing from the actual input bytes (not row counts) keeps the
+    result stable across schema/compression changes. coalesce (not
+    repartition): compaction must not pay a shuffle.
+    """
+    import glob as _glob
+
+    files = [
+        f
+        for f in _glob.glob(f"{source_dir}/**/*.parquet", recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(source_dir)
+    df.coalesce(n_out).write.mode("overwrite").parquet(target_dir)
+    out = [
+        f
+        for f in _glob.glob(f"{target_dir}/*.parquet")
+        if os.path.isfile(f)
+    ]
+    return len(out)

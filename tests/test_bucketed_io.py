@@ -92,3 +92,84 @@ class TestExcelEdge:
         rows = sorted((r["comuna"], r["2020"]) for r in df.collect())
         assert rows == [("pudahuel", 20), ("santiago", 10)]
         assert df.schema.simpleString() == "struct<comuna:string,2020:bigint>"
+
+
+class TestDataLayout:
+    """write_parquet_sorted / compact_parquet / dynamic partition
+    overwrite — the data-layout levers (COVERAGE §2.1)."""
+
+    def test_sorted_write_produces_tight_rowgroup_stats(
+        self, spark, tmp_path
+    ):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from afg_data_pipeline_spark.io import write_parquet_sorted
+
+        li = read_star_table(spark, "lineitem", SF_DIR).select(
+            "l_orderkey", "l_extendedprice"
+        )
+        out = str(tmp_path / "sorted")
+        write_parquet_sorted(li, out, sort_by=["l_orderkey"], n_files=4)
+        files = sorted(glob.glob(f"{out}/*.parquet"))
+        assert len(files) == 4
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                assert col.path_in_schema == "l_orderkey"
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+        # Range partitioning -> files cover disjoint key ranges
+        # (tight min/max = row-group skipping works).
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi <= lo
+
+    def test_compaction_reduces_file_count(self, spark, tmp_path):
+        import glob
+
+        from afg_data_pipeline_spark.io import compact_parquet
+
+        src = str(tmp_path / "fragmented")
+        li = read_star_table(spark, "lineitem", SF_DIR)
+        li.repartition(64).write.parquet(src)
+        n_in = len(glob.glob(f"{src}/*.parquet"))
+        assert n_in >= 64
+        n_out = compact_parquet(
+            spark, src, str(tmp_path / "compacted"), target_file_mb=128
+        )
+        assert n_out == 1  # sf0.001 lineitem is far below 128 MB
+        got = spark.read.parquet(str(tmp_path / "compacted"))
+        assert got.count() == li.count()
+
+    def test_dynamic_partition_overwrite_preserves_others(
+        self, spark, tmp_path
+    ):
+        from afg_data_pipeline_spark.io import write_parquet
+
+        out = str(tmp_path / "by_flag")
+        li = read_star_table(spark, "lineitem", SF_DIR).select(
+            "l_orderkey", "l_returnflag"
+        )
+        write_parquet(li, out, partition_by=["l_returnflag"])
+        before = spark.read.parquet(out)
+        n_other = before.filter(F.col("l_returnflag") != "R").count()
+        # Re-write ONLY the R partition with one row.
+        one = li.filter(F.col("l_returnflag") == "R").limit(1)
+        write_parquet(
+            one,
+            out,
+            partition_by=["l_returnflag"],
+            dynamic_partition_overwrite=True,
+        )
+        after = spark.read.parquet(out)
+        assert after.filter(F.col("l_returnflag") == "R").count() == 1
+        # Non-R partitions untouched.
+        assert (
+            after.filter(F.col("l_returnflag") != "R").count() == n_other
+        )
