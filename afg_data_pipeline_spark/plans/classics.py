@@ -1055,9 +1055,15 @@ def q13_order_count_distribution(
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: the quarter's top revenue supplier — the view-
-    plus-scalar-max pattern. The revenue "view" is computed once
-    and feeds both the max and the membership filter (Spark reuses
-    the exchange; no second scan of lineitem).
+    plus-scalar-max pattern. The revenue "view" feeds both the max
+    and the membership filter, and Spark does NOT reuse the
+    aggregation exchange between the two consumers (verified in
+    the executed plan), so the lineitem scan+agg runs twice.
+    Measured locally, re-scanning is cheaper than persist's cache
+    churn (and a registry builder must not leak storage it can't
+    unpersist); on a real 100 TB run the caller should persist the
+    ~1-row-per-supplier view around the dual consumption and
+    unpersist after the action.
 
     Max-equality on decimal-accumulated doubles is exact, and ties
     (if any) are all returned — same as the spec.
@@ -1121,11 +1127,16 @@ def q20_excess_share_suppliers(
     two-level aggregate plus threshold join (no partsupp/availqty,
     so "excess" is >50% share of a part's shipped quantity).
 
-    The per-pair and per-part sums reuse one shuffle lineage
-    (second groupBy is a subset of the first's keys). Quantities
-    are 2-decimal bounded, so the long fast path applies — the 0.5×
-    threshold compares exactly-represented doubles. DISTINCT
-    collapses multi-part qualifiers; name join is broadcast.
+    The per-pair aggregate feeds both the per-part total and the
+    threshold join; Spark does not reuse the exchange between the
+    two consumers, so the scan+agg runs twice. As with Q15, the
+    local measurement says re-scan beats persist's cache churn and
+    a registry builder must not leak un-unpersistable storage; a
+    real 100 TB caller persists the per-pair aggregate around the
+    dual consumption. Quantities are 2-decimal bounded, so the
+    long fast path applies — the 0.5× threshold compares
+    exactly-represented doubles. DISTINCT collapses multi-part
+    qualifiers; name join is broadcast.
     """
     li = read_star_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
