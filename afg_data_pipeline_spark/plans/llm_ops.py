@@ -322,6 +322,100 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_by_lang",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) <
+              CASE lang
+                  WHEN 'en' THEN '40000000000000000000000000000000'
+                  WHEN 'de' THEN '80000000000000000000000000000000'
+                  ELSE 'gggggggggggggggggggggggggggggggg'
+              END
+    """,
+    ops=("SAMPLE", "P2"),
+)
+def stratified_sample_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus rebalancing: keep 25% of English docs, 50% of German,
+    100% of everything else — deterministic hash-threshold
+    membership (operators/sampling.py), so the kept set is
+    bit-identical across engines, retries, and repartitions
+    (sample()/sampleBy() RNG streams are not).
+    """
+    from afg_data_pipeline_spark.operators.sampling import (
+        hash_stratified_sample,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source"
+    )
+    return hash_stratified_sample(
+        docs,
+        strata_col="lang",
+        id_col="doc_id",
+        fractions={"en": 0.25, "de": 0.5},
+    )
+
+
+@register(
+    "top_terms_per_lang",
+    oracle="""
+        WITH toks AS (
+            SELECT lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS token
+            FROM documents
+        ), counts AS (
+            SELECT lang, token, count(*) AS n
+            FROM toks GROUP BY lang, token
+        )
+        SELECT lang, token, n, rnk
+        FROM (
+            SELECT lang, token, n,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY n DESC, token ASC
+                   ) AS INTEGER) AS rnk
+            FROM counts
+        ) WHERE rnk <= 5
+    """,
+    ops=("TEXT", "A1", "O3"),
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency top-5 per language — the explode→count→top-k
+    inverted-index shape.
+
+    explode multiplies rows ~tokens-per-doc×, but the very next
+    operator is a partial-aggregable count on (lang, token): the
+    blow-up collapses map-side before any shuffle, so the exchange
+    carries one row per distinct (lang, token), not per token
+    occurrence. The top-k is a per-lang window over the collapsed
+    counts.
+    """
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(TX.tokens("text")).alias("token"),
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn(
+            "rnk", F.row_number().over(w).cast("int")
+        ).filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
     "near_dup_components",
     oracle=None,  # iterative fixpoint; pinned by pytest union-find
     ops=("DEDUP",),

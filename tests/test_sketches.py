@@ -58,3 +58,54 @@ class TestSketchAccuracy:
                 lo = prices[max(0, target - err)]
                 hi = prices[min(n - 1, target + err)]
                 assert lo <= est <= hi, (flag, q, est, lo, hi)
+
+
+class TestStratifiedSampling:
+    def test_fractions_and_determinism(self, spark):
+        from afg_data_pipeline_spark.operators.sampling import (
+            hash_stratified_sample,
+        )
+
+        docs = read_star_table(spark, "documents", SF_DIR)
+        totals = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        sampled = hash_stratified_sample(
+            docs, "lang", "doc_id", {"en": 0.25}, default_fraction=1.0
+        )
+        got = {
+            r["lang"]: r["n"]
+            for r in sampled.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # Non-targeted strata fully kept.
+        for lang, n in totals.items():
+            if lang != "en":
+                assert got[lang] == n
+        # Target stratum within binomial noise of 25%.
+        import math
+
+        n_en = totals["en"]
+        sigma = math.sqrt(n_en * 0.25 * 0.75)
+        assert abs(got.get("en", 0) - 0.25 * n_en) <= 4 * sigma + 1
+        # Deterministic: same ids on re-evaluation.
+        ids1 = sorted(r["doc_id"] for r in sampled.collect())
+        ids2 = sorted(r["doc_id"] for r in sampled.collect())
+        assert ids1 == ids2
+
+    def test_fraction_threshold_bounds(self):
+        import pytest as _pytest
+
+        from afg_data_pipeline_spark.operators.sampling import (
+            fraction_threshold,
+        )
+
+        assert fraction_threshold(0.0) == "0" * 8 + "0" * 24
+        assert fraction_threshold(1.0) == "g" * 32
+        assert fraction_threshold(0.5).startswith("80000000")
+        with _pytest.raises(ValueError):
+            fraction_threshold(1.5)
