@@ -416,6 +416,68 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_bucketed_batches",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ), b AS (
+            SELECT doc_id, n_tokens,
+                   CAST(CASE WHEN n_tokens < 32 THEN 0
+                             WHEN n_tokens < 64 THEN 1
+                             WHEN n_tokens < 128 THEN 2
+                             ELSE 3 END AS INTEGER) AS bucket
+            FROM t
+        )
+        SELECT doc_id, n_tokens, bucket,
+               CAST((ROW_NUMBER() OVER (
+                   PARTITION BY bucket ORDER BY doc_id ASC
+               ) - 1) // 16 AS BIGINT) AS batch_id
+        FROM b
+    """,
+    ops=("TEXT", "A6", "SAMPLE"),
+)
+def length_bucketed_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-minimizing
+    batching step of a training-data pipeline: docs grouped into
+    token-length buckets, then numbered into fixed-size batches
+    within each bucket (batch peers have similar lengths, so pad
+    waste is bounded by the bucket width).
+
+    The window sorts per bucket, not globally; batch membership is
+    deterministic (doc_id order). At extreme scale the per-bucket
+    row_number can be replaced by a two-level (partition-local
+    number + partition-offset cumsum) scheme — same output
+    contract.
+    """
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    n_tok = TX.token_count("text")
+    bucket = (
+        F.when(n_tok < 32, 0)
+        .when(n_tok < 64, 1)
+        .when(n_tok < 128, 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("doc_id").asc())
+    return base.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / 16).cast("long"),
+    )
+
+
+@register(
     "near_dup_components",
     oracle=None,  # iterative fixpoint; pinned by pytest union-find
     ops=("DEDUP",),

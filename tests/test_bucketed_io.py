@@ -173,3 +173,22 @@ class TestDataLayout:
         assert (
             after.filter(F.col("l_returnflag") != "R").count() == n_other
         )
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_reads_evolved_dataset(self, spark, tmp_path):
+        """Additive schema evolution: files written before a column
+        existed coexist with newer files; mergeSchema unifies them
+        with nulls for the missing column — append-only pipelines
+        must survive column additions without rewriting history."""
+        out = str(tmp_path / "evolving")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        ).write.parquet(out)
+        spark.createDataFrame(
+            [(3, "c", 30.0)], "id long, v string, score double"
+        ).write.mode("append").parquet(out)
+        got = spark.read.option("mergeSchema", "true").parquet(out)
+        assert set(got.columns) == {"id", "v", "score"}
+        rows = {r["id"]: r["score"] for r in got.collect()}
+        assert rows == {1: None, 2: None, 3: 30.0}
