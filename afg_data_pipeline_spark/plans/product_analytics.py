@@ -230,6 +230,66 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_report",
+    oracle="""
+        SELECT 'orders_pk_unique' AS check_name,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_custkey_not_null',
+               CAST(count(*) - count(o_custkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_status_accepted',
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey
+        )
+    """,
+    ops=("A1", "A7", "J1"),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (operators/quality.py):
+    primary-key uniqueness, not-null, accepted values, and
+    referential integrity compiled to scan-aggregates — a 100 TB
+    audit is a handful of partial-aggregable jobs, not a
+    row-by-row validator."""
+    from afg_data_pipeline_spark.operators.quality import (
+        accepted_values_check,
+        foreign_key_check,
+        not_null_check,
+        run_checks,
+        unique_key_check,
+    )
+
+    o = read_star_table(spark, "orders", sf_dir)
+    li = read_star_table(spark, "lineitem", sf_dir)
+    return run_checks(
+        [
+            unique_key_check(o, ["o_orderkey"], "orders_pk_unique"),
+            not_null_check(o, "o_custkey", "orders_custkey_not_null"),
+            accepted_values_check(
+                o,
+                "o_orderstatus",
+                ["O", "F", "P"],
+                "orders_status_accepted",
+            ),
+            foreign_key_check(
+                li, o, "l_orderkey", "o_orderkey", "lineitem_orderkey_fk"
+            ),
+        ]
+    )
+
+
+@register(
     "fuzzy_part_names",
     oracle="""
         WITH p AS (SELECT DISTINCT p_name FROM part)

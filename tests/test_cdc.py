@@ -78,3 +78,68 @@ class TestMergeLatest:
         }
         # The live version is newer than the tombstone -> key stays.
         assert got[2] == "b"
+
+
+class TestDataQualityChecks:
+    def test_planted_violations_detected(self, spark):
+        from afg_data_pipeline_spark.operators.quality import (
+            accepted_values_check,
+            foreign_key_check,
+            not_null_check,
+            run_checks,
+            unique_key_check,
+        )
+
+        child = spark.createDataFrame(
+            [
+                (1, 10, "ok"),
+                (1, 11, "ok"),      # duplicate id
+                (None, 12, "ok"),   # null id
+                (4, 99, "BAD"),     # bad status + orphan fk
+            ],
+            "id long, fk long, status string",
+        )
+        parent = spark.createDataFrame(
+            [(10,), (11,), (12,)], "pk long"
+        )
+        report = {
+            r["check_name"]: r["violations"]
+            for r in run_checks(
+                [
+                    unique_key_check(child, ["id"], "uniq"),
+                    not_null_check(child, "id", "notnull"),
+                    accepted_values_check(
+                        child, "status", ["ok"], "accepted"
+                    ),
+                    foreign_key_check(
+                        child, parent, "fk", "pk", "fk_orphans"
+                    ),
+                ]
+            ).collect()
+        }
+        # count_distinct ignores nulls: 4 rows, 2 distinct non-null
+        # ids -> 2 "extra" rows (the dup and the null).
+        assert report == {
+            "uniq": 2,
+            "notnull": 1,
+            "accepted": 1,
+            "fk_orphans": 1,
+        }
+
+    def test_clean_data_reports_zero(self, spark):
+        from afg_data_pipeline_spark.operators.quality import (
+            not_null_check,
+            run_checks,
+            unique_key_check,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"
+        )
+        report = run_checks(
+            [
+                unique_key_check(df, ["id"], "u"),
+                not_null_check(df, "v", "n"),
+            ]
+        )
+        assert all(r["violations"] == 0 for r in report.collect())
