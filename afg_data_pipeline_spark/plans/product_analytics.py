@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from afg_data_pipeline_spark.functions.numeric import (
+    dsum_expr,
+    sql_dsum,
+)
 from afg_data_pipeline_spark.io import read_star_table
 from afg_data_pipeline_spark.plans.registry import register
 
@@ -226,6 +230,58 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias(
             "is_current"
         ),
+    )
+
+
+@register(
+    "winsorized_user_spend",
+    oracle=f"""
+        WITH q AS (
+            SELECT quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events
+        )
+        SELECT e.user_id,
+               {sql_dsum(
+                   "least(greatest(e.value, q.lo), q.hi)",
+                   "total_clipped")},
+               count(*) AS n_events
+        FROM events e, q
+        GROUP BY e.user_id
+    """,
+    ops=("A1", "A2", "F2"),
+)
+def winsorized_user_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winsorized (outlier-clipped) per-user totals: values clamped
+    to the global [p05, p95] before aggregation — the robust-sum
+    pattern that keeps one fat-finger event from dominating a
+    metric.
+
+    The exact percentiles are a 1-row aggregate broadcast back via
+    cross join (no .collect() round-trip); Spark's percentile and
+    DuckDB's quantile_cont share the linear-interpolation formula,
+    verified bit-identical, so the clip boundaries — and therefore
+    every clipped value — match exactly.
+    """
+    ev = read_star_table(spark, "events", sf_dir).select(
+        "user_id", "value"
+    )
+    q = ev.agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("value"), F.col("lo")), F.col("hi")
+    )
+    return (
+        ev.crossJoin(F.broadcast(q))
+        .groupBy("user_id")
+        .agg(
+            dsum_expr(clipped, "total_clipped"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )
 
 
