@@ -234,6 +234,42 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_histogram",
+    oracle=f"""
+        SELECT CAST(least(floor(value / 50.0), 9) AS INTEGER)
+                   AS bucket,
+               count(*) AS n,
+               {sql_dsum("value", "bucket_total")}
+        FROM events
+        GROUP BY bucket
+    """,
+    ops=("A1", "F6"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (10 × 50-unit buckets,
+    top bucket open) — the one-pass distribution profile: bucket
+    assignment is a scalar expression, so the whole histogram is a
+    single partial-aggregable groupBy with at most n_buckets output
+    rows regardless of input size.
+
+    floor(value/50) is the same IEEE operation in both engines, so
+    bucket membership — and the decimal-accumulated per-bucket
+    sums — match the oracle exactly.
+    """
+    ev = read_star_table(spark, "events", sf_dir)
+    bucket = F.least(
+        F.floor(F.col("value") / 50.0), F.lit(9)
+    ).cast("int")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum_expr(F.col("value"), "bucket_total"),
+        )
+    )
+
+
+@register(
     "winsorized_user_spend",
     oracle=f"""
         WITH q AS (
