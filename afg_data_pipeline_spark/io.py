@@ -241,6 +241,57 @@ def write_parquet_sorted(
     )
 
 
+def zorder_value(x, y, bits: int = 16):
+    """Morton (Z-order) interleaving of two non-negative integer
+    columns: bit i of x lands at position 2i, bit i of y at 2i+1.
+
+    Sorting by this value clusters rows that are close in BOTH
+    dimensions, so per-file min/max stats are tight on x AND y and
+    a filter on either column skips files — which a single-column
+    sort can only provide for its own column. Pure bitwise
+    expressions, fully inside codegen.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i,
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+    return z
+
+
+def write_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink Z-ordered on two columns: range-partition and
+    sort by the Morton value so each file covers a compact 2-D
+    tile — selective filters on either column (or both) skip most
+    files. The 2-D generalization of write_parquet_sorted."""
+    z = zorder_value(F.col(col_x), F.col(col_y), bits).alias("__z")
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     source_dir: str,

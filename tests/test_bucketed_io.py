@@ -192,3 +192,63 @@ class TestSchemaEvolution:
         assert set(got.columns) == {"id", "v", "score"}
         rows = {r["id"]: r["score"] for r in got.collect()}
         assert rows == {1: None, 2: None, 3: 30.0}
+
+
+class TestZOrder:
+    def test_morton_matches_reference(self, spark):
+        from afg_data_pipeline_spark.io import zorder_value
+
+        def morton(x, y, bits=16):
+            z = 0
+            for i in range(bits):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        rows = [(x, y) for x in (0, 1, 2, 3, 7, 255, 65535)
+                for y in (0, 1, 5, 128, 65535)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")
+            ).collect()
+        }
+        for (x, y), z in got.items():
+            assert z == morton(x, y), (x, y)
+
+    def test_zordered_files_are_2d_tiles(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from afg_data_pipeline_spark.io import write_parquet_zordered
+
+        # A 64x64 grid: a Z-ordered layout must bound BOTH columns
+        # per file; an x-sort would leave y spanning the full range.
+        grid = spark.range(64 * 64).selectExpr(
+            "cast(id % 64 as long) as x", "cast(id div 64 as long) as y"
+        )
+        out = str(tmp_path / "zorder")
+        write_parquet_zordered(grid, out, "x", "y", n_files=16, bits=6)
+        spans = []
+        for f in glob.glob(f"{out}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            stats = {}
+            for rg in range(md.num_row_groups):
+                for c in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(c)
+                    s = stats.setdefault(
+                        col.path_in_schema, [1 << 60, -(1 << 60)]
+                    )
+                    s[0] = min(s[0], col.statistics.min)
+                    s[1] = max(s[1], col.statistics.max)
+            spans.append(
+                (
+                    stats["x"][1] - stats["x"][0],
+                    stats["y"][1] - stats["y"][0],
+                )
+            )
+        # Every file bounds both dimensions well below the global
+        # span of 63 — 16 Z-tiles of a 64x64 grid are 16x16 blocks.
+        assert all(sx <= 31 and sy <= 31 for sx, sy in spans), spans
