@@ -478,6 +478,116 @@ def length_bucketed_batches(
 
 
 @register(
+    "prep_training_corpus",
+    oracle="""
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        ), scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   0.4 * (CAST(len(list_filter(
+                              regexp_split_to_array(trim(text), '\\s+'),
+                              t -> list_contains(
+                                  ['the','a','of','and','is'], t)))
+                              AS DOUBLE)
+                          / CAST(len(regexp_split_to_array(trim(text),
+                              '\\s+')) AS DOUBLE))
+                   + 0.3 * least(1.0,
+                         CAST(len(regexp_split_to_array(trim(text),
+                             '\\s+')) AS DOUBLE) / 100.0)
+                   + 0.3 * (1.0 -
+                         CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+                              AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)) AS quality
+            FROM documents
+        ), curated AS (
+            SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+            FROM scored s JOIN keep k ON s.doc_id = k.doc_id
+            WHERE s.quality >= 0.4 AND s.n_tokens >= 20
+        ), sampled AS (
+            SELECT * FROM curated
+            WHERE md5(CAST(doc_id AS VARCHAR)) <
+                  CASE lang
+                      WHEN 'en'
+                      THEN '80000000000000000000000000000000'
+                      ELSE 'gggggggggggggggggggggggggggggggg'
+                  END
+        ), bucketed AS (
+            SELECT doc_id, lang, n_tokens, quality,
+                   CAST(CASE WHEN n_tokens < 32 THEN 0
+                             WHEN n_tokens < 64 THEN 1
+                             WHEN n_tokens < 128 THEN 2
+                             ELSE 3 END AS INTEGER) AS bucket
+            FROM sampled
+        )
+        SELECT doc_id, lang, n_tokens, quality, bucket,
+               CAST((ROW_NUMBER() OVER (
+                   PARTITION BY bucket ORDER BY doc_id ASC
+               ) - 1) // 16 AS BIGINT) AS batch_id
+        FROM bucketed
+    """,
+    ops=("TEXT", "DEDUP", "SAMPLE"),
+)
+def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep pipeline in ONE lazy plan:
+    exact dedup -> quality + length filter -> language rebalancing
+    (keep 50% of English) -> length-bucketed batch assignment.
+
+    Every stage is an operator from the library (dedup, text,
+    sampling) composed without materialization barriers — Catalyst
+    sees the whole lineage, so the dedup semi-join, quality
+    projection, and sampling predicate all evaluate in the minimal
+    number of passes, and the only window (batch numbering) runs
+    per bucket over the already-shrunk survivor set. This is the
+    engine's flagship LLM-data story: the same composition at
+    100 TB is shuffles on ids and one small window, never a
+    full-text rewrite between stages.
+    """
+    from afg_data_pipeline_spark.operators.sampling import (
+        hash_stratified_sample,
+    )
+    from afg_data_pipeline_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    keep = exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    curated = scored.join(keep, "doc_id", "left_semi").filter(
+        (F.col("quality") >= 0.4) & (F.col("n_tokens") >= 20)
+    )
+    sampled = hash_stratified_sample(
+        curated, "lang", "doc_id", {"en": 0.5}
+    )
+    bucket = (
+        F.when(F.col("n_tokens") < 32, 0)
+        .when(F.col("n_tokens") < 64, 1)
+        .when(F.col("n_tokens") < 128, 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("doc_id").asc())
+    return (
+        sampled.withColumn("bucket", bucket)
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / 16).cast("long"),
+        )
+    )
+
+
+@register(
     "near_dup_components",
     oracle=None,  # iterative fixpoint; pinned by pytest union-find
     ops=("DEDUP",),

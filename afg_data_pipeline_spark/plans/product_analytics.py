@@ -234,6 +234,63 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_value_anomalies",
+    oracle="""
+        WITH stats AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS s1,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))
+                            * CAST(value AS DECIMAL(18,6)))
+                        AS DOUBLE) AS s2,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.value,
+               (e.value - s.s1 / s.n)
+               / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1.0))
+                   AS zscore
+        FROM events e JOIN stats s ON s.user_id = e.user_id
+        WHERE s.n > 1.0
+          AND abs((e.value - s.s1 / s.n)
+                  / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1.0)))
+              > CAST(2.5 AS DOUBLE)
+    """,
+    ops=("A1", "J1", "F6"),
+)
+def user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags: events more than 2.5 sample
+    standard deviations from their user's mean.
+
+    The variance comes from explicitly decimal-accumulated Σv and
+    Σv² — NOT the engines' stddev() aggregates, whose streaming
+    (Welford) updates are order-dependent and differ between
+    engines. From identical sums, mean/variance/z are the same
+    IEEE expression on both sides, so even the > 2.5 boundary rows
+    match exactly. One shuffle for the stats, one for the join —
+    both on user_id, so AQE aligns the layouts.
+    """
+    ev = read_star_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("user_id").agg(
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    s1, s2, n = F.col("s1"), F.col("s2"), F.col("n")
+    z = (F.col("value") - s1 / n) / F.sqrt(
+        (s2 - s1 * s1 / n) / (n - 1.0)
+    )
+    return (
+        ev.join(stats, "user_id")
+        .filter((n > 1.0) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", "value", z.alias("zscore"))
+    )
+
+
+@register(
     "value_histogram",
     oracle=f"""
         SELECT CAST(least(floor(value / 50.0), 9) AS INTEGER)
