@@ -126,34 +126,42 @@ def fuzzy_join_blocked(
     right_col: str,
     max_distance: int = 3,
     length_band: int = 1,
+    block_keys=None,
 ) -> DataFrame:
-    """Entity-resolution fuzzy join: edit-distance match under a
-    blocking key, so the O(L×R) pair space never materializes.
+    """Entity-resolution fuzzy join: edit-distance match under
+    blocking keys, so the O(L×R) pair space never materializes.
 
-    Blocking = equi-join on the first character plus a length band
-    as a residual predicate — Catalyst extracts the equality as the
-    hash-join key, so only same-block pairs are enumerated, and the
-    expensive levenshtein evaluates on that reduced set. Single-key
-    blocking trades recall for cost (pairs differing in their first
-    character are missed); the standard fix is a second pass with a
-    different key (last char, phonetic code) unioned in — same
-    operator, different block expression.
+    Each block key is a function Column -> Column (default: first
+    character). Per key: equi-join on the key (Catalyst extracts it
+    as the hash-join key) with a length band as residual, then the
+    expensive levenshtein on the reduced pair set. A single key
+    trades recall for cost (pairs differing in that key are
+    missed); passing several keys (first char + last char, phonetic
+    code, ...) unions the candidate pairs — a pair is found if ANY
+    key agrees — and dropDuplicates collapses multi-block hits
+    before scoring.
 
     Output: (left value, right value, distance), deduplicated.
     """
+    if block_keys is None:
+        block_keys = [lambda c: F.substring(c, 1, 1)]
     a = left.select(F.col(left_col).alias("name_a")).distinct()
     b = right.select(F.col(right_col).alias("name_b")).distinct()
-    block = (
-        F.substring(F.col("name_a"), 1, 1)
-        == F.substring(F.col("name_b"), 1, 1)
-    )
     band = (
         F.abs(F.length("name_a") - F.length("name_b")) <= length_band
     )
+    cands = None
+    for key in block_keys:
+        block = key(F.col("name_a")) == key(F.col("name_b"))
+        pairs = (
+            a.join(b, block & band)
+            .filter(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.dropDuplicates(["name_a", "name_b"])
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        a.join(b, block & band)
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(dist <= max_distance)
+        cands.filter(dist <= max_distance)
         .select("name_a", "name_b", dist.alias("distance"))
     )

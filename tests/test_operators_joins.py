@@ -233,3 +233,44 @@ class TestInterpolationProperties:
         import numpy as np
 
         assert np.allclose(got, want)
+
+
+class TestFuzzyJoinBlocking:
+    def _df(self, spark, names):
+        return spark.createDataFrame([(n,) for n in names], "name string")
+
+    def test_multiblock_recovers_first_char_misses(self, spark):
+        from afg_data_pipeline_spark.operators.joins import (
+            fuzzy_join_blocked,
+        )
+
+        names = ["apple", "bpple", "apples", "zzzzz"]
+        df = self._df(spark, names)
+        one_block = {
+            (r.name_a, r.name_b)
+            for r in fuzzy_join_blocked(
+                df, df, "name", "name", max_distance=1
+            ).collect()
+        }
+        # apple~bpple differ in the first char -> missed by the
+        # single first-char block; apple~apples share it -> found.
+        assert ("apple", "apples") in one_block
+        assert ("apple", "bpple") not in one_block
+        two_block = {
+            (r.name_a, r.name_b)
+            for r in fuzzy_join_blocked(
+                df,
+                df,
+                "name",
+                "name",
+                max_distance=1,
+                block_keys=[
+                    lambda c: F.substring(c, 1, 1),
+                    lambda c: F.substring(c, -1, 1),
+                ],
+            ).collect()
+        }
+        # Last-char block recovers it (both end in 'e').
+        assert ("apple", "bpple") in two_block
+        assert ("apple", "apples") in two_block
+        assert not any("zzzzz" in p for pair in two_block for p in pair)
