@@ -234,6 +234,79 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "activity_by_dow_hour",
+    oracle="""
+        SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY dow, hod
+    """,
+    ops=("A1", "P12"),
+)
+def activity_by_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-week activity matrix (day-of-week × hour): the
+    standard usage-heatmap aggregation — pure date-part extraction
+    into a ≤168-group partial-aggregable count.
+
+    Convention trap: Spark's dayofweek is 1=Sunday..7, DuckDB's is
+    0=Sunday..6 — the oracle adds 1. Both evaluate under the
+    pinned UTC session timezone.
+    """
+    ev = read_star_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "running_user_balance",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM events
+    """,
+    ops=("A6", "O1"),
+)
+def running_user_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total over event time — the cumulative-sum
+    window, accumulated in DECIMAL inside the frame so every prefix
+    sum (not just the final one) is bit-stable across engines and
+    partitionings. The frame is unbounded-PRECEDING (incremental
+    evaluation); the ordering carries the event-id tie-break.
+    """
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
     "user_value_anomalies",
     oracle="""
         WITH stats AS (
