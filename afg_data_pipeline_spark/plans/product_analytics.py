@@ -234,6 +234,51 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audience_overlap",
+    oracle="""
+        WITH a AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        )
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               count(*) AS n_shared_users
+        FROM a x JOIN a y
+          ON x.user_id = y.user_id
+         AND x.event_type < y.event_type
+        GROUP BY type_a, type_b
+    """,
+    ops=("A1", "A7", "J1"),
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience intersection: for every pair of event types, how
+    many distinct users do both — the segment-overlap analytic.
+
+    The raw log first collapses to distinct (type, user) pairs (a
+    partial-aggregable dedup), so the self-join multiplies segment
+    memberships, never events: with k types a user contributes at
+    most k(k-1)/2 pair rows. Both sides shuffle on user_id; the
+    per-pair count needs no second distinct because the joined
+    rows are already unique per (pair, user).
+    """
+    ev = read_star_table(spark, "events", sf_dir)
+    a = ev.select("event_type", "user_id").distinct()
+    x = a.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    y = a.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    return (
+        x.join(
+            y,
+            (x.user_id == y.user_id)
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_users"))
+    )
+
+
+@register(
     "activity_by_dow_hour",
     oracle="""
         SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
