@@ -33,9 +33,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["flagship_filter_project"].fn(spark, SMOKE_SF_DIR)
 
 
+def _coverage_order(names: list[str]) -> list[str]:
+    """Order query names least-driver-checked-first.
+
+    The driver's CORRECTNESS run caps at the first 50 entries of
+    queries(), so a fixed order starves the tail forever.  Reading
+    the committed CORRECTNESS_r*.json files and sorting by
+    (times checked, last round checked, name) rotates the window:
+    never-checked queries lead, then the stalest — over rounds
+    every registered query gets a driver-side green row.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    seen: dict[str, list[int]] = {n: [] for n in names}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for n in data:
+            if n in seen:
+                seen[n].append(rnd)
+    return sorted(
+        names,
+        key=lambda n: (len(seen[n]), max(seen[n], default=0), n),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in REGISTRY.items()}
+    order = _coverage_order(list(REGISTRY))
+    return {name: REGISTRY[name].fn for name in order}
 
 
 def oracle_sql() -> dict[str, str]:

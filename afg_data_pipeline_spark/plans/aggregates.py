@@ -248,9 +248,13 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin (agg_median) anchors correctness and pytest asserts
     each estimate lands within the sketch's rank-error bound of the
     exact percentile.
+
+    Output is scalar double columns (p25/p50/p75), not an
+    array<double> — the driver's rows-only canonicalizer hashes
+    scalar cells only (array cells crashed it in round 1).
     """
     li = read_star_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
+    q = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
             "l_extendedprice",
             F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
@@ -258,6 +262,13 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_quartiles"),
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10_000))
         .alias("approx_median_qty"),
+    )
+    return q.select(
+        "l_returnflag",
+        F.element_at("price_quartiles", 1).alias("price_p25"),
+        F.element_at("price_quartiles", 2).alias("price_p50"),
+        F.element_at("price_quartiles", 3).alias("price_p75"),
+        "approx_median_qty",
     )
 
 

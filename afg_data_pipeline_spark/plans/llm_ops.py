@@ -695,10 +695,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops=("MULTIMODAL",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column -> Arrow-batched feature extraction."""
+    """Binary media column -> Arrow-batched feature extraction.
+
+    The feature vector is projected to scalar columns (dim, L2
+    norm, first component) for the harness — the rows-only
+    canonicalizer hashes scalar cells only, and the full
+    array<double> remains available from extract_features()
+    directly (pinned in pytest)."""
     docs = read_star_table(spark, "documents", sf_dir)
     media = attach_fake_media(docs)
-    return extract_features(media)
+    feat = extract_features(media)
+    return feat.select(
+        "doc_id",
+        F.size("feature").alias("feature_dim"),
+        F.sqrt(
+            F.aggregate(
+                "feature",
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("feature_norm"),
+        F.element_at("feature", 1).alias("feature_0"),
+    )
 
 
 @register(

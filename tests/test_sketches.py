@@ -52,7 +52,12 @@ class TestSketchAccuracy:
             # for the discrete data plus the sketch bound.
             err = max(2, n // 10_000 + 1)
             for q, est in zip(
-                (0.25, 0.5, 0.75), got[flag]["price_quartiles"]
+                (0.25, 0.5, 0.75),
+                (
+                    got[flag]["price_p25"],
+                    got[flag]["price_p50"],
+                    got[flag]["price_p75"],
+                ),
             ):
                 target = int(q * (n - 1))
                 lo = prices[max(0, target - err)]
