@@ -214,22 +214,34 @@ def ngram_jaccard_pairs(
     )
     # The group self-join multiplies |group| rows into |group|²/2
     # pairs — an expansion AQE cannot see from the (small) input
-    # shuffle sizes, so without intervention every pair evaluates
-    # in one task. Round-robin the probe side across all cores and
-    # broadcast the build side: the Jaccard verification then
-    # parallelizes with the pair count.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # shuffle sizes — and the blocking key has few distinct values
+    # (languages), so a plain equi-join on g runs one task per
+    # group. Salt instead: the probe side gets a deterministic salt
+    # hash(id) % S, the build side is replicated across all S salt
+    # values, and the join key becomes (g, salt) — S-way
+    # parallelism per group through an ordinary shuffle join whose
+    # memory is bounded per-partition, never by a full-side
+    # broadcast (driver/executor broadcast memory is the hard
+    # ceiling a 100 TB corpus would hit first; round 1 broadcast
+    # the whole build side). The salt count is capped: build-side
+    # shuffle traffic is multiplied by S, so tying S to cluster
+    # cores (thousands) would trade a broadcast OOM for an S×
+    # shuffle explosion — 64-way splits any hot group enough.
+    par = min(df.sparkSession.sparkContext.defaultParallelism, 64)
     a = side.select(
         "g", F.col(id_col).alias("id_a"), F.col("toks").alias("t_a")
-    ).repartition(par)
+    ).withColumn("__salt", F.pmod(F.xxhash64("id_a"), F.lit(par)))
     b = side.select(
         "g", F.col(id_col).alias("id_b"), F.col("toks").alias("t_b")
+    ).withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(par)])),
     )
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
     union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
     jac = inter.cast("double") / union.cast("double")
     return (
-        a.join(F.broadcast(b), "g")
+        a.join(b.hint("shuffle_hash"), ["g", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             F.col("g").alias(group_col),

@@ -118,6 +118,17 @@ class TestClassicShapes:
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
 
+    def test_ngram_jaccard_join_is_shuffle_not_broadcast(self, spark):
+        # Round-1 regression: the verifier broadcast the full corpus
+        # side, which OOMs past driver broadcast memory at scale.
+        # The salted plan must join via shuffle (hash or SMJ), with
+        # no broadcast of the replicated build side.
+        plan = plan_of(REGISTRY["ngram_jaccard_dups"].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
     def test_q4_q21_semi_anti_joins(self, spark):
         plan = plan_of(REGISTRY["q4_priority_exists"].fn(spark, SF_DIR))
         assert "LeftSemi" in plan
