@@ -179,6 +179,82 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+    n_planes: int = 2,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Thresholded cosine near-duplicate pairs via SRP-LSH blocking
+    — the sub-quadratic production shape of semantic dedup (vs the
+    all-pairs `embedding_near_dup` brute force, which stays as this
+    operator's exactness/recall anchor).
+
+    Candidate generation: n_tables independent SRP bucketings; a
+    pair is a candidate if it shares a bucket in ANY table.
+    Verification: the exact decimal-fold cosine on each unique
+    candidate pair, so precision is 1.0 and each emitted (id_a,
+    id_b, cosine) row is bit-identical to the brute-force anchor's.
+    Recall < 1 by design — tuned by (n_planes, n_tables) against
+    the threshold: per-plane collision probability for a pair at
+    cosine c is 1 - arccos(c)/π, so high-threshold dedup (0.8+,
+    the production regime) prunes exponentially while low
+    thresholds (0.2, this synthetic corpus's only populated regime)
+    need few planes / many tables and prune little. Parameters are
+    therefore part of the caller's contract, not defaults to trust
+    blindly.
+
+    Scale shape: the per-table self-join is a salted shuffle join —
+    probe side salted by hash(id) % S, build side replicated over
+    the S salt values (S capped at 64; see ngram_jaccard_pairs for
+    the rationale) — so hot buckets split S ways and nothing is
+    broadcast. The shuffle carries (table, bucket, id, vector);
+    with 2^n_planes buckets per table the candidate volume, not the
+    corpus, bounds the work.
+    """
+    sides = []
+    for t in range(n_tables):
+        planes = [
+            _hyperplane(seed + t * 1000 + p, dim)
+            for p in range(n_planes)
+        ]
+        sides.append(
+            df.select(
+                F.lit(t).alias("t"),
+                srp_bucket(vec_col, planes).alias("bucket"),
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+            )
+        )
+    tagged = sides[0]
+    for s in sides[1:]:
+        tagged = tagged.unionByName(s)
+    par = min(df.sparkSession.sparkContext.defaultParallelism, 64)
+    a = tagged.select(
+        "t", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
+    ).withColumn("__salt", F.pmod(F.xxhash64("id_a"), F.lit(par)))
+    b = tagged.select(
+        "t", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    ).withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(par)]))
+    )
+    cands = (
+        a.join(b.hint("shuffle_hash"), ["t", "bucket", "__salt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cosine = dot_decimal("va", "vb") / (
+        norm_decimal("va") * norm_decimal("vb")
+    )
+    return cands.select(
+        "id_a", "id_b", cosine.alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -31,6 +31,7 @@ from afg_data_pipeline_spark.operators.multimodal import (
 from afg_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucketed_topk,
+    lsh_near_dup_pairs,
 )
 from afg_data_pipeline_spark.plans.registry import register
 
@@ -867,17 +868,32 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup method of training pipelines).
 
     Brute-force pairwise here (bit-exact oracle); the sub-quadratic
-    production path is the SRP-LSH bucketing of ann_lsh_topk with a
-    cosine threshold instead of top-k. Threshold 0.2 on this
-    synthetic corpus surfaces the heavy-overlap tail without
-    degenerating to the full pair set.
+    production path is `embedding_near_dup_lsh` below. Threshold
+    0.2 on this synthetic corpus surfaces the heavy-overlap tail
+    without degenerating to the full pair set.
+
+    Guarded: all-pairs is O(n²) compute plus a full-side broadcast,
+    so the query refuses corpora beyond AFG_BRUTE_PAIRS_MAX_ROWS
+    (default 100k rows ≈ 5e9 pairs) instead of melting a cluster —
+    past that, use the LSH path and keep this as its sampled
+    recall anchor.
     """
+    import os
+
     from afg_data_pipeline_spark.operators.similarity import (
         dot_decimal,
         norm_decimal,
     )
 
     emb = read_star_table(spark, "embeddings", sf_dir)
+    limit = int(os.environ.get("AFG_BRUTE_PAIRS_MAX_ROWS", "100000"))
+    n = emb.count()
+    if n > limit:
+        raise ValueError(
+            f"embedding_near_dup is all-pairs: {n} rows exceeds the "
+            f"AFG_BRUTE_PAIRS_MAX_ROWS guard ({limit}); use "
+            "embedding_near_dup_lsh for corpora at scale"
+        )
     par = spark.sparkContext.defaultParallelism
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
@@ -894,6 +910,39 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", cosine.alias("cosine")
     ).filter(F.col("cosine") >= 0.2)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=None,  # recall < 1 by design; pytest pins recall vs the
+    # bit-exact embedding_near_dup anchor.
+    ops=("DEDUP", "ANN"),
+)
+def embedding_near_dup_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Thresholded semantic dedup via SRP-LSH blocking — the
+    registered production path (salted shuffle self-join per
+    bucket table, exact cosine verification, nothing broadcast).
+
+    Same (id_a, id_b, cosine) contract and 0.2 threshold as the
+    brute-force anchor; emitted rows are bit-identical to the
+    anchor's for every recalled pair (precision 1.0). (n_planes=2,
+    n_tables=6) is tuned for this corpus's low-threshold regime —
+    recall 0.915 at sf0.01, pinned ≥0.9 in pytest; production
+    dedup at threshold 0.8+ would raise n_planes and prune
+    exponentially harder (see lsh_near_dup_pairs docstring).
+    """
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    return lsh_near_dup_pairs(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.2,
+        n_planes=2,
+        n_tables=6,
+        dim=64,
+    )
 
 
 @register(

@@ -184,6 +184,82 @@ class TestSimilarity:
         assert (0, 1) in approx
 
 
+class TestLshNearDup:
+    """embedding_near_dup_lsh vs its brute-force anchor."""
+
+    def test_recall_and_bit_exact_precision(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+        from tests.conftest import SF_DIR
+
+        anchor = {
+            (r.id_a, r.id_b): r.cosine
+            for r in REGISTRY["embedding_near_dup"].fn(
+                spark, SF_DIR
+            ).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b): r.cosine
+            for r in REGISTRY["embedding_near_dup_lsh"].fn(
+                spark, SF_DIR
+            ).collect()
+        }
+        # exact verification => precision 1.0, bit-identical scores
+        for pair, cos in lsh.items():
+            assert pair in anchor
+            assert cos == anchor[pair]
+        recall = len(lsh) / len(anchor)
+        assert recall >= 0.9, f"near-dup recall {recall:.3f}"
+
+    def test_high_threshold_planted_dups(self, spark):
+        # The production regime: threshold 0.9 with more planes —
+        # every planted near-identical pair must surface.
+        import numpy as np
+
+        from afg_data_pipeline_spark.operators.similarity import (
+            lsh_near_dup_pairs,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(20, 16))
+        dups = base[:5] + rng.normal(scale=0.01, size=(5, 16))
+        vecs = np.vstack([base, dups]).astype("float32")
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [v.tolist() for v in vecs],
+            }
+        )
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        emb = spark.createDataFrame(pdf, schema=schema)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in lsh_near_dup_pairs(
+                emb,
+                threshold=0.9,
+                n_planes=8,
+                n_tables=2,
+                dim=16,
+            ).collect()
+        }
+        for i in range(5):
+            assert (i, 20 + i) in pairs
+
+    def test_bruteforce_guard_refuses_large_corpus(
+        self, spark, monkeypatch
+    ):
+        from afg_data_pipeline_spark.plans import REGISTRY
+        from tests.conftest import SF_DIR
+
+        monkeypatch.setenv("AFG_BRUTE_PAIRS_MAX_ROWS", "10")
+        with pytest.raises(ValueError, match="all-pairs"):
+            REGISTRY["embedding_near_dup"].fn(spark, SF_DIR)
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         docs = _docs_with_planted_dups(spark)

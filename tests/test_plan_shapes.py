@@ -129,6 +129,17 @@ class TestClassicShapes:
         assert "CartesianProduct" not in plan
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
 
+    def test_embedding_lsh_dedup_is_shuffle_not_broadcast(self, spark):
+        # The registered semantic-dedup production path must not
+        # inherit the brute-force anchor's broadcast/crossJoin.
+        plan = plan_of(
+            REGISTRY["embedding_near_dup_lsh"].fn(spark, SF_DIR)
+        )
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
     def test_q4_q21_semi_anti_joins(self, spark):
         plan = plan_of(REGISTRY["q4_priority_exists"].fn(spark, SF_DIR))
         assert "LeftSemi" in plan
