@@ -4,9 +4,12 @@ Reference: ingestion.py:20-43 save_to_db — per-table chunked
 to_sql(schema='public', if_exists='replace', chunksize=10000) with:
 - non-dict input   -> logged error, abort      (ingestion.py:21-23)
 - empty dict       -> logged error, abort      (ingestion.py:24-26)
-- non-DataFrame    -> logged error, abort      (ingestion.py:28-32)
-- per-table write failure -> logged, loop RETURNS (37-38): later
-  tables are not written and earlier writes are NOT rolled back.
+- non-DataFrame    -> logged error, abort; validation happens
+  INSIDE the write loop, so tables before the bad entry are
+  already written when it aborts       (ingestion.py:29-32)
+- per-table write failure -> logged, loop CONTINUES to the
+  remaining tables (no ``return`` in the except, 37-38); nothing
+  is ever rolled back.
 Connection params come from env (S9, ingestion.py:48-57).
 
 Spark mapping: df.write.jdbc with mode('overwrite') ≡
@@ -75,18 +78,22 @@ def save_tables(
     if not data:
         log.error("save_tables: empty table dict")
         return False
+    ok = True
     for name, df in data.items():
         if not isinstance(df, DataFrame):
+            # Validation is part of the write loop (ingestion.py:
+            # 29-32): a bad value aborts here, leaving the tables
+            # before it written — no upfront sweep, no rollback.
             log.error("save_tables: %r is not a DataFrame", name)
             return False
-    for name, df in data.items():
         try:
             writer(df, name)
             log.info("wrote table %s", name)
         except Exception:  # noqa: BLE001
-            # Reference semantics: log and RETURN — no rollback of
-            # previously-written tables, no attempt at later ones
-            # (ingestion.py:37-38).
-            log.exception("write failed for table %s; aborting", name)
-            return False
-    return True
+            # Reference semantics: log and CONTINUE — the except
+            # block has no return (ingestion.py:37-38), so later
+            # tables still get their write attempt and earlier
+            # writes stand.
+            log.exception("write failed for table %s; continuing", name)
+            ok = False
+    return ok

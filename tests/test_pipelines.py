@@ -246,7 +246,7 @@ class TestSinkSemantics:
             is False
         )
 
-    def test_partial_failure_stops_without_rollback(self, spark):
+    def test_write_failure_continues_without_rollback(self, spark):
         written = []
 
         def writer(df, name):
@@ -256,8 +256,42 @@ class TestSinkSemantics:
 
         data = {"a": spark.range(1), "b": spark.range(1), "c": spark.range(1)}
         assert save_tables(data, writer=writer) is False
-        # 'a' stays written (no rollback); 'c' never attempted.
+        # The reference's except block has no return (ingestion.py:
+        # 37-38): 'a' stays written, 'c' still gets its attempt.
+        assert written == ["a", "c"]
+
+    def test_non_dataframe_aborts_mid_loop(self, spark):
+        # Validation happens inside the write loop (ingestion.py:
+        # 29-32): tables before the bad entry are already written.
+        written = []
+        data = {"a": spark.range(1), "b": "not a df", "c": spark.range(1)}
+        assert (
+            save_tables(data, writer=lambda df, n: written.append(n))
+            is False
+        )
         assert written == ["a"]
+
+    def test_jdbc_url_from_env(self, monkeypatch):
+        # S9: connection config from environment (ingestion.py:48-57).
+        from afg_data_pipeline_spark.sinks.jdbc import jdbc_url_from_env
+
+        monkeypatch.delenv("AFG_DB_HOST", raising=False)
+        monkeypatch.delenv("AFG_DB_PORT", raising=False)
+        monkeypatch.delenv("AFG_DB_NAME", raising=False)
+        assert (
+            jdbc_url_from_env() == "jdbc:postgresql://localhost:5432/postgres"
+        )
+        monkeypatch.setenv("AFG_DB_HOST", "db.example.invalid")
+        monkeypatch.setenv("AFG_DB_PORT", "6432")
+        monkeypatch.setenv("AFG_DB_NAME", "afg")
+        assert (
+            jdbc_url_from_env()
+            == "jdbc:postgresql://db.example.invalid:6432/afg"
+        )
+        monkeypatch.setenv("OTHER_HOST", "h2")
+        assert jdbc_url_from_env(prefix="OTHER_").startswith(
+            "jdbc:postgresql://h2:"
+        )
 
     def test_success(self, spark):
         written = []
