@@ -28,6 +28,7 @@ from afg_data_pipeline_spark.operators.imputation import (
 from afg_data_pipeline_spark.operators.spatial import (
     nearest_neighbor_1d,
     nearest_neighbor_1d_bucketed,
+    nearest_neighbor_grid2d,
 )
 from afg_data_pipeline_spark.operators.timeseries import (
     GRID_SQL,
@@ -359,6 +360,80 @@ def nn_assign_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_pos="s_acctbal",
         carry=["s_name"],
         n_buckets=64,
+    )
+
+
+@register(
+    "nn_assign_grid2d",
+    oracle="""
+        SELECT c_custkey,
+               s_suppkey AS nearest_s_suppkey,
+               dist AS nearest_distance,
+               s_name AS nearest_s_name
+        FROM (
+            SELECT c.c_custkey, s.s_suppkey, s.s_name,
+                   sqrt(
+                     (CAST(c.c_acctbal AS DOUBLE)
+                        - CAST(s.s_acctbal AS DOUBLE))
+                     * (CAST(c.c_acctbal AS DOUBLE)
+                        - CAST(s.s_acctbal AS DOUBLE))
+                     + (CAST(c.c_nationkey * 400 AS DOUBLE)
+                        - CAST(s.s_nationkey * 400 AS DOUBLE))
+                     * (CAST(c.c_nationkey * 400 AS DOUBLE)
+                        - CAST(s.s_nationkey * 400 AS DOUBLE))
+                   ) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.c_custkey
+                       ORDER BY sqrt(
+                     (CAST(c.c_acctbal AS DOUBLE)
+                        - CAST(s.s_acctbal AS DOUBLE))
+                     * (CAST(c.c_acctbal AS DOUBLE)
+                        - CAST(s.s_acctbal AS DOUBLE))
+                     + (CAST(c.c_nationkey * 400 AS DOUBLE)
+                        - CAST(s.s_nationkey * 400 AS DOUBLE))
+                     * (CAST(c.c_nationkey * 400 AS DOUBLE)
+                        - CAST(s.s_nationkey * 400 AS DOUBLE))
+                   ) ASC, s.s_suppkey ASC
+                   ) AS rn
+            FROM customer c CROSS JOIN supplier s
+        ) WHERE rn = 1
+    """,
+    ops=("J3", "A5", "F10"),
+)
+def nn_assign_grid2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 in its true 2-D form at scale: each customer's nearest
+    supplier in a synthetic (acctbal, nationkey*400) plane, through
+    the cell-gridded operator — shuffle equi-joins on cell ids, no
+    cross join on the bulk, exact euclidean answer verified against
+    the all-pairs ROW_NUMBER oracle.
+
+    Reference: temperaturas_rm.py:121-130 is 2-D lat/lon cdist +
+    argmin; the 1-D variants (`nn_assign`, `nn_assign_bucketed`)
+    cover scalar distance, this covers the planar case the
+    reference actually computes.
+    """
+    c = read_star_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("cx"),
+        (F.col("c_nationkey") * 400).cast("double").alias("cy"),
+    )
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_acctbal").cast("double").alias("sx"),
+        (F.col("s_nationkey") * 400).cast("double").alias("sy"),
+    )
+    return nearest_neighbor_grid2d(
+        c,
+        s,
+        left_key="c_custkey",
+        right_key="s_suppkey",
+        left_x="cx",
+        left_y="cy",
+        right_x="sx",
+        right_y="sy",
+        carry=["s_name"],
+        n_cells=16,
     )
 
 

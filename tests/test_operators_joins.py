@@ -99,6 +99,102 @@ class TestBucketedNearestNeighbor:
         assert rows == {1: 100, 2: 101}
 
 
+class TestGrid2dNearestNeighbor:
+    """The cell-gridded 2-D 1-NN must equal the crossJoin+min_by
+    formulation exactly — the grid is an execution detail, and the
+    resolution rule (candidate distance <= cell width) guarantees
+    exactness by construction."""
+
+    def _run_grid(self, left, right, **kw):
+        from afg_data_pipeline_spark.operators.spatial import (
+            nearest_neighbor_grid2d,
+        )
+
+        rows = nearest_neighbor_grid2d(
+            left,
+            right,
+            left_key="lid",
+            right_key="rid",
+            left_x="lx",
+            left_y="ly",
+            right_x="rx",
+            right_y="ry",
+            carry=["tag"],
+            **kw,
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    def _oracle(self, left, right):
+        from afg_data_pipeline_spark.operators.spatial import (
+            nearest_neighbor_assign,
+        )
+
+        d = F.sqrt(
+            (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
+            + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
+        )
+        rows = nearest_neighbor_assign(
+            left.select("lid", "lx", "ly"),
+            right,
+            left_key="lid",
+            right_key="rid",
+            distance=d,
+            carry=["tag"],
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    def _sides(self, spark, lefts, rights):
+        left = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(lefts)],
+            "lid long, lx double, ly double",
+        )
+        right = spark.createDataFrame(
+            [
+                (100 + i, float(x), float(y), f"r{i}")
+                for i, (x, y) in enumerate(rights)
+            ],
+            "rid long, rx double, ry double, tag string",
+        )
+        return left, right
+
+    @pytest.mark.parametrize("n_cells", [1, 4, 32])
+    def test_matches_crossjoin_oracle(self, spark, n_cells):
+        left, right = self._sides(
+            spark,
+            [(0, 0), (5, 5), (-3, 8), (100, -40), (2.5, 2.5), (7, 7)],
+            [(1, 1), (6, 4), (-2, 9), (50, 50), (0, -1), (7, 7)],
+        )
+        assert self._run_grid(left, right, n_cells=n_cells) == self._oracle(
+            left, right
+        )
+
+    def test_far_outlier_hits_fallback_and_stays_exact(self, spark):
+        # A left point so far outside the right bounding box that
+        # max_rounds=1 cannot resolve it exercises the residual
+        # broadcast fallback — which must still be exact.
+        left, right = self._sides(
+            spark,
+            [(0, 0), (1e7, 1e7)],
+            [(0, 1), (2, 2), (3, 0)],
+        )
+        got = self._run_grid(left, right, n_cells=8, max_rounds=1)
+        assert got == self._oracle(left, right)
+
+    def test_tie_breaks_on_smaller_right_key(self, spark):
+        # Two right rows equidistant from the left row: the smaller
+        # rid must win, matching the ROW_NUMBER oracle.
+        left, right = self._sides(spark, [(0, 0)], [(1, 0), (-1, 0)])
+        rows = self._run_grid(left, right, n_cells=4)
+        assert rows[0][1] == 100
+
+    def test_coincident_right_points(self, spark):
+        # Degenerate bounding box (span 0): every right point in one
+        # cell; width guard keeps the grid finite.
+        left, right = self._sides(spark, [(5, 5), (0, 0)], [(1, 1), (1, 1)])
+        got = self._run_grid(left, right, n_cells=8)
+        assert got == self._oracle(left, right)
+
+
 class TestAsofJoin:
     def _frames(self, spark):
         trades = spark.createDataFrame(

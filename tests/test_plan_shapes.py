@@ -140,6 +140,15 @@ class TestClassicShapes:
         assert "CartesianProduct" not in plan
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
 
+    def test_nn_grid2d_resolves_without_crossjoin(self, spark):
+        # The 2-D grid NN must resolve every row through the cell
+        # equi-join rounds: a CartesianProduct or BNLJ in the final
+        # plan would mean the residual fallback fired (or the grid
+        # regressed to all-pairs).
+        plan = plan_of(REGISTRY["nn_assign_grid2d"].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_q4_q21_semi_anti_joins(self, spark):
         plan = plan_of(REGISTRY["q4_priority_exists"].fn(spark, SF_DIR))
         assert "LeftSemi" in plan
