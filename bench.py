@@ -25,6 +25,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family, weighted toward the shapes
 # that dominate at scale (scan-agg, star join, window, session).
+# Round 2 widened the set (VERDICT.md item 7) — the r01 prefix is
+# unchanged so per-query round comparisons stay apples-to-apples;
+# the additions cover the remaining TPC-H classics and the heavy
+# LLM-pipeline ops where the real work (and regressions) live.
 HEADLINE = [
     "flagship_filter_project",
     "pricing_summary",
@@ -51,6 +55,33 @@ HEADLINE = [
     "q18_large_volume",
     "cohort_retention",
     "cdc_upsert_snapshot",
+    # --- round-2 additions (append-only; keep order stable) ---
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_share_suppliers",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "minhash_near_dup",
+    "ngram_jaccard_dups",
+    "prep_training_corpus",
+    "curate_corpus",
+    "embedding_near_dup_lsh",
+    "near_dup_components",
+    "nn_assign_grid2d",
+    "funnel_conversion",
+    "data_quality_report",
 ]
 
 
