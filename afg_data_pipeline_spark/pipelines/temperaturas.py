@@ -81,6 +81,40 @@ def paso_1_extraer_datos_api(
     )
 
 
+def comunas_from_shapefile(
+    spark: SparkSession,
+    shp_path: str,
+    region: int = 13,
+) -> DataFrame | None:
+    """S5/M5 in-engine: raw ``.shp`` → the (Comuna, lat_centroid,
+    lon_centroid) DataFrame ``paso_2_asignar_comunas`` consumes.
+
+    Reference: temperaturas_rm.py:106-119 — read_file, filter
+    codregion == region, centroid in EPSG:32719, back to EPSG:4326.
+    None on read failure, matching the reference's except branch
+    (108-109). Driver-side by design: a comuna layer is a
+    broadcast-sized dimension.
+    """
+    from afg_data_pipeline_spark.sources.shapefile import (
+        shapefile_to_centroids,
+    )
+
+    try:
+        rows = shapefile_to_centroids(
+            shp_path,
+            name_field="Comuna",
+            filter_field="codregion",
+            filter_value=region,
+        )
+    except (OSError, ValueError) as exc:
+        log.error("comunas shapefile unreadable: %s", exc)
+        return None
+    return spark.createDataFrame(
+        rows,
+        "Comuna string, lat_centroid double, lon_centroid double",
+    )
+
+
 def paso_2_asignar_comunas(
     temperaturas: DataFrame, comunas: DataFrame
 ) -> tuple[DataFrame, DataFrame] | None:
