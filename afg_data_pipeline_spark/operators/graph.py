@@ -82,3 +82,109 @@ def canonical_per_component(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def radius_edges_grid2d(
+    nodes: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """Exact radius graph: every undirected edge (id_a < id_b) whose
+    euclidean distance is <= ``radius`` — built scale-safely via
+    grid bucketing, never an all-pairs cross join.
+
+    This is the graph-construction analogue of the reference's
+    ``carga_comunas_gnn`` import (ingestion.py:8,63 — the module is
+    absent from the snapshot; SURVEY treats its contract as
+    inferred): turn a table of georeferenced units into the
+    node/edge tables a GNN consumer loads.
+
+    Algorithm (exact): hash both sides to square cells of width
+    ``radius``. Any pair within ``radius`` differs by at most one
+    cell per axis, so probing each point's own + 8 neighbor cells
+    finds every qualifying pair. Probe side explodes 9x (cell id
+    arithmetic only — coordinates ride along, no media/payload
+    columns), build side stays in its own cell, and the pair space
+    is a shuffle equi-join on cell id. A pair is discovered from
+    both endpoints' probes; ``dropDuplicates`` collapses it.
+
+    Scale notes: the 9x explode is pre-repartitioned (AQE cannot
+    see row expansion in input shuffle bytes — CLAUDE.md rule 3);
+    per-cell population bounds the join fan-out, so degenerate
+    clustering (everything in one cell) degrades toward the dense
+    O(n_cell²) that a radius graph genuinely has there. Output
+    carries (id_a, id_b, dist) only.
+    """
+    par = nodes.sparkSession.sparkContext.defaultParallelism
+    pts = nodes.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    w = float(radius) if radius > 0 else 1.0
+    cell = pts.withColumns(
+        {
+            "__cx": F.floor(F.col("__x") / F.lit(w)),
+            "__cy": F.floor(F.col("__y") / F.lit(w)),
+        }
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = (
+        cell.repartition(par)
+        .withColumn(
+            "__probe",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("__cx") + F.lit(dx)).alias("cx"),
+                            (F.col("__cy") + F.lit(dy)).alias("cy"),
+                        )
+                        for dx, dy in offsets
+                    ]
+                )
+            ),
+        )
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__x").alias("xa"),
+            F.col("__y").alias("ya"),
+            F.col("__probe.cx").alias("__cx"),
+            F.col("__probe.cy").alias("__cy"),
+        )
+    )
+    build = cell.select(
+        F.col("__id").alias("id_b"),
+        F.col("__x").alias("xb"),
+        F.col("__y").alias("yb"),
+        "__cx",
+        "__cy",
+    )
+    dist = F.sqrt(
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return (
+        probe.join(build, ["__cx", "__cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(float(radius)))
+        .select("id_a", "id_b", "dist")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def node_degrees(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Undirected degree per vertex from an (id_a, id_b) edge list —
+    the node-feature side of the GNN graph-table contract. One
+    union + one count aggregate; shuffles vertex ids only."""
+    return (
+        edges.select(F.col(src).alias("vertex"))
+        .unionByName(edges.select(F.col(dst).alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

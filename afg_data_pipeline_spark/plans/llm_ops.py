@@ -742,6 +742,74 @@ def multimodal_frame_sample(
 
 
 @register(
+    "multimodal_audio_features",
+    oracle=None,  # real WAV codec; DuckDB cannot decode RIFF bytes
+    ops=("MULTIMODAL",),
+)
+def multimodal_audio_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL audio path: synthesize deterministic PCM16 WAV bytes per
+    document, decode them with the pure-NumPy RIFF codec, and emit
+    duration/RMS/peak/ZCR/band-energy features — all Arrow-batched
+    on executors (operators/codecs.py, operators/multimodal.py).
+
+    Scalar projection for the rows-only harness; the full feature
+    array is pinned in pytest."""
+    from afg_data_pipeline_spark.operators.multimodal import (
+        attach_synth_wav,
+        audio_feature_extract,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    feat = audio_feature_extract(attach_synth_wav(docs))
+    return feat.select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        F.element_at("feature", 1).alias("duration_s"),
+        F.element_at("feature", 2).alias("rms"),
+        F.element_at("feature", 3).alias("peak"),
+        F.element_at("feature", 4).alias("zcr"),
+    )
+
+
+@register(
+    "multimodal_image_pipeline",
+    oracle=None,  # real BMP codec; DuckDB cannot decode BMP bytes
+    ops=("MULTIMODAL",),
+)
+def multimodal_image_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image path: synthesize deterministic BMP bytes, resize
+    them (decode -> area resample -> re-encode, a real pixel op, not
+    a metadata stamp), then decode + featurize the resized rasters.
+    Verifies the full compose: attach -> resize -> features, each an
+    Arrow-batched executor stage; media bytes never shuffle after
+    featurization."""
+    from afg_data_pipeline_spark.operators.multimodal import (
+        attach_synth_bmp,
+        image_feature_extract,
+        image_resize,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    resized = image_resize(attach_synth_bmp(docs), width=8, height=8)
+    feat = image_feature_extract(resized)
+    return feat.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("feature", 4).alias("mean_r"),
+        F.element_at("feature", 5).alias("mean_g"),
+        F.element_at("feature", 6).alias("mean_b"),
+        F.element_at("feature", 7).alias("luma_mean"),
+        F.element_at("feature", 8).alias("luma_std"),
+    )
+
+
+@register(
     "dedup_keep_canonical",
     oracle="""
         SELECT d.doc_id, d.lang, d.source, d.n_chars

@@ -461,3 +461,89 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", k.alias("prop_k")
     ).filter(F.col("prop_k") > 50)
+
+
+_ADJ_DIST_SQL = """sqrt(
+    (CAST(a.s_acctbal AS DOUBLE) - CAST(b.s_acctbal AS DOUBLE))
+    * (CAST(a.s_acctbal AS DOUBLE) - CAST(b.s_acctbal AS DOUBLE))
+    + (CAST(a.s_nationkey * 400 AS DOUBLE)
+       - CAST(b.s_nationkey * 400 AS DOUBLE))
+    * (CAST(a.s_nationkey * 400 AS DOUBLE)
+       - CAST(b.s_nationkey * 400 AS DOUBLE))
+)"""
+
+
+@register(
+    "spatial_adjacency_graph",
+    oracle=f"""
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               {_ADJ_DIST_SQL} AS dist
+        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        WHERE {_ADJ_DIST_SQL} <= 500.0
+    """,
+    ops=("M5", "J4"),
+)
+def spatial_adjacency_graph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Radius graph over georeferenced units — the inferred
+    ``carga_comunas_gnn`` contract (reference ingestion.py:8,63:
+    module absent from the snapshot; SURVEY says treat as
+    inferred): nodes = units with planar coordinates, edges =
+    pairs within a distance threshold.
+
+    Suppliers in the synthetic (acctbal, nationkey*400) plane play
+    the comuna centroids (same plane as ``nn_assign_grid2d``).
+    Built by the grid-bucketed radius-edge operator
+    (operators/graph.py) — shuffle equi-joins on cell ids, no
+    all-pairs cross join — and verified bit-exact against the
+    all-pairs SQL oracle.
+    """
+    from afg_data_pipeline_spark.operators.graph import (
+        radius_edges_grid2d,
+    )
+
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("x"),
+        (F.col("s_nationkey") * 400).cast("double").alias("y"),
+    )
+    return radius_edges_grid2d(
+        s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
+    )
+
+
+@register(
+    "graph_node_degrees",
+    oracle=f"""
+        SELECT vertex, count(*) AS degree
+        FROM (
+            SELECT a.s_suppkey AS vertex
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE {_ADJ_DIST_SQL} <= 500.0
+            UNION ALL
+            SELECT b.s_suppkey AS vertex
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE {_ADJ_DIST_SQL} <= 500.0
+        ) GROUP BY vertex
+    """,
+    ops=("M5", "A1"),
+)
+def graph_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-feature side of the GNN graph-table contract: undirected
+    degree per vertex of the spatial adjacency graph — one union +
+    one count aggregate over the edge list (operators/graph.py)."""
+    from afg_data_pipeline_spark.operators.graph import (
+        node_degrees,
+        radius_edges_grid2d,
+    )
+
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("x"),
+        (F.col("s_nationkey") * 400).cast("double").alias("y"),
+    )
+    edges = radius_edges_grid2d(
+        s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
+    )
+    return node_degrees(edges)

@@ -1,0 +1,178 @@
+"""Real-codec tests: WAV/BMP/PPM encode-decode round-trips, resize,
+and feature extraction — all pure NumPy, no Spark needed here (the
+Spark plumbing is covered in tests/test_llm_ops.py multimodal
+tests)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from afg_data_pipeline_spark.operators.codecs import (
+    audio_features,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    image_features,
+    resize_area,
+    resize_nearest,
+    synth_bmp_for_text,
+    synth_wav_for_text,
+)
+
+
+class TestWav:
+    def test_roundtrip_pcm16_mono(self):
+        sr = 8000
+        t = np.arange(800) / sr
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+        d = decode_wav(encode_wav(x, sr))
+        assert d["sample_rate"] == sr
+        assert d["n_channels"] == 1
+        assert d["n_frames"] == 800
+        # PCM16 quantization error bound: 1/32767 per sample
+        assert np.max(np.abs(d["samples"][:, 0] - x)) < 1.5 / 32767
+
+    def test_roundtrip_stereo(self):
+        x = np.stack(
+            [np.linspace(-0.9, 0.9, 100), np.linspace(0.9, -0.9, 100)],
+            axis=1,
+        )
+        d = decode_wav(encode_wav(x, 44100))
+        assert d["n_channels"] == 2
+        assert d["n_frames"] == 100
+        assert np.max(np.abs(d["samples"] - x)) < 1.5 / 32767
+
+    def test_float32_and_u8_paths(self):
+        # hand-build a float32 WAV
+        x = np.linspace(-1, 1, 64).astype("<f4")
+        raw = x.tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(raw))
+            + raw
+        )
+        d = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        assert np.allclose(d["samples"][:, 0], x.astype(np.float64))
+        # and an 8-bit PCM one (unsigned, midpoint 128)
+        u8 = np.array([0, 128, 255], dtype=np.uint8)
+        fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body8 = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt8))
+            + fmt8
+            + b"data"
+            + struct.pack("<I", 3)
+            + u8.tobytes()
+            + b"\x00"  # odd-size chunk pad
+        )
+        d8 = decode_wav(b"RIFF" + struct.pack("<I", len(body8)) + body8)
+        assert np.allclose(d8["samples"][:, 0], [-1.0, 0.0, 127 / 128])
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            decode_wav(b"not a wav at all")
+
+    def test_features_shape_and_duration(self):
+        sr = 8000
+        x = 0.25 * np.sin(2 * np.pi * 100 * np.arange(sr) / sr)
+        f = audio_features(decode_wav(encode_wav(x, sr)))
+        assert len(f) == 8
+        assert f[0] == pytest.approx(1.0)  # duration
+        assert f[1] == pytest.approx(0.25 / np.sqrt(2), rel=1e-3)  # rms
+        assert f[2] == pytest.approx(0.25, rel=1e-3)  # peak
+        # a 100 Hz tone's energy lives in the lowest band
+        assert f[4] > f[5] and f[4] > f[6] and f[4] > f[7]
+
+
+class TestBmp:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    def test_top_down_and_32bpp(self):
+        # hand-build a 2x2 top-down 32bpp BMP: rows not padded,
+        # height negative, BGRA order
+        px = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 8, 7]]],
+            dtype=np.uint8,
+        )
+        bgra = np.dstack([px[:, :, ::-1], np.full((2, 2, 1), 255, np.uint8)])
+        raw = bgra.reshape(2, -1).tobytes()
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(raw), 0, 0, 0, 0
+        )
+        off = 14 + len(dib)
+        data = (
+            b"BM"
+            + struct.pack("<IHHI", off + len(raw), 0, 0, off)
+            + dib
+            + raw
+        )
+        assert np.array_equal(decode_bmp(data), px)
+
+    def test_rejects_compressed(self):
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        data = bytearray(encode_bmp(img))
+        struct.pack_into("<I", data, 30, 1)  # BI_RLE8
+        with pytest.raises(ValueError):
+            decode_bmp(bytes(data))
+
+
+class TestPpm:
+    def test_roundtrip_and_comment_header(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        with_comment = (
+            b"P6\n# a comment line\n7 5\n255\n" + img.tobytes()
+        )
+        assert np.array_equal(decode_ppm(with_comment), img)
+
+
+class TestResize:
+    def test_nearest_identity_and_shrink(self):
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        assert np.array_equal(resize_nearest(img, 6, 4), img)
+        small = resize_nearest(img, 3, 2)
+        assert small.shape == (2, 3, 3)
+        assert np.array_equal(small[0, 0], img[0, 0])
+
+    def test_area_mean_pooling(self):
+        img = np.zeros((4, 4, 1), dtype=np.uint8)
+        img[:2, :2] = 100  # top-left quadrant
+        out = resize_area(img, 2, 2)
+        assert out[0, 0, 0] == 100 and out[1, 1, 0] == 0
+
+    def test_image_features(self):
+        img = np.full((10, 20, 3), 255, dtype=np.uint8)
+        f = image_features(img)
+        assert f[:3] == [20.0, 10.0, 2.0]
+        assert f[3:6] == [255.0, 255.0, 255.0]
+        assert f[7] == 0.0  # zero contrast
+        assert f[-1] == pytest.approx(1.0)  # all luma in top bin
+
+
+class TestSynth:
+    def test_deterministic_and_decodable(self):
+        a1, a2 = synth_wav_for_text("hola"), synth_wav_for_text("hola")
+        assert a1 == a2
+        assert a1 != synth_wav_for_text("adios")
+        d = decode_wav(a1)
+        assert d["n_frames"] > 0 and d["sample_rate"] == 8000
+        b1 = synth_bmp_for_text("hola")
+        assert b1 == synth_bmp_for_text("hola")
+        img = decode_bmp(b1)
+        assert img.ndim == 3 and img.shape[2] == 3

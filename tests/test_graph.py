@@ -88,3 +88,85 @@ class TestConnectedComponents:
             for r in canonical_per_component(comps).collect()
         }
         assert keep == {1: (1, 3), 7: (7, 2)}
+
+
+class TestRadiusEdges:
+    def _brute(self, pts, radius):
+        out = set()
+        for i, (ida, xa, ya) in enumerate(pts):
+            for idb, xb, yb in pts[i + 1 :]:
+                d = ((xa - xb) ** 2 + (ya - yb) ** 2) ** 0.5
+                if d <= radius:
+                    a, b = sorted((ida, idb))
+                    out.add((a, b))
+        return out
+
+    def test_matches_bruteforce_pseudorandom(self, spark):
+        import hashlib
+
+        pts = []
+        for i in range(120):
+            h = hashlib.md5(f"pt{i}".encode()).digest()
+            pts.append(
+                (i, h[0] / 255 * 100.0, h[1] / 255 * 100.0)
+            )
+        df = spark.createDataFrame(pts, "id long, x double, y double")
+        from afg_data_pipeline_spark.operators.graph import (
+            node_degrees,
+            radius_edges_grid2d,
+        )
+
+        for radius in (5.0, 12.5, 40.0):
+            got = {
+                (r.id_a, r.id_b)
+                for r in radius_edges_grid2d(
+                    df, "id", "x", "y", radius
+                ).collect()
+            }
+            assert got == self._brute(pts, radius), radius
+
+        # degrees agree with the edge list
+        edges = radius_edges_grid2d(df, "id", "x", "y", 12.5)
+        deg = {
+            r.vertex: r.degree for r in node_degrees(edges).collect()
+        }
+        brute = self._brute(pts, 12.5)
+        from collections import Counter
+
+        expect = Counter()
+        for a, b in brute:
+            expect[a] += 1
+            expect[b] += 1
+        assert deg == dict(expect)
+
+    def test_boundary_pairs_cross_cells(self, spark):
+        # two points straddling a cell boundary at distance exactly r
+        df = spark.createDataFrame(
+            [(1, 0.9, 0.0), (2, 1.1, 0.0), (3, 50.0, 50.0)],
+            "id long, x double, y double",
+        )
+        from afg_data_pipeline_spark.operators.graph import (
+            radius_edges_grid2d,
+        )
+
+        got = radius_edges_grid2d(df, "id", "x", "y", 1.0).collect()
+        assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+        assert abs(got[0].dist - 0.2) < 1e-12
+
+    def test_no_cross_join_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i), float(i)) for i in range(10)],
+            "id long, x double, y double",
+        )
+        from afg_data_pipeline_spark.operators.graph import (
+            radius_edges_grid2d,
+        )
+
+        plan = (
+            radius_edges_grid2d(df, "id", "x", "y", 2.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -313,6 +313,75 @@ class TestMultimodal:
         assert all(r.meta.width == 224 and r.meta.height == 224 for r in out)
 
 
+class TestRealCodecsOnSpark:
+    """The REAL media path: synth WAV/BMP bytes -> pure-NumPy decode
+    -> features/resize, all through Arrow-batched mapInPandas."""
+
+    def test_audio_features_match_local_decode(self, spark):
+        from afg_data_pipeline_spark.operators.codecs import (
+            audio_features,
+            decode_wav,
+            synth_wav_for_text,
+        )
+        from afg_data_pipeline_spark.operators.multimodal import (
+            attach_synth_wav,
+            audio_feature_extract,
+        )
+
+        docs = _docs_with_planted_dups(spark)
+        texts = {r.doc_id: r.text for r in docs.collect()}
+        out = audio_feature_extract(attach_synth_wav(docs)).collect()
+        assert len(out) == len(texts)
+        for r in out:
+            expect = audio_features(
+                decode_wav(synth_wav_for_text(texts[r.doc_id]))
+            )
+            assert list(r.feature) == pytest.approx(expect)
+            assert r.sample_rate == 8000
+            assert r.n_frames > 0
+        # identical text -> identical audio features (docs 1 and 2)
+        by_id = {r.doc_id: list(r.feature) for r in out}
+        assert by_id[1] == by_id[2]
+
+    def test_image_resize_then_features(self, spark):
+        from afg_data_pipeline_spark.operators.multimodal import (
+            attach_synth_bmp,
+            image_feature_extract,
+            image_resize,
+        )
+
+        docs = _docs_with_planted_dups(spark)
+        media = attach_synth_bmp(docs)
+        # meta carries true container dims parsed from the header
+        for r in media.collect():
+            assert r.meta.format == "image/bmp"
+            assert r.meta.width >= 8 and r.meta.height >= 8
+        resized = image_resize(media, width=8, height=8)
+        feats = image_feature_extract(resized).collect()
+        assert len(feats) == 5
+        for r in feats:
+            assert (r.width, r.height) == (8, 8)
+            assert list(r.feature)[0:2] == [8.0, 8.0]
+            # channel means stay in pixel range
+            assert all(0.0 <= v <= 255.0 for v in list(r.feature)[3:6])
+
+    def test_decode_media_dispatches_real_codecs(self):
+        import numpy as np
+
+        from afg_data_pipeline_spark.operators.codecs import (
+            encode_bmp,
+            synth_wav_for_text,
+        )
+
+        pcm = decode_media(synth_wav_for_text("x"), "audio/wav")
+        assert len(pcm) > 0 and len(pcm) % 8 == 0  # float64 bytes
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        rgb = decode_media(encode_bmp(img), "image/bmp")
+        assert rgb == img.tobytes()
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG", "image/png")
+
+
 class TestIVF:
     def test_ivf_recall_against_bruteforce(self, spark):
         emb = TestSimilarity()._vectors(spark, n=60, dim=16)
