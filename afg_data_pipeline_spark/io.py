@@ -30,6 +30,16 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
+    # Pin cached-plan output partitioning stability to its safe
+    # default (AQE may not re-partition cached plans). A long-lived
+    # session serving many cached relations returned corrupt reads
+    # of a correctly-cached table (rows lost/duplicated across
+    # evaluations; AQE empty-relation propagation then collapsed a
+    # downstream join to zero rows) — engine code therefore uses
+    # localCheckpoint instead of .persist() everywhere
+    # (operators/dedup.py), and this pin keeps the cached-plan
+    # machinery in its most conservative mode for user persists.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "false",
 }
 _conf_pinned_sessions: set[int] = set()
 
@@ -153,12 +163,16 @@ def split_quarantine(
 ) -> tuple[DataFrame, DataFrame]:
     """(good, quarantined) split of a corrupt-capture scan.
 
-    The scan is persisted first — Spark refuses plans that
+    The scan is materialized first — Spark refuses plans that
     reference ONLY the internal corrupt-record column of a raw
     JSON/CSV scan (the parser would have nothing to fail on), and
     the two sides would otherwise re-parse the input twice anyway.
+    localCheckpoint rather than .persist(): checkpointed RDDs stay
+    out of the CacheManager, whose plan substitution under
+    in-cache AQE served corrupt results in a long-lived session
+    (see operators/dedup.py:minhash_lsh_candidates).
     """
-    df = df.persist()
+    df = df.localCheckpoint(eager=True)
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return good, bad

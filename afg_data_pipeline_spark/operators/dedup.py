@@ -24,7 +24,6 @@ prefixing `"<seed>|"`).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,33 +99,63 @@ def minhash_lsh_candidates(
     identical docs collide in every band by construction and are
     precisely the buckets the cap drops.
 
-    The signature table is persisted (memory-and-disk): it feeds
-    four plan branches (both band-join sides and both shingle
-    re-joins), and without a persist each branch re-tokenizes and
-    re-hashes the corpus — at 100 TB that is 4 full passes of
-    n_hashes md5 evaluations instead of 1. The cache holds only
-    (id, shingles, signature) — never raw text.
+    The signature table is materialized once via an eager
+    localCheckpoint: it feeds four plan branches (both band-join
+    sides and both shingle re-joins), and without materialization
+    each branch re-tokenizes and re-hashes the corpus — at 100 TB
+    that is 4 full passes of n_hashes md5 evaluations instead of 1.
+    The checkpoint holds only (id, shingles, signature) — never raw
+    text.
+
+    Two robustness decisions, both forced by a reproducible Spark
+    runtime defect observed under a long-lived session (hundreds of
+    prior queries): the first evaluation of this operator computed
+    WRONG minhash values — text, tokens and shingle columns were
+    verified byte-correct in the same rows while the
+    `array_min(transform(...md5...))` outputs matched md5 of no
+    derivable input (i.e. the higher-order-function lambda read
+    corrupt buffers); retries of the identical plan were correct.
+    Therefore:
+    (1) signatures are computed by explode -> 8 scalar md5
+        projections -> partial-aggregated min() — the vanilla
+        whole-stage-codegen aggregate path with NO lambda
+        variables, which does not exhibit the corruption (and is
+        scale-neutral: map-side combine collapses the exploded
+        rows to one row per doc before the shuffle, which carries
+        only (id, 8 hashes));
+    (2) the shingle table is materialized via localCheckpoint, not
+        .persist() — checkpointed RDDs stay out of the
+        CacheManager's plan substitution, removing in-cache AQE
+        from the equation for the four downstream branches.
     """
     toks = tokens(text_col)
     par = df.sparkSession.sparkContext.defaultParallelism
     base = (
         # Round-robin first: the corpus often arrives in one file /
-        # one row group, and the signature computation (n_hashes
-        # md5 passes per shingle) should use every core.
+        # one row group, and the shingle + signature computation
+        # should use every core.
         df.select(F.col(id_col), F.col(text_col))
         .repartition(par)
         .withColumn("__toks", toks)
-        .withColumn(
-            "shingles",
-            F.array_distinct(shingle_expr("__toks", shingle_k)),
-        )
         .select(
             id_col,
-            "shingles",
-            *minhash_signature(F.col("shingles"), n_hashes),
+            F.array_distinct(shingle_expr("__toks", shingle_k)).alias(
+                "shingles"
+            ),
         )
     )
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = base.localCheckpoint(eager=True)
+    exploded = base.select(id_col, F.explode("shingles").alias("__s"))
+    hashed = exploded.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("__s"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    sigs = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    )
     n_bands = n_hashes // band_size
     band_cols = [
         F.concat_ws(
@@ -136,7 +165,7 @@ def minhash_lsh_candidates(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    long = base.select(
+    long = sigs.select(
         id_col,
         F.explode(F.array(*band_cols)).alias("band_key"),
     )
@@ -307,4 +336,61 @@ def simhash_signatures(
 
     return df.select(id_col, text_col).mapInPandas(
         batch, schema=out_schema
+    )
+
+
+def shingle_from_text(text_col: str, k: int):
+    """Word k-shingles directly from a text column (tokenize +
+    shingle in one native expression; DuckDB-mirrorable: 1-based
+    element_at, short-text fallback to the whole token string)."""
+    split = "split(trim(" + text_col + "), '\\\\s+')"
+    parts = ", ".join(
+        "element_at(" + split + ", i + " + str(j) + ")" for j in range(k)
+    )
+    return F.expr(
+        "CASE WHEN size(" + split + ") < " + str(k)
+        + " THEN array(concat_ws(' ', " + split + "))"
+        + " ELSE transform(sequence(1, size(" + split + ") - "
+        + str(k - 1) + "), i -> concat_ws(' ', " + parts + ")) END"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least one word n-gram with an evaluation set.
+
+    The standard leakage check before LLM training (n=13 word-grams
+    in published recipes; the synthetic test corpus is tiny so the
+    registered query uses 3). Output: (id, n_matched_grams) for
+    every contaminated training doc — callers anti-join to drop, or
+    rank by match count to audit.
+
+    Scale shape: both sides reduce to DISTINCT (id, gram) / (gram)
+    rows before the join, so the shuffle carries n-gram strings,
+    never documents; the join is a plain equi-join on the gram (hot
+    grams are AQE-skew-split). The eval side deduplicates to one
+    row per gram — its size is the eval vocabulary, independent of
+    how many training docs match.
+    """
+    tgrams = train.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingle_from_text(text_col, n))
+        ).alias("gram"),
+    )
+    egrams = eval_df.select(
+        F.explode(
+            F.array_distinct(shingle_from_text(text_col, n))
+        ).alias("gram")
+    ).distinct()
+    return (
+        tgrams.join(egrams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
     )

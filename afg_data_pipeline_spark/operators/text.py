@@ -162,3 +162,32 @@ def text_stats(df: DataFrame, col: str = "text") -> DataFrame:
         punct_count(col).alias("n_punct"),
         quality_score(col).alias("quality"),
     )
+
+
+def redact_pii(col: str = "text"):
+    """PII scrubbing expression: emails, IPv4 addresses, and
+    international-format phone numbers replaced by typed tags.
+
+    Chained regexp_replace — native, codegen-friendly, one pass per
+    pattern class. Patterns are deliberately conservative (standard
+    pipeline practice: redact on clear syntactic evidence; entity
+    NER is a model stage, not an engine stage). Order matters:
+    emails first (phone regex could eat digit runs inside them
+    otherwise), then IPs, then phones.
+    """
+    out = F.regexp_replace(
+        F.col(col),
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    )
+    out = F.regexp_replace(
+        out,
+        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+        "[IP]",
+    )
+    out = F.regexp_replace(
+        out,
+        r"\+\d{1,3}[ -]?\d{1,4}[ -]?\d{3,4}[ -]?\d{3,4}",
+        "[PHONE]",
+    )
+    return out

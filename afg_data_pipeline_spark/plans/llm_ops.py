@@ -307,16 +307,68 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_near_dup",
-    oracle=None,  # banded-LSH candidate set; verified in pytest
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS s
+            FROM tokd
+        ),
+        sig AS (
+            SELECT doc_id, s,
+                   list_aggregate(list_transform(s, x -> md5('0|' || x)), 'min') AS mh0,
+                   list_aggregate(list_transform(s, x -> md5('1|' || x)), 'min') AS mh1,
+                   list_aggregate(list_transform(s, x -> md5('2|' || x)), 'min') AS mh2,
+                   list_aggregate(list_transform(s, x -> md5('3|' || x)), 'min') AS mh3,
+                   list_aggregate(list_transform(s, x -> md5('4|' || x)), 'min') AS mh4,
+                   list_aggregate(list_transform(s, x -> md5('5|' || x)), 'min') AS mh5,
+                   list_aggregate(list_transform(s, x -> md5('6|' || x)), 'min') AS mh6,
+                   list_aggregate(list_transform(s, x -> md5('7|' || x)), 'min') AS mh7
+            FROM sh
+        ),
+        long AS (
+            SELECT doc_id,
+                   unnest(['0|' || mh0 || '|' || mh1,
+                           '1|' || mh2 || '|' || mh3,
+                           '2|' || mh4 || '|' || mh5,
+                           '3|' || mh6 || '|' || mh7]) AS band_key
+            FROM sig
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM long a JOIN long b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT p.doc_id_a, p.doc_id_b,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / CAST(len(sa.s) + len(sb.s)
+                      - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   AS jaccard
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_id_a
+        JOIN sh sb ON sb.doc_id = p.doc_id_b
+    """,
     ops=("DEDUP",),
 )
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact-Jaccard scores.
 
-    shingle -> minhash -> band -> bucket-join; rows-only here
-    because the candidate set depends on banding internals; pytest
-    asserts it contains every true near-dup pair above the LSH
-    design threshold (tests/test_llm_ops.py).
+    shingle -> minhash -> band -> bucket-join. The full banded
+    pipeline is deterministic md5, so it is replicated exactly in
+    SQL and oracle-checked bit-for-bit (upgraded from rows-only
+    after the higher-order-function corruption incident — see
+    operators/dedup.minhash_lsh_candidates: an exact oracle turns
+    any future silent signature corruption into a red harness row).
     """
     docs = read_star_table(spark, "documents", sf_dir)
     return minhash_lsh_candidates(docs)
@@ -590,7 +642,71 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_components",
-    oracle=None,  # iterative fixpoint; pinned by pytest union-find
+    oracle="""
+        WITH RECURSIVE tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS s
+            FROM tokd
+        ),
+        sig AS (
+            SELECT doc_id, s,
+                   list_aggregate(list_transform(s, x -> md5('0|' || x)), 'min') AS mh0,
+                   list_aggregate(list_transform(s, x -> md5('1|' || x)), 'min') AS mh1,
+                   list_aggregate(list_transform(s, x -> md5('2|' || x)), 'min') AS mh2,
+                   list_aggregate(list_transform(s, x -> md5('3|' || x)), 'min') AS mh3,
+                   list_aggregate(list_transform(s, x -> md5('4|' || x)), 'min') AS mh4,
+                   list_aggregate(list_transform(s, x -> md5('5|' || x)), 'min') AS mh5,
+                   list_aggregate(list_transform(s, x -> md5('6|' || x)), 'min') AS mh6,
+                   list_aggregate(list_transform(s, x -> md5('7|' || x)), 'min') AS mh7
+            FROM sh
+        ),
+        long AS (
+            SELECT doc_id,
+                   unnest(['0|' || mh0 || '|' || mh1,
+                           '1|' || mh2 || '|' || mh3,
+                           '2|' || mh4 || '|' || mh5,
+                           '3|' || mh6 || '|' || mh7]) AS band_key
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM long a JOIN long b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT c.ida, c.idb
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.ida
+            JOIN sh sb ON sb.doc_id = c.idb
+            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(len(sa.s) + len(sb.s)
+                         - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  >= 0.5
+        ),
+        sym AS (
+            SELECT ida AS src, idb AS dst FROM edges
+            UNION ALL
+            SELECT idb, ida FROM edges
+        ),
+        reach AS (
+            SELECT src AS v, src AS r FROM sym
+            UNION
+            SELECT reach.v, s.dst FROM reach JOIN sym s ON reach.r = s.src
+        )
+        SELECT v AS doc_id, min(r) AS component
+        FROM reach GROUP BY v
+    """,
     ops=("DEDUP",),
 )
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,10 +717,11 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keep one canonical doc per cluster" that pairwise dedup alone
     cannot express.
 
-    Iterative min-label propagation (operators/graph.py) — no SQL
-    oracle (DuckDB has no recursive fixpoint over this shape at
-    parity); pytest pins the operator against a union-find
-    reference on the same pairs.
+    Iterative min-label propagation (operators/graph.py), verified
+    bit-exact against a DuckDB WITH RECURSIVE transitive-closure
+    oracle (min reachable vertex id = the same component label by
+    construction); pytest additionally pins the operator against a
+    union-find reference on synthetic graphs.
     """
     from afg_data_pipeline_spark.operators.graph import (
         connected_components,
@@ -739,6 +856,157 @@ def multimodal_frame_sample(
     docs = read_star_table(spark, "documents", sf_dir)
     media = attach_fake_media(docs)
     return frame_sample(media, n_frames=4)
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.invalid or +56 9 '
+                          || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                          || ' 5678 at 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.7',
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),
+                 '\\+\\d{1,3}[ -]?\\d{1,4}[ -]?\\d{3,4}[ -]?\\d{3,4}',
+                 '[PHONE]', 'g') AS clean_text
+        FROM documents
+    """,
+    ops=("F2", "P9"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.redact_pii): emails, IPv4,
+    phone numbers -> typed tags. The corpus text is clean by
+    construction, so the query *plants* one of each per row
+    (deterministic from doc_id) before redacting — the oracle then
+    verifies the actual redaction semantics bit-for-bit, not a
+    no-op passthrough."""
+    from afg_data_pipeline_spark.operators.text import redact_pii
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.invalid or +56 9 "),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" 5678 at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id", redact_pii("text").alias("clean_text")
+    )
+
+
+@register(
+    "pack_token_stream",
+    oracle="""
+        SELECT doc_id, lang, n_tokens,
+               CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
+               CAST((cum - n_tokens) % 2048 AS BIGINT) AS chunk_offset
+        FROM (
+            SELECT doc_id, lang,
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_tokens,
+                   SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents
+        )
+    """,
+    ops=("A6", "O1"),
+)
+def pack_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, stream-concatenation style: documents are
+    laid head-to-tail per language into fixed 2048-token training
+    chunks; each doc reports the chunk where it starts and its
+    offset in it (docs may straddle chunk boundaries — the GPT-2/3
+    concat-then-chunk recipe, unlike length_bucketed_batches which
+    never splits).
+
+    Scale shape: one window cumsum PARTITIONED by lang (never a
+    global sort); everything else is scalar arithmetic on the
+    running total."""
+    from pyspark.sql import Window
+
+    from afg_data_pipeline_spark.operators.text import token_count
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cap = 2048
+    with_cum = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return with_cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / cap).cast("bigint").alias("chunk_id"),
+        (start % cap).cast("bigint").alias("chunk_offset"),
+    )
+
+
+@register(
+    "eval_decontamination",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, source,
+                   list_distinct(
+                       CASE WHEN len(t) < 3
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       END) AS gs
+            FROM tokd
+        ),
+        eval_grams AS (
+            SELECT DISTINCT unnest(gs) AS gram
+            FROM grams WHERE source = 'src0'
+        ),
+        train_grams AS (
+            SELECT doc_id, unnest(gs) AS gram
+            FROM grams WHERE source <> 'src0'
+        )
+        SELECT t.doc_id, count(*) AS n_matched_grams
+        FROM train_grams t JOIN eval_grams e USING (gram)
+        GROUP BY t.doc_id
+    """,
+    ops=("DEDUP",),
+)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage check: training docs (source != 'src0')
+    sharing at least one word trigram with the held-out eval slice
+    (source = 'src0'), with the matched-gram count per doc
+    (operators/dedup.decontaminate). Published recipes use 13-grams;
+    3 keeps the synthetic corpus discriminative."""
+    from afg_data_pipeline_spark.operators.dedup import decontaminate
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    return decontaminate(train, eval_df, n=3)
 
 
 @register(

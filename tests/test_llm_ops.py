@@ -411,3 +411,70 @@ class TestIVF:
         a = sorted(map(tuple, ivf_topk(emb, emb, k=3).collect()))
         b = sorted(map(tuple, ivf_topk(emb, emb, k=3).collect()))
         assert a == b
+
+
+class TestDecontamination:
+    def test_planted_contamination(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "totally unrelated training content here"),
+                (3, "the secret benchmark answer is forty two exactly"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "we ask whether the secret benchmark answer is known")],
+            "doc_id long, text string",
+        )
+        from afg_data_pipeline_spark.operators.dedup import decontaminate
+
+        got = {
+            r.doc_id: r.n_matched_grams
+            for r in decontaminate(train, eval_df, n=3).collect()
+        }
+        # doc 3 shares the trigrams of "the secret benchmark answer
+        # is": 'the secret benchmark', 'secret benchmark answer',
+        # 'benchmark answer is' -> 3 matches; docs 1-2 clean.
+        assert got == {3: 3}
+
+    def test_short_text_fallback(self, spark):
+        # texts shorter than n collapse to one whole-string gram
+        train = spark.createDataFrame(
+            [(1, "hi there"), (2, "bye now")], "doc_id long, text string"
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "hi there")], "doc_id long, text string"
+        )
+        from afg_data_pipeline_spark.operators.dedup import decontaminate
+
+        got = {
+            r.doc_id: r.n_matched_grams
+            for r in decontaminate(train, eval_df, n=3).collect()
+        }
+        assert got == {1: 1}
+
+
+class TestPiiRedaction:
+    def test_planted_patterns(self, spark):
+        from afg_data_pipeline_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jo.ann+x@sub.example.org today"),
+                (2, "server 192.168.001.42 responded"),
+                (3, "call +56 9 1234 5678 or +1-800-555-0199 now"),
+                (4, "clean text with no identifiers at all"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.clean
+            for r in df.select(
+                "doc_id", redact_pii("text").alias("clean")
+            ).collect()
+        }
+        assert got[1] == "mail me at [EMAIL] today"
+        assert got[2] == "server [IP] responded"
+        assert got[3].count("[PHONE]") == 2
+        assert got[4] == "clean text with no identifiers at all"
