@@ -101,19 +101,22 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
 
 
 def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id: one sign bit per plane."""
+    """Signed-random-projection bucket id: one sign bit per plane.
+
+    The dot product is an explicit left-associated sum of
+    element_at(v, j) * plane[j] terms — NO higher-order-function
+    lambdas (same float addition order as a sequential fold, so
+    results are unchanged; see CLAUDE.md rule 10 / operators/
+    dedup.py for the observed HOF-lambda corruption this avoids),
+    and plain nested adds stay inside whole-stage codegen.
+    """
     bits = []
     for plane in planes:
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                arr,
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        dot = F.lit(0.0)
+        for j, p in enumerate(plane):
+            dot = dot + F.element_at(F.col(vec_col), j + 1).cast(
+                "double"
+            ) * F.lit(p)
         bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
     out = F.lit(0)
     for b in bits:

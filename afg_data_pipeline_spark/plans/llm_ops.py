@@ -741,11 +741,47 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_signatures",
-    oracle=None,  # bit-matrix vote in numpy; pinned by pytest
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents
+        ),
+        tokhash AS (
+            SELECT doc_id, md5(t) AS h FROM toks
+        ),
+        bitvotes AS (
+            SELECT doc_id, i,
+                   SUM(2 * ((strpos('0123456789abcdef',
+                                    substr(h, 16 - (i // 4), 1)) - 1
+                            ) >> (i % 4) & 1) - 1) AS votes
+            FROM tokhash, (SELECT unnest(generate_series(0, 63)) AS i)
+            GROUP BY doc_id, i
+        ),
+        halves AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN i < 32 AND votes > 0
+                            THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS lo,
+                   SUM(CASE WHEN i >= 32 AND votes > 0
+                            THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS hi
+            FROM bitvotes GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN u - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE u END AS BIGINT) AS simhash
+        FROM (SELECT doc_id,
+                     CAST(hi AS HUGEINT) * 4294967296
+                         + CAST(lo AS HUGEINT) AS u
+              FROM halves)
+    """,
     ops=("DEDUP",),
 )
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (mapInPandas bit vote)."""
+    """64-bit SimHash per document (mapInPandas bit vote), verified
+    bit-exact against a pure-SQL replica: per-token md5 -> 64
+    nibble-arithmetic bit votes -> signed-int64 reassembly from two
+    32-bit halves (HUGEINT wraparound for bit 63)."""
     docs = read_star_table(spark, "documents", sf_dir)
     return simhash_signatures(docs)
 
@@ -795,13 +831,93 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, k=5)
 
 
+def _srp_topk_oracle_sql(
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    query_pred: str = "vec_id < 32",
+) -> str:
+    """Exact SQL replica of lsh_bucketed_topk (same inlined
+    md5-derived planes and left-associated bucket dots as
+    _srp_lsh_oracle_sql, then exact cosine + deterministic
+    (cosine DESC, neighbor ASC) ranking)."""
+    from afg_data_pipeline_spark.operators.similarity import _hyperplane
+
+    def dot_sql(plane: list[float]) -> str:
+        terms = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({p!r})"
+            for j, p in enumerate(plane)
+        )
+        return f"(0.0 + {terms})"
+
+    selects = []
+    for t in range(n_tables):
+        planes = [
+            _hyperplane(seed + t * 1000 + p, dim) for p in range(n_planes)
+        ]
+        bucket = " + ".join(
+            f"(CASE WHEN {dot_sql(pl)} >= 0 THEN 1 ELSE 0 END) "
+            f"* {2 ** (n_planes - 1 - i)}"
+            for i, pl in enumerate(planes)
+        )
+        selects.append(
+            f"SELECT {t} AS t, vec_id, ({bucket}) AS bucket "
+            "FROM embeddings"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH buckets AS ({union}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id,
+                            c.vec_id AS neighbor_id
+            FROM buckets q
+            JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.{query_pred} AND q.vec_id <> c.vec_id
+        ),
+        vecs AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT cd.query_id, cd.neighbor_id,
+                   list_aggregate(list_transform(
+                       generate_series(1, len(a.embedding)),
+                       i -> CAST(a.embedding[i] AS DOUBLE)
+                            * CAST(b.embedding[i] AS DOUBLE)),
+                       'sum') / (a.nrm * b.nrm) AS cosine
+            FROM cand cd
+            JOIN vecs a ON a.vec_id = cd.query_id
+            JOIN vecs b ON b.vec_id = cd.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC
+                   ) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate by design; recall pinned in pytest
+    oracle=_srp_topk_oracle_sql(),
     ops=("ANN",),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed ANN — the 100 TB similarity-search path."""
+    """SRP-LSH bucketed ANN — the 100 TB similarity-search path.
+    Approximate vs brute force by design, but fully deterministic,
+    so the whole bucketed pipeline is replicated in SQL and
+    oracle-checked bit-for-bit (planes inlined as literals)."""
     emb = read_star_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 32)
     return lsh_bucketed_topk(queries, emb, k=5)
@@ -1248,10 +1364,79 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cosine") >= 0.2)
 
 
+def _srp_lsh_oracle_sql(
+    threshold: float = 0.2,
+    n_planes: int = 2,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Exact SQL replica of lsh_near_dup_pairs: the md5-derived
+    hyperplanes are inlined as literals and each bucket dot product
+    is the same left-associated explicit sum the Spark side uses,
+    so the candidate sets (and therefore the verified output rows)
+    match bit-for-bit."""
+    from afg_data_pipeline_spark.operators.similarity import _hyperplane
+
+    def dot_sql(plane: list[float]) -> str:
+        terms = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({p!r})"
+            for j, p in enumerate(plane)
+        )
+        return f"(0.0 + {terms})"
+
+    selects = []
+    for t in range(n_tables):
+        planes = [
+            _hyperplane(seed + t * 1000 + p, dim) for p in range(n_planes)
+        ]
+        bucket = " + ".join(
+            f"(CASE WHEN {dot_sql(pl)} >= 0 THEN 1 ELSE 0 END) "
+            f"* {2 ** (n_planes - 1 - i)}"
+            for i, pl in enumerate(planes)
+        )
+        selects.append(
+            f"SELECT {t} AS t, vec_id, ({bucket}) AS bucket "
+            "FROM embeddings"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH buckets AS ({union}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a
+            JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+            WHERE a.vec_id < b.vec_id
+        ),
+        vecs AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        )
+        SELECT c.id_a, c.id_b,
+               list_aggregate(list_transform(
+                   generate_series(1, len(a.embedding)),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)),
+                   'sum') / (a.nrm * b.nrm) AS cosine
+        FROM cand c
+        JOIN vecs a ON a.vec_id = c.id_a
+        JOIN vecs b ON b.vec_id = c.id_b
+        WHERE list_aggregate(list_transform(
+                  generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)),
+                  'sum') / (a.nrm * b.nrm) >= {threshold!r}
+    """
+
+
 @register(
     "embedding_near_dup_lsh",
-    oracle=None,  # recall < 1 by design; pytest pins recall vs the
-    # bit-exact embedding_near_dup anchor.
+    oracle=_srp_lsh_oracle_sql(),
     ops=("DEDUP", "ANN"),
 )
 def embedding_near_dup_lsh(
@@ -1283,13 +1468,85 @@ def embedding_near_dup_lsh(
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate by design; recall pinned in pytest
+    oracle="""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+            LIMIT 16
+        ),
+        dists AS (
+            SELECT e.vec_id, c.centroid_id,
+                   list_aggregate(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(c.centroid[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(c.centroid[i] AS DOUBLE))),
+                       'sum') AS d2
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        ranked AS (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY d2 ASC, centroid_id ASC
+                   ) AS probe_rank
+            FROM dists
+        ),
+        corpus_cells AS (
+            SELECT vec_id AS neighbor_id, centroid_id
+            FROM ranked WHERE probe_rank = 1
+        ),
+        query_cells AS (
+            SELECT vec_id AS query_id, centroid_id
+            FROM ranked WHERE probe_rank <= 4 AND vec_id < 32
+        ),
+        cand AS (
+            SELECT DISTINCT q.query_id, c.neighbor_id
+            FROM query_cells q
+            JOIN corpus_cells c USING (centroid_id)
+            WHERE q.query_id <> c.neighbor_id
+        ),
+        vecs AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM (
+            SELECT cd.query_id, cd.neighbor_id,
+                   list_aggregate(list_transform(
+                       generate_series(1, len(a.embedding)),
+                       i -> CAST(a.embedding[i] AS DOUBLE)
+                            * CAST(b.embedding[i] AS DOUBLE)),
+                       'sum') / (a.nrm * b.nrm) AS cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY cd.query_id
+                       ORDER BY list_aggregate(list_transform(
+                           generate_series(1, len(a.embedding)),
+                           i -> CAST(a.embedding[i] AS DOUBLE)
+                                * CAST(b.embedding[i] AS DOUBLE)),
+                           'sum') / (a.nrm * b.nrm) DESC,
+                                cd.neighbor_id ASC
+                   ) AS INTEGER) AS rank
+            FROM cand cd
+            JOIN vecs a ON a.vec_id = cd.query_id
+            JOIN vecs b ON b.vec_id = cd.neighbor_id
+        ) WHERE rank <= 5
+    """,
     ops=("ANN",),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate cosine top-5 (the second ANN scale
     path next to SRP-LSH): corpus partitioned by nearest centroid,
-    queries probe 4 of 16 cells."""
+    queries probe 4 of 16 cells. Deterministic end-to-end (seeded
+    centroids, tie-broken ranks), so the full bucketed pipeline is
+    replicated in SQL and oracle-checked bit-for-bit."""
     from afg_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = read_star_table(spark, "embeddings", sf_dir)
