@@ -942,11 +942,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.select(
         "doc_id",
         F.size("feature").alias("feature_dim"),
+        # Explicit 8-term sum, not F.aggregate — this feeds a
+        # rows-only (oracle-less) path, so the HOF-lambda corruption
+        # class (CLAUDE.md rule 10) would be silent here.
         F.sqrt(
-            F.aggregate(
-                "feature",
+            sum(
+                (
+                    F.element_at("feature", j + 1)
+                    * F.element_at("feature", j + 1)
+                    for j in range(8)
+                ),
                 F.lit(0.0),
-                lambda acc, x: acc + x * x,
             )
         ).alias("feature_norm"),
         F.element_at("feature", 1).alias("feature_0"),
@@ -972,6 +978,73 @@ def multimodal_frame_sample(
     docs = read_star_table(spark, "documents", sf_dir)
     media = attach_fake_media(docs)
     return frame_sample(media, n_frames=4)
+
+
+@register(
+    "unigram_lm_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents
+        ),
+        freqs AS (
+            SELECT t, count(*) AS cnt FROM toks GROUP BY t
+        ),
+        tot AS (
+            SELECT count(*) AS n FROM toks
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST((-ln(CAST(cnt AS DOUBLE)
+                              / CAST(n AS DOUBLE)))
+                         AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_nll
+        FROM toks JOIN freqs USING (t) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    ops=("TEXT", "A1"),
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean negative
+    log-likelihood under the corpus's own unigram LM (the CCNet /
+    Gopher-style 'LM filter' with the cheapest possible LM).
+    Low avg_nll = common boilerplate-like tokens; high = rare-token
+    soup — both tails are what quality filtering trims.
+
+    Two aggregation passes, both shuffle-light: (1) global token
+    counts (partial count before the shuffle, vocabulary-sized
+    result), (2) token->freq equi-join (stopword skew handled by
+    AQE) then a per-doc decimal-accumulated mean (order-invariant,
+    CLAUDE.md rule 1; ln() verified bit-identical across engines
+    on the frequency ratios). The corpus total rides in as a 1-row
+    broadcast cross join, not a collected literal, so the plan is
+    one lazy composition.
+    """
+    from afg_data_pipeline_spark.functions.numeric import dsum_expr
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    toks_long = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("t")
+    )
+    freqs = toks_long.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks_long.agg(F.count(F.lit(1)).alias("n"))
+    nll = -F.log(
+        F.col("cnt").cast("double") / F.col("n").cast("double")
+    )
+    return (
+        toks_long.join(freqs, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                dsum_expr(nll, "nll_sum")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_nll"),
+        )
+        .select("doc_id", "n_tokens", "avg_nll")
+    )
 
 
 @register(

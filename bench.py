@@ -82,6 +82,12 @@ HEADLINE = [
     "nn_assign_grid2d",
     "funnel_conversion",
     "data_quality_report",
+    # --- round-2 late additions (append-only) ---
+    "eval_decontamination",
+    "unigram_lm_score",
+    "simhash_signatures",
+    "pack_token_stream",
+    "spatial_adjacency_graph",
 ]
 
 

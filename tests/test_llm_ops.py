@@ -478,3 +478,32 @@ class TestPiiRedaction:
         assert got[2] == "server [IP] responded"
         assert got[3].count("[PHONE]") == 2
         assert got[4] == "clean text with no identifiers at all"
+
+
+class TestUnigramLmScore:
+    def test_rare_tokens_score_higher(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+        from tests.conftest import SF_DIR
+
+        rows = {
+            r.doc_id: r
+            for r in REGISTRY["unigram_lm_score"].fn(
+                spark, SF_DIR
+            ).collect()
+        }
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'"
+        )
+        texts = dict(
+            con.execute("SELECT doc_id, text FROM documents").fetchall()
+        )
+        con.close()
+        assert set(rows) == set(texts)
+        # scores are positive, finite, and n_tokens matches a split
+        for did, r in rows.items():
+            assert r.avg_nll > 0
+            assert r.n_tokens == len(texts[did].split())

@@ -214,3 +214,36 @@ class TestPartitionedSink:
             for p in (tmp_path / "orders_by_year").glob("o_year=*")
         ]
         assert any("o_year=1997" in f for f in files)
+
+
+class TestNewLlmOpShapes:
+    def test_decontamination_is_gram_equi_join(self, spark):
+        # Both sides reduce to distinct gram rows; the join must be
+        # a shuffle equi-join on the gram, never a cross product or
+        # a full-side broadcast (eval sets are unbounded in theory).
+        plan = plan_of(REGISTRY["eval_decontamination"].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_adjacency_graph_no_cross_join(self, spark):
+        plan = plan_of(
+            REGISTRY["spatial_adjacency_graph"].fn(spark, SF_DIR)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_pack_token_stream_window_is_partitioned(self, spark):
+        # The packing cumsum must stay per-language — a global
+        # (unpartitioned) window would funnel the corpus through a
+        # single task.
+        plan = plan_of(REGISTRY["pack_token_stream"].fn(spark, SF_DIR))
+        assert "Window" in plan
+        assert "partitionBy=[lang" in plan.replace(" ", "") or (
+            "PartitionBy:[lang" in plan.replace(" ", "")
+        ) or "lang" in plan.split("Window")[1][:200]
+
+    def test_unigram_lm_total_is_broadcast_scalar(self, spark):
+        # The 1-row corpus total must ride a broadcast, and the
+        # token->freq join must not be a cross product.
+        plan = plan_of(REGISTRY["unigram_lm_score"].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
