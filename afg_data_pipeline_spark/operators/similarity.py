@@ -191,6 +191,7 @@ def lsh_near_dup_pairs(
     n_tables: int = 6,
     dim: int = 64,
     seed: int = 42,
+    hot_rows: int = 4096,
 ) -> DataFrame:
     """Thresholded cosine near-duplicate pairs via SRP-LSH blocking
     — the sub-quadratic production shape of semantic dedup (vs the
@@ -211,13 +212,17 @@ def lsh_near_dup_pairs(
     therefore part of the caller's contract, not defaults to trust
     blindly.
 
-    Scale shape: the per-table self-join is a salted shuffle join —
-    probe side salted by hash(id) % S, build side replicated over
-    the S salt values (S capped at 64; see ngram_jaccard_pairs for
-    the rationale) — so hot buckets split S ways and nothing is
-    broadcast. The shuffle carries (table, bucket, id, vector);
-    with 2^n_planes buckets per table the candidate volume, not the
-    corpus, bounds the work.
+    Scale shape: buckets larger than ``hot_rows`` self-join salted
+    (probe side hash(id) % S, build rows replicated over S salt
+    values, S capped at 64) so one boilerplate bucket cannot become
+    a single-task quadratic job; all other buckets join plain on
+    (table, bucket) — replicating the WHOLE corpus S× (the round-2
+    initial shape) multiplies shuffle bytes for no gain in the
+    production regime where most buckets are small. The hot-key
+    set is bounded by #buckets over the cap, so its semi/anti
+    split joins are broadcast-small by construction. The shuffle
+    carries (table, bucket, id, vector); candidate volume, not the
+    corpus, bounds the pair work.
     """
     sides = []
     for t in range(n_tables):
@@ -236,18 +241,60 @@ def lsh_near_dup_pairs(
     tagged = sides[0]
     for s in sides[1:]:
         tagged = tagged.unionByName(s)
+    # Hot/cold split: salting replicates the build side S×, which
+    # is the right trade only where a bucket is genuinely hot (its
+    # |bucket|² pair work dwarfs the S× shuffle of its rows).
+    # Unlike the language-blocked Jaccard verifier (few, uniformly
+    # huge groups — operators/dedup.ngram_jaccard_pairs replicates
+    # everything), SRP buckets are 2^n_planes × n_tables keys and
+    # in the production regime (high n_planes) almost all are
+    # small: replicating the whole corpus 64× would multiply
+    # shuffle bytes for no parallelism gain. So buckets above
+    # ``hot_rows`` join salted (S-way split), the rest join plain
+    # (t, bucket) — AQE skew-split covers the middle ground. The
+    # count pass is one partial-aggregated shuffle of (t, bucket).
     par = min(df.sparkSession.sparkContext.defaultParallelism, 64)
-    a = tagged.select(
-        "t", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va")
-    ).withColumn("__salt", F.pmod(F.xxhash64("id_a"), F.lit(par)))
-    b = tagged.select(
-        "t", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb")
-    ).withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(par)]))
+    counts = tagged.groupBy("t", "bucket").agg(
+        F.count(F.lit(1)).alias("__n")
     )
+    hot_keys = counts.filter(F.col("__n") > hot_rows).select(
+        "t", "bucket"
+    )
+    hot = tagged.join(hot_keys, ["t", "bucket"], "left_semi")
+    cold = tagged.join(hot_keys, ["t", "bucket"], "left_anti")
+
+    def pair_up(side: DataFrame, salted: bool) -> DataFrame:
+        a = side.select(
+            "t",
+            "bucket",
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+        )
+        b = side.select(
+            "t",
+            "bucket",
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+        )
+        keys = ["t", "bucket"]
+        if salted:
+            a = a.withColumn(
+                "__salt", F.pmod(F.xxhash64("id_a"), F.lit(par))
+            )
+            b = b.withColumn(
+                "__salt",
+                F.explode(F.array(*[F.lit(i) for i in range(par)])),
+            )
+            keys = ["t", "bucket", "__salt"]
+        return (
+            a.join(b.hint("shuffle_hash"), keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+        )
+
     cands = (
-        a.join(b.hint("shuffle_hash"), ["t", "bucket", "__salt"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pair_up(hot, salted=True)
+        .unionByName(pair_up(cold, salted=False))
         .dropDuplicates(["id_a", "id_b"])
     )
     cosine = dot_decimal("va", "vb") / (

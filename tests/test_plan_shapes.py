@@ -131,14 +131,30 @@ class TestClassicShapes:
 
     def test_embedding_lsh_dedup_is_shuffle_not_broadcast(self, spark):
         # The registered semantic-dedup production path must not
-        # inherit the brute-force anchor's broadcast/crossJoin.
+        # inherit the brute-force anchor's broadcast/crossJoin. The
+        # pair-generating self-joins must be shuffle joins; the only
+        # broadcast allowed is the bounded hot-bucket KEY set used
+        # for the hot/cold split (a semi/anti of (t, bucket) keys,
+        # never vectors).
         plan = plan_of(
             REGISTRY["embedding_near_dup_lsh"].fn(spark, SF_DIR)
         )
-        assert "BroadcastHashJoin" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+        # any broadcast join must be the key-set split (LeftSemi /
+        # LeftAnti) — never an Inner pair join. The simple-mode plan
+        # prints the join type inline per node.
+        simple = (
+            REGISTRY["embedding_near_dup_lsh"]
+            .fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in simple.splitlines():
+            if "BroadcastHashJoin" in line:
+                assert "LeftSemi" in line or "LeftAnti" in line, line
 
     def test_nn_grid2d_resolves_without_crossjoin(self, spark):
         # The 2-D grid NN must resolve every row through the cell
