@@ -981,6 +981,117 @@ def multimodal_frame_sample(
 
 
 @register(
+    "boilerplate_line_dedup",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        linearr AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1,
+                           CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                       i -> array_to_string(
+                           array_slice(t, (i-1)*10 + 1, i*10), ' ')
+                   ) AS ls
+            FROM toks
+        ),
+        lines AS (
+            SELECT doc_id, pos, ls[pos] AS line
+            FROM linearr,
+                 LATERAL (SELECT unnest(generate_series(1, len(ls)))
+                          AS pos)
+        ),
+        counts AS (
+            SELECT line, count(*) AS cnt FROM lines GROUP BY line
+        ),
+        kept AS (
+            SELECT l.doc_id, l.pos, l.line
+            FROM lines l JOIN counts c USING (line)
+            WHERE c.cnt < 3
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos)
+                       AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               COALESCE(r.clean_text, '') AS clean_text,
+               CAST(len(a.ls) - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS n_lines_removed
+        FROM linearr a LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    ops=("DEDUP", "TEXT"),
+)
+def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup: any line occurring >= 3 times
+    across the corpus is boilerplate and is dropped from every
+    document; documents are rebuilt from their surviving lines in
+    order. (C4 used exactly this three-occurrence rule on real
+    lines; this corpus has no newlines, so 'lines' are
+    deterministic 10-token windows built in-plan — the global
+    count + ordered rebuild semantics are the operator under
+    test.)
+
+    Scale shape: lines shuffle as strings for one global count
+    (partial-aggregated), then one equi-join back (hot boilerplate
+    lines are exactly the skewed keys — AQE skew-split); the
+    ordered rebuild is a per-doc sort of that doc's own line
+    structs, never a global sort. All-lines-removed docs survive
+    via the left join (empty text, full removed-count).
+    """
+    docs = read_star_table(spark, "documents", sf_dir)
+    linearr = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1,"
+            " cast(ceil(size(split(trim(text), '\\\\s+')) / 10.0)"
+            " as int)),"
+            " i -> concat_ws(' ',"
+            "   slice(split(trim(text), '\\\\s+'), (i-1)*10 + 1, 10)))"
+        ).alias("ls"),
+    )
+    lines = linearr.select(
+        "doc_id",
+        F.posexplode("ls").alias("pos0", "line"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "line"
+    )
+    counts = lines.groupBy("line").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    kept = lines.join(counts, "line").filter(F.col("cnt") < 3)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform("
+            " array_sort(collect_list(struct(pos, line))),"
+            " x -> x.line), '\\n')"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        linearr.select("doc_id", F.size("ls").alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias(
+                "clean_text"
+            ),
+            (
+                F.col("n_lines")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
+@register(
     "unigram_lm_score",
     oracle="""
         WITH toks AS (
