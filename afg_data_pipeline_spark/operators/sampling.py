@@ -52,3 +52,74 @@ def hash_stratified_sample(
             F.lit(fraction_threshold(frac)),
         ).otherwise(expr)
     return df.filter(digest < expr)
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Downsample-only domain mixing: keep rows so the surviving
+    corpus matches the target ``weights`` proportions as closely as
+    downsampling allows. Weights are RELATIVE (they need not sum to
+    1); strata absent from ``weights`` get ``default_weight``.
+
+    K = min_s(n_s / w_s) is the largest total honoring the weights
+    without upsampling any stratum; stratum s keeps rate_s =
+    w_s * K / n_s of its rows by the same md5-threshold membership
+    as hash_stratified_sample — deterministic, retry-stable, and
+    engine-portable (the rate arithmetic is single IEEE ops on
+    exact counts, so the threshold is bit-identical in SQL).
+
+    Scale shape: one partial-aggregated count per stratum, a 1-row
+    global min, and a broadcast join of #strata rate rows back —
+    the sample itself stays a pure filter predicate.
+    """
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_expr: Column = F.lit(float(default_weight))
+    for stratum, w in sorted(weights.items()):
+        w_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(float(w))
+        ).otherwise(w_expr)
+    rates = counts.select(
+        strata_col,
+        "__n",
+        w_expr.alias("__w"),
+    )
+    k = rates.agg(
+        F.min(
+            F.col("__n").cast("double") / F.col("__w")
+        ).alias("__k")
+    )
+    rates = rates.crossJoin(F.broadcast(k)).select(
+        strata_col,
+        (
+            F.col("__w") * F.col("__k") / F.col("__n").cast("double")
+        ).alias("__rate"),
+    )
+    thresh = F.when(
+        F.col("__rate") >= 1.0, F.lit("g" * 32)
+    ).otherwise(
+        F.concat(
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.floor(F.col("__rate") * F.lit(4294967296.0))
+                        .cast("bigint")
+                    ),
+                    8,
+                    "0",
+                )
+            ),
+            F.lit("0" * 24),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(F.md5(F.col(id_col).cast("string")) < thresh)
+        .drop("__rate")
+    )

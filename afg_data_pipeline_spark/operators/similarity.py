@@ -109,6 +109,12 @@ def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     results are unchanged; see CLAUDE.md rule 10 / operators/
     dedup.py for the observed HOF-lambda corruption this avoids),
     and plain nested adds stay inside whole-stage codegen.
+
+    NOTE: per-expression cost is O(n_planes × dim) py4j calls and a
+    very large generated method — fine for one-off use, but the
+    bucket-table builders below use ``srp_tagged_decimal`` (one
+    exploded decimal aggregation for ALL planes at once) on hot
+    paths.
     """
     bits = []
     for plane in planes:
@@ -122,6 +128,93 @@ def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     for b in bits:
         out = out * 2 + b
     return out
+
+
+_SRP_DEC = "decimal(28,18)"
+
+
+def srp_all_planes(
+    n_planes: int, n_tables: int, dim: int, seed: int
+) -> list[list[float]]:
+    """All n_tables × n_planes hyperplanes, table-major (table t's
+    planes occupy indexes t*n_planes .. t*n_planes+n_planes-1)."""
+    return [
+        _hyperplane(seed + t * 1000 + p, dim)
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+
+
+def srp_tagged_decimal(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """(t, bucket, id, v) bucket table for all tables in ONE pass.
+
+    Every plane dot product is computed by exploding the vector
+    once and summing per-component products in DECIMAL(28,18) —
+    exact and associative, so the result is order-independent
+    (retry/partitioning-stable) and bit-reproducible in SQL, with
+    no HOF lambdas and no O(n_planes × dim)-term expression trees
+    (which cost seconds of py4j construction + codegen per query).
+    Map-side partial aggregation collapses the dim× explode to one
+    row per vector before the shuffle; the plane matrix rides as a
+    broadcast dim-row table.
+    """
+    planes = srp_all_planes(n_planes, n_tables, dim, seed)
+    n_dots = len(planes)
+    spark = df.sparkSession
+    rows = [
+        tuple([j + 1] + [planes[d][j] for d in range(n_dots)])
+        for j in range(dim)
+    ]
+    schema = "j int, " + ", ".join(
+        f"c{d} double" for d in range(n_dots)
+    )
+    ptab = spark.createDataFrame(rows, schema)
+    comp = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("j0", "e"),
+    ).select("id", (F.col("j0") + 1).alias("j"), "e")
+    dots = (
+        comp.join(F.broadcast(ptab), "j")
+        .groupBy("id")
+        .agg(
+            *[
+                F.sum(
+                    (
+                        F.col("e").cast("double") * F.col(f"c{d}")
+                    ).cast(_SRP_DEC)
+                ).alias(f"d{d}")
+                for d in range(n_dots)
+            ]
+        )
+    )
+    bucket_structs = []
+    for t in range(n_tables):
+        b = F.lit(0)
+        for p in range(n_planes):
+            bit = F.when(
+                F.col(f"d{t * n_planes + p}") >= 0, F.lit(1)
+            ).otherwise(F.lit(0))
+            b = b * 2 + bit
+        bucket_structs.append(
+            F.struct(F.lit(t).alias("t"), b.alias("bucket"))
+        )
+    tagged = dots.select(
+        "id", F.explode(F.array(*bucket_structs)).alias("tb")
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    return tagged.join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ),
+        "id",
+    ).select("t", "bucket", "id", "v")
 
 
 def lsh_bucketed_topk(
@@ -142,31 +235,28 @@ def lsh_bucketed_topk(
     kernel scores and ranks. Output contract identical to
     brute_force_topk (ranks may differ — approximate by design).
     """
-    sides = []
-    for t in range(n_tables):
-        planes = [
-            _hyperplane(seed + t * 1000 + p, dim)
-            for p in range(n_planes)
-        ]
-        bucket = srp_bucket(vec_col, planes).alias("bucket")
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            bucket,
-        )
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            bucket,
-        )
-        sides.append((q, c))
-    cands = None
-    for q, c in sides:
-        j = q.join(c, "bucket").drop("bucket")
-        cands = j if cands is None else cands.unionByName(j)
-    cands = cands.filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    qt = srp_tagged_decimal(
+        queries, id_col, vec_col, n_planes, n_tables, dim, seed
+    ).select(
+        "t",
+        "bucket",
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+    )
+    ct = srp_tagged_decimal(
+        corpus, id_col, vec_col, n_planes, n_tables, dim, seed
+    ).select(
+        "t",
+        "bucket",
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+    )
+    cands = (
+        qt.join(ct, ["t", "bucket"])
+        .drop("t", "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     cosine = dot_decimal("qv", "cv") / (
         norm_decimal("qv") * norm_decimal("cv")
     )
@@ -191,7 +281,7 @@ def lsh_near_dup_pairs(
     n_tables: int = 6,
     dim: int = 64,
     seed: int = 42,
-    hot_rows: int = 4096,
+    hot_rows: int = 1024,
 ) -> DataFrame:
     """Thresholded cosine near-duplicate pairs via SRP-LSH blocking
     — the sub-quadratic production shape of semantic dedup (vs the
@@ -214,33 +304,29 @@ def lsh_near_dup_pairs(
 
     Scale shape: buckets larger than ``hot_rows`` self-join salted
     (probe side hash(id) % S, build rows replicated over S salt
-    values, S capped at 64) so one boilerplate bucket cannot become
-    a single-task quadratic job; all other buckets join plain on
-    (table, bucket) — replicating the WHOLE corpus S× (the round-2
-    initial shape) multiplies shuffle bytes for no gain in the
-    production regime where most buckets are small. The hot-key
+    values, S capped at 64) so one hot bucket cannot become a
+    single-task quadratic job; all other buckets join plain on
+    (table, bucket) — replicating the WHOLE corpus S× multiplies
+    shuffle bytes for no gain in the production regime where most
+    buckets are small. ``hot_rows`` is a PAIR-WORK threshold, not a
+    memory one: a bucket of b rows produces b²/2 pairs in one
+    task on the plain path, so the default (1024 -> ~0.5M pairs)
+    keeps per-task work bounded; raising it under-parallelizes
+    mid-size buckets (measured 4.9s -> 13.7s at sf0.1 when every
+    1250-row bucket fell to the 24-key plain join). The hot-key
     set is bounded by #buckets over the cap, so its semi/anti
     split joins are broadcast-small by construction. The shuffle
     carries (table, bucket, id, vector); candidate volume, not the
     corpus, bounds the pair work.
     """
-    sides = []
-    for t in range(n_tables):
-        planes = [
-            _hyperplane(seed + t * 1000 + p, dim)
-            for p in range(n_planes)
-        ]
-        sides.append(
-            df.select(
-                F.lit(t).alias("t"),
-                srp_bucket(vec_col, planes).alias("bucket"),
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
-            )
-        )
-    tagged = sides[0]
-    for s in sides[1:]:
-        tagged = tagged.unionByName(s)
+    tagged = srp_tagged_decimal(
+        df, id_col, vec_col, n_planes, n_tables, dim, seed
+    )
+    # Materialize the tagged (t, bucket, id, v) table once: it
+    # feeds three consumers (bucket counts, hot semi, cold anti).
+    # localCheckpoint (not persist) for the reasons in
+    # operators/dedup.minhash_lsh_candidates.
+    tagged = tagged.localCheckpoint(eager=True)
     # Hot/cold split: salting replicates the build side S×, which
     # is the right trade only where a bucket is genuinely hot (its
     # |bucket|² pair work dwarfs the S× shuffle of its rows).

@@ -840,17 +840,19 @@ def _srp_topk_oracle_sql(
     query_pred: str = "vec_id < 32",
 ) -> str:
     """Exact SQL replica of lsh_bucketed_topk (same inlined
-    md5-derived planes and left-associated bucket dots as
+    md5-derived planes and decimal bucket dots as
     _srp_lsh_oracle_sql, then exact cosine + deterministic
     (cosine DESC, neighbor ASC) ranking)."""
     from afg_data_pipeline_spark.operators.similarity import _hyperplane
 
     def dot_sql(plane: list[float]) -> str:
-        terms = " + ".join(
-            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({p!r})"
-            for j, p in enumerate(plane)
+        lst = "[" + ", ".join(repr(p) for p in plane) + "]"
+        return (
+            "list_aggregate(list_transform("
+            f"generate_series(1, {len(plane)}),"
+            " i -> CAST(CAST(embedding[i] AS DOUBLE)"
+            f" * ({lst}[i]) AS DECIMAL(28,18))), 'sum')"
         )
-        return f"(0.0 + {terms})"
 
     selects = []
     for t in range(n_tables):
@@ -978,6 +980,60 @@ def multimodal_frame_sample(
     docs = read_star_table(spark, "documents", sf_dir)
     media = attach_fake_media(docs)
     return frame_sample(media, n_frames=4)
+
+
+@register(
+    "domain_mixture_resample",
+    oracle="""
+        WITH counts AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n,
+                   CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN CAST(0.12 AS DOUBLE)
+                        ELSE CAST(0.08 AS DOUBLE) END AS w
+            FROM counts
+        ),
+        k AS (SELECT min(CAST(n AS DOUBLE) / w) AS k FROM w),
+        rates AS (
+            SELECT source, (w * k / CAST(n AS DOUBLE)) AS rate
+            FROM w CROSS JOIN k
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d JOIN rates r USING (source)
+        WHERE md5(CAST(d.doc_id AS VARCHAR)) <
+              CASE WHEN r.rate >= 1.0
+                   THEN 'gggggggggggggggggggggggggggggggg'
+                   ELSE lower(lpad(to_hex(CAST(floor(
+                            r.rate * 4294967296.0) AS BIGINT)),
+                            8, '0'))
+                        || '000000000000000000000000'
+              END
+    """,
+    ops=("SAMPLE", "A1"),
+)
+def domain_mixture_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Downsample-only domain mixing (operators/sampling.
+    mixture_resample): resample sources to a target mixture
+    (relative weight 0.12 for src0-4, 0.08 for every other source)
+    at the largest total
+    that honors the weights without upsampling. The data-dependent
+    keep-rates come from exact counts through single IEEE ops, so
+    the md5 thresholds — and therefore the surviving row set — are
+    bit-identical in SQL."""
+    from afg_data_pipeline_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    weights = {f"src{i}": 0.12 for i in range(5)}
+    out = mixture_resample(
+        docs, "source", "doc_id", weights, default_weight=0.08
+    )
+    return out.select("doc_id", "source", "lang")
 
 
 @register(
@@ -1557,17 +1613,21 @@ def _srp_lsh_oracle_sql(
 ) -> str:
     """Exact SQL replica of lsh_near_dup_pairs: the md5-derived
     hyperplanes are inlined as literals and each bucket dot product
-    is the same left-associated explicit sum the Spark side uses,
-    so the candidate sets (and therefore the verified output rows)
-    match bit-for-bit."""
+    accumulates per-component products in DECIMAL(28,18) — exact
+    and associative, the same arithmetic the Spark side's
+    srp_tagged_decimal uses — so the candidate sets (and therefore
+    the verified output rows) match bit-for-bit regardless of
+    evaluation order."""
     from afg_data_pipeline_spark.operators.similarity import _hyperplane
 
     def dot_sql(plane: list[float]) -> str:
-        terms = " + ".join(
-            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({p!r})"
-            for j, p in enumerate(plane)
+        lst = "[" + ", ".join(repr(p) for p in plane) + "]"
+        return (
+            "list_aggregate(list_transform("
+            f"generate_series(1, {len(plane)}),"
+            " i -> CAST(CAST(embedding[i] AS DOUBLE)"
+            f" * ({lst}[i]) AS DECIMAL(28,18))), 'sum')"
         )
-        return f"(0.0 + {terms})"
 
     selects = []
     for t in range(n_tables):

@@ -507,3 +507,32 @@ class TestUnigramLmScore:
         for did, r in rows.items():
             assert r.avg_nll > 0
             assert r.n_tokens == len(texts[did].split())
+
+
+class TestMixtureResample:
+    def test_weights_drive_proportions(self, spark):
+        from afg_data_pipeline_spark.operators.sampling import (
+            mixture_resample,
+        )
+
+        rows = [
+            (i, "a" if i < 4000 else "b") for i in range(5000)
+        ]  # 4000 a / 1000 b
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        # target 1:1 -> b is the binding stratum (K = 1000/0.5 =
+        # 2000): keep ~1000 of each.
+        out = mixture_resample(
+            df, "source", "doc_id", {"a": 0.5, "b": 0.5}
+        )
+        got = {
+            r.source: r.cnt
+            for r in out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert got["b"] == 1000  # rate 1.0 -> keep all
+        assert abs(got["a"] - 1000) < 150  # ~hash-exact quarter
+        # deterministic across evaluations
+        a = sorted(r.doc_id for r in out.collect())
+        b = sorted(r.doc_id for r in out.collect())
+        assert a == b
