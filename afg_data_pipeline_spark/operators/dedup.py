@@ -49,25 +49,6 @@ def exact_dedup(
     )
 
 
-def minhash_signature(
-    shingles, n_hashes: int = 8
-) -> list["F.Column"]:
-    """MinHash signature: per seed, the min md5 over shingles.
-
-    min(md5(seed|s)) under the lexicographic order is a uniform
-    random permutation per seed — the classic MinHash estimator
-    (Broder '97), engine-portable because it is just md5 + min.
-    """
-    return [
-        F.array_min(
-            F.transform(
-                shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
-            )
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-
-
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -336,22 +317,6 @@ def simhash_signatures(
 
     return df.select(id_col, text_col).mapInPandas(
         batch, schema=out_schema
-    )
-
-
-def shingle_from_text(text_col: str, k: int):
-    """Word k-shingles directly from a text column (tokenize +
-    shingle in one native expression; DuckDB-mirrorable: 1-based
-    element_at, short-text fallback to the whole token string)."""
-    split = "split(trim(" + text_col + "), '\\\\s+')"
-    parts = ", ".join(
-        "element_at(" + split + ", i + " + str(j) + ")" for j in range(k)
-    )
-    return F.expr(
-        "CASE WHEN size(" + split + ") < " + str(k)
-        + " THEN array(concat_ws(' ', " + split + "))"
-        + " ELSE transform(sequence(1, size(" + split + ") - "
-        + str(k - 1) + "), i -> concat_ws(' ', " + parts + ")) END"
     )
 
 

@@ -100,36 +100,6 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
     return comps
 
 
-def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id: one sign bit per plane.
-
-    The dot product is an explicit left-associated sum of
-    element_at(v, j) * plane[j] terms — NO higher-order-function
-    lambdas (same float addition order as a sequential fold, so
-    results are unchanged; see CLAUDE.md rule 10 / operators/
-    dedup.py for the observed HOF-lambda corruption this avoids),
-    and plain nested adds stay inside whole-stage codegen.
-
-    NOTE: per-expression cost is O(n_planes × dim) py4j calls and a
-    very large generated method — fine for one-off use, but the
-    bucket-table builders below use ``srp_tagged_decimal`` (one
-    exploded decimal aggregation for ALL planes at once) on hot
-    paths.
-    """
-    bits = []
-    for plane in planes:
-        dot = F.lit(0.0)
-        for j, p in enumerate(plane):
-            dot = dot + F.element_at(F.col(vec_col), j + 1).cast(
-                "double"
-            ) * F.lit(p)
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for b in bits:
-        out = out * 2 + b
-    return out
-
-
 _SRP_DEC = "decimal(28,18)"
 
 
