@@ -1289,25 +1289,31 @@ def pack_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat-then-chunk recipe, unlike length_bucketed_batches which
     never splits).
 
-    Scale shape: one window cumsum PARTITIONED by lang (never a
-    global sort); everything else is scalar arithmetic on the
-    running total."""
-    from pyspark.sql import Window
-
+    Scale shape: the running total is a two-pass SHARDED prefix sum
+    (operators/prefixsum.sharded_cumsum) — per-(lang, doc_id-range
+    shard) partial sums, broadcast exclusive shard offsets, then a
+    within-shard window — so parallelism is n_shards per language
+    instead of one task per language (a mostly-monolingual 100 TB
+    corpus would otherwise funnel through a single task). Integer
+    addition is associative, so the output is bit-identical to the
+    plain per-lang window the oracle expresses."""
+    from afg_data_pipeline_spark.operators.prefixsum import sharded_cumsum
     from afg_data_pipeline_spark.operators.text import token_count
 
     docs = read_star_table(spark, "documents", sf_dir)
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     cap = 2048
-    with_cum = docs.select(
-        "doc_id",
-        "lang",
-        token_count("text").alias("n_tokens"),
-    ).withColumn("cum", F.sum("n_tokens").over(w))
+    with_cum = sharded_cumsum(
+        docs.select(
+            "doc_id",
+            "lang",
+            token_count("text").alias("n_tokens"),
+        ),
+        value_col="n_tokens",
+        order_col="doc_id",
+        partition_cols=["lang"],
+        n_shards=32,
+        out_col="cum",
+    )
     start = F.col("cum") - F.col("n_tokens")
     return with_cum.select(
         "doc_id",

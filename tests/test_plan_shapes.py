@@ -248,15 +248,28 @@ class TestNewLlmOpShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_pack_token_stream_window_is_partitioned(self, spark):
-        # The packing cumsum must stay per-language — a global
-        # (unpartitioned) window would funnel the corpus through a
-        # single task.
-        plan = plan_of(REGISTRY["pack_token_stream"].fn(spark, SF_DIR))
-        assert "Window" in plan
-        assert "partitionBy=[lang" in plan.replace(" ", "") or (
-            "PartitionBy:[lang" in plan.replace(" ", "")
-        ) or "lang" in plan.split("Window")[1][:200]
+    def test_pack_token_stream_window_is_sharded(self, spark):
+        # The packing cumsum must be the two-pass sharded scan: the
+        # row-level window partitioned by (lang, __shard) — per-lang
+        # alone bounds parallelism at language cardinality. The
+        # per-shard-offset window (≤ n_shards rows per lang) is the
+        # only one allowed to partition by lang alone.
+        import re
+
+        df = REGISTRY["pack_token_stream"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        win_lines = [
+            ln for ln in plan.splitlines() if re.search(r"\bWindow\b", ln)
+        ]
+        assert win_lines, plan
+        cumsum_lines = [
+            ln
+            for ln in win_lines
+            if re.search(r"sum\(n_tokens#", ln)
+        ]
+        assert cumsum_lines, win_lines
+        for ln in cumsum_lines:
+            assert "__shard" in ln and "lang" in ln, ln
 
     def test_unigram_lm_total_is_broadcast_scalar(self, spark):
         # The 1-row corpus total must ride a broadcast, and the
