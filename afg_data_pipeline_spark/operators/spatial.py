@@ -38,7 +38,29 @@ def nearest_neighbor_assign(
     deterministic (the reference's argmin inherits numpy's
     first-match order; an explicit tie-break is the correct
     upgrade).
+
+    Guarded: the cross join evaluates |L|×|R| distances, correct
+    only while the right side is dimension-sized. Right sides beyond
+    ``AFG_NN_BRUTE_MAX_RIGHT_ROWS`` (default 100k — already ~1e10
+    pairs against a 100k left) raise instead of melting a cluster;
+    the scale paths are ``nearest_neighbor_1d`` /
+    ``nearest_neighbor_bucketed`` / ``nearest_neighbor_grid2d``,
+    which share this output contract.
     """
+    import os
+
+    limit = int(
+        os.environ.get("AFG_NN_BRUTE_MAX_RIGHT_ROWS", "100000")
+    )
+    n_right = right.count()
+    if n_right > limit:
+        raise ValueError(
+            f"nearest_neighbor_assign is a broadcast cross join: "
+            f"right side has {n_right} rows, over the "
+            f"AFG_NN_BRUTE_MAX_RIGHT_ROWS guard ({limit}); use "
+            "nearest_neighbor_grid2d (2-D), nearest_neighbor_1d / "
+            "nearest_neighbor_bucketed (1-D) for right sides at scale"
+        )
     # Spread the streaming side before the |R|-fold expansion: a
     # parquet scan often arrives in a handful of partitions, and the
     # cross join multiplies rows without re-splitting them. A cheap

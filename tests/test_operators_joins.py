@@ -195,6 +195,31 @@ class TestGrid2dNearestNeighbor:
         assert got == self._oracle(left, right)
 
 
+class TestBruteNnGuard:
+    def test_oversized_right_side_raises(self, spark, monkeypatch):
+        # The generic crossJoin NN must refuse un-broadcastable right
+        # sides instead of evaluating |L|x|R| distances.
+        from afg_data_pipeline_spark.operators.spatial import (
+            nearest_neighbor_assign,
+        )
+
+        monkeypatch.setenv("AFG_NN_BRUTE_MAX_RIGHT_ROWS", "3")
+        left = spark.createDataFrame(
+            [(0, 0.0)], "lid long, lx double"
+        )
+        right = spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "rid long, rx double"
+        )
+        with pytest.raises(ValueError, match="AFG_NN_BRUTE_MAX_RIGHT_ROWS"):
+            nearest_neighbor_assign(
+                left,
+                right,
+                left_key="lid",
+                right_key="rid",
+                distance=F.abs(F.col("lx") - F.col("rx")),
+            )
+
+
 class TestAsofJoin:
     def _frames(self, spark):
         trades = spark.createDataFrame(
