@@ -80,6 +80,11 @@ def decode_wav(data: bytes) -> dict:
                 (audio_format,) = struct.unpack_from("<H", body, 24)
             fmt = (audio_format, n_channels, sample_rate, bits)
         elif cid == b"data":
+            if len(body) < csize:
+                raise ValueError(
+                    "truncated WAVE data chunk: header declares "
+                    f"{csize} bytes, stream carries {len(body)}"
+                )
             raw = body
         # Chunks are word-aligned: odd sizes carry a pad byte.
         pos += 8 + csize + (csize & 1)
@@ -88,6 +93,12 @@ def decode_wav(data: bytes) -> dict:
     audio_format, n_channels, sample_rate, bits = fmt
     if n_channels < 1:
         raise ValueError("channel count must be >= 1")
+    width = max(bits // 8, 1)
+    if len(raw) % width:
+        raise ValueError(
+            f"WAVE data chunk length {len(raw)} is not a multiple "
+            f"of the {width}-byte sample width"
+        )
     if audio_format == _WAVE_FORMAT_PCM and bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif audio_format == _WAVE_FORMAT_PCM and bits == 8:

@@ -52,25 +52,49 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_WAV_MIMES = frozenset({"audio/wav", "audio/x-wav"})
+_BMP_MIMES = frozenset({"image/bmp", "image/x-bmp"})
+_PPM_MIMES = frozenset({"image/ppm", "image/x-portable-pixmap"})
+
+
+def decode_raster(data: bytes, fmt: str):
+    """Raster decode shared by every image stage: magic bytes first
+    (the authoritative signal), declared mime as fallback — ONE
+    dispatch, so feature-extract/resize/frame-sample can't drift
+    from decode_media's accepted-format sets.
+
+    Returns an (H, W, 3) uint8 array; raises NotImplementedError
+    for formats without an in-environment codec."""
+    from afg_data_pipeline_spark.operators import codecs
+
+    if data[:2] == b"P6" or fmt in _PPM_MIMES:
+        return codecs.decode_ppm(data)
+    if data[:2] == b"BM" or fmt in _BMP_MIMES:
+        return codecs.decode_bmp(data)
+    raise NotImplementedError(
+        f"no raster codec for {fmt!r}: compressed image codec "
+        "libraries are not available in this environment"
+    )
+
+
 def decode_media(data: bytes, fmt: str) -> bytes:
     """Container decode: bytes -> raw sample/pixel bytes.
 
     Uncompressed containers are decoded FOR REAL by the pure-NumPy
     codecs in operators/codecs.py (RIFF/WAVE PCM -> little-endian
-    float64 sample bytes; BMP/PPM -> packed RGB bytes). Compressed
-    codecs (JPEG/PNG/MP3/H.264) genuinely need libraries absent
-    from this environment and raise NotImplementedError.
+    float64 sample bytes; BMP/PPM -> packed RGB bytes via the shared
+    decode_raster dispatch). Compressed codecs (JPEG/PNG/MP3/H.264)
+    genuinely need libraries absent from this environment and raise
+    NotImplementedError.
     """
     from afg_data_pipeline_spark.operators import codecs
 
     if fmt == "fake/raw":
         return data
-    if fmt in ("audio/wav", "audio/x-wav"):
+    if fmt in _WAV_MIMES:
         return codecs.decode_wav(data)["samples"].tobytes()
-    if fmt in ("image/bmp", "image/x-bmp"):
-        return codecs.decode_bmp(data).tobytes()
-    if fmt in ("image/ppm", "image/x-portable-pixmap"):
-        return codecs.decode_ppm(data).tobytes()
+    if fmt in _BMP_MIMES or fmt in _PPM_MIMES:
+        return decode_raster(data, fmt).tobytes()
     raise NotImplementedError(
         f"no codec for {fmt!r}: compressed image/audio codec "
         "libraries are not available in this environment"
@@ -121,23 +145,25 @@ def frame_sample(
     df: DataFrame,
     n_frames: int = 4,
     fps_out: float = 1.0,
+    decoder: Callable[[bytes, str], bytes] = decode_media,
 ) -> DataFrame:
     """Sample n_frames per media row — the row-EXPANDING multimodal
-    stage (1 video -> N frame rows), Arrow-batched.
+    stage (1 stream -> N frame rows), Arrow-batched.
 
-    Output: (doc_id, frame_idx, frame_ts, frame binary). The
-    "decode + seek" is stubbed deterministically (frame i is a
-    keyed md5 stream over the media bytes); the Spark-side contract
-    is real: fixed output schema, per-batch pandas expansion, and —
-    critically — a round-robin repartition of the INPUT, because
-    AQE sizes partitions from input shuffle bytes and cannot see
-    the N× row expansion (CLAUDE.md rule: pre-expansion side must
-    be spread or the whole expansion runs in few tasks). Frame
-    bytes dominate output size, so downstream stages should select
-    metadata columns only unless they consume pixels.
+    Output: (doc_id, frame_idx, frame_ts, frame binary). The decode
+    is REAL for in-environment codecs (decode_media: WAV/BMP/PPM);
+    frame i is the i-th of n_frames contiguous segments of the
+    decoded payload — row strips of a raster, sample windows of a
+    PCM stream — i.e. genuine uniform temporal/spatial subsampling,
+    not a keyed hash stand-in. The Spark-side contract: fixed
+    output schema, per-batch pandas expansion, and — critically — a
+    round-robin repartition of the INPUT, because AQE sizes
+    partitions from input shuffle bytes and cannot see the N× row
+    expansion (CLAUDE.md rule: pre-expansion side must be spread or
+    the whole expansion runs in few tasks). Frame bytes dominate
+    output size, so downstream stages should select metadata
+    columns only unless they consume pixels.
     """
-    import hashlib
-
     import pandas as pd
 
     out_schema = (
@@ -149,14 +175,17 @@ def frame_sample(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             ids, idxs, tss, frames = [], [], [], []
-            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
-                raw = bytes(media)
+            for doc_id, media, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                raw = decoder(bytes(media), meta["format"])
+                n = len(raw)
                 for i in range(n_frames):
                     ids.append(doc_id)
                     idxs.append(i)
                     tss.append(i / fps_out)
                     frames.append(
-                        hashlib.md5(raw + i.to_bytes(4, "big")).digest()
+                        raw[n * i // n_frames : n * (i + 1) // n_frames]
                     )
             yield pd.DataFrame(
                 {
@@ -304,11 +333,7 @@ def image_feature_extract(df: DataFrame, n_hist: int = 4) -> DataFrame:
 
     import pandas as pd
 
-    from afg_data_pipeline_spark.operators.codecs import (
-        decode_bmp,
-        decode_ppm,
-        image_features,
-    )
+    from afg_data_pipeline_spark.operators.codecs import image_features
 
     out_schema = (
         "doc_id long, width int, height int, feature array<double>"
@@ -320,13 +345,7 @@ def image_feature_extract(df: DataFrame, n_hist: int = 4) -> DataFrame:
             for doc_id, media, meta in zip(
                 pdf["doc_id"], pdf["media"], pdf["meta"]
             ):
-                raw = bytes(media)
-                img = (
-                    decode_ppm(raw)
-                    if meta["format"].startswith("image/ppm")
-                    or raw[:2] == b"P6"
-                    else decode_bmp(raw)
-                )
+                img = decode_raster(bytes(media), meta["format"])
                 ids.append(doc_id)
                 hs.append(img.shape[0])
                 ws.append(img.shape[1])
@@ -352,8 +371,6 @@ def image_resize(df: DataFrame, width: int, height: int) -> DataFrame:
     import pandas as pd
 
     from afg_data_pipeline_spark.operators.codecs import (
-        decode_bmp,
-        decode_ppm,
         encode_bmp,
         resize_area,
     )
@@ -367,13 +384,7 @@ def image_resize(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in it:
             media_out, metas = [], []
             for media, meta in zip(pdf["media"], pdf["meta"]):
-                raw = bytes(media)
-                img = (
-                    decode_ppm(raw)
-                    if meta["format"].startswith("image/ppm")
-                    or raw[:2] == b"P6"
-                    else decode_bmp(raw)
-                )
+                img = decode_raster(bytes(media), meta["format"])
                 media_out.append(encode_bmp(resize_area(img, width, height)))
                 metas.append(
                     {"format": "image/bmp", "width": width, "height": height}

@@ -135,6 +135,12 @@ def srp_tagged_decimal(
     Map-side partial aggregation collapses the dim× explode to one
     row per vector before the shuffle; the plane matrix rides as a
     broadcast dim-row table.
+
+    Empty / all-null vectors produce no posexplode rows, so their
+    dot products come back NULL from the left join below; every
+    sign bit then evaluates through the ``otherwise(0)`` branch and
+    such rows land in bucket 0 of every table (the historical
+    srp_bucket contract) instead of vanishing from the output.
     """
     planes = srp_all_planes(n_planes, n_tables, dim, seed)
     n_dots = len(planes)
@@ -165,6 +171,9 @@ def srp_tagged_decimal(
             ]
         )
     )
+    # Re-attach ids whose vector exploded to nothing (empty vector):
+    # their d{d} stay NULL and the sign bits below default to 0.
+    dots = df.select(F.col(id_col).alias("id")).join(dots, "id", "left")
     bucket_structs = []
     for t in range(n_tables):
         b = F.lit(0)

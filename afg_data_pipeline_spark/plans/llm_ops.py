@@ -25,7 +25,6 @@ from afg_data_pipeline_spark.operators.dedup import (
     simhash_signatures,
 )
 from afg_data_pipeline_spark.operators.multimodal import (
-    attach_fake_media,
     extract_features,
 )
 from afg_data_pipeline_spark.operators.similarity import (
@@ -927,19 +926,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # codec stubbed; plumbing pinned in pytest
+    oracle=None,  # real BMP codec; DuckDB cannot decode BMP bytes
     ops=("MULTIMODAL",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column -> Arrow-batched feature extraction.
+    """Binary media column -> Arrow-batched feature extraction over
+    REAL media: deterministic BMP bytes synthesized per document,
+    decoded by the pure-NumPy codec (operators/codecs.py) inside
+    extract_features' decode_media dispatch — no stub path.
 
     The feature vector is projected to scalar columns (dim, L2
     norm, first component) for the harness — the rows-only
     canonicalizer hashes scalar cells only, and the full
     array<double> remains available from extract_features()
     directly (pinned in pytest)."""
+    from afg_data_pipeline_spark.operators.multimodal import (
+        attach_synth_bmp,
+    )
+
     docs = read_star_table(spark, "documents", sf_dir)
-    media = attach_fake_media(docs)
+    media = attach_synth_bmp(docs)
     feat = extract_features(media)
     return feat.select(
         "doc_id",
@@ -963,22 +969,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # codec stubbed; expansion plumbing pinned in pytest
+    oracle=None,  # real BMP codec; DuckDB cannot decode BMP bytes
     ops=("MULTIMODAL",),
 )
 def multimodal_frame_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Row-expanding frame sampling: each media row yields 4 frame
-    rows via mapInPandas, with the pre-expansion repartition that
-    keeps the N× blow-up parallel (AQE cannot see expansion in
-    input shuffle bytes)."""
+    """Row-expanding frame sampling over REAL media: each synthetic
+    BMP is decoded by the pure-NumPy codec and split into 4
+    contiguous row-strip frames via mapInPandas, with the
+    pre-expansion repartition that keeps the N× blow-up parallel
+    (AQE cannot see expansion in input shuffle bytes)."""
     from afg_data_pipeline_spark.operators.multimodal import (
+        attach_synth_bmp,
         frame_sample,
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    media = attach_fake_media(docs)
+    media = attach_synth_bmp(docs)
     return frame_sample(media, n_frames=4)
 
 

@@ -84,6 +84,25 @@ class TestWav:
         with pytest.raises(ValueError):
             decode_wav(b"not a wav at all")
 
+    def test_rejects_truncated_data_chunk(self):
+        x = np.linspace(-0.5, 0.5, 64)
+        wav = encode_wav(x, 8000)
+        with pytest.raises(ValueError, match="truncated WAVE data"):
+            decode_wav(wav[:-10])
+
+    def test_rejects_misaligned_data_length(self):
+        # A data chunk whose byte length is not a multiple of the
+        # sample width must be a codec-level error, not an opaque
+        # numpy frombuffer failure.
+        x = np.linspace(-0.5, 0.5, 64)
+        wav = bytearray(encode_wav(x, 8000))
+        pos = wav.find(b"data")
+        (csize,) = struct.unpack_from("<I", wav, pos + 4)
+        struct.pack_into("<I", wav, pos + 4, csize - 1)
+        struct.pack_into("<I", wav, 4, len(wav) - 8 - 1)
+        with pytest.raises(ValueError, match="sample width"):
+            decode_wav(bytes(wav[:-1]))
+
     def test_features_shape_and_duration(self):
         sr = 8000
         x = 0.25 * np.sin(2 * np.pi * 100 * np.arange(sr) / sr)

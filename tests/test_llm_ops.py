@@ -183,6 +183,27 @@ class TestSimilarity:
         # the planted near-identical pair must always be found
         assert (0, 1) in approx
 
+    def test_empty_vector_lands_in_bucket_zero(self, spark):
+        # Malformed (empty) vectors must not vanish from the bucket
+        # table — they get bucket 0 in every table, visibly.
+        from afg_data_pipeline_spark.operators.similarity import (
+            srp_tagged_decimal,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -2.0]), (2, [])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = srp_tagged_decimal(
+            df, "vec_id", "embedding", n_planes=2, n_tables=2,
+            dim=2, seed=7,
+        ).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.id, []).append((r.t, r.bucket))
+        assert sorted(by_id) == [1, 2]
+        assert sorted(by_id[2]) == [(0, 0), (1, 0)]
+
 
 class TestLshNearDup:
     """embedding_near_dup_lsh vs its brute-force anchor."""
@@ -303,8 +324,45 @@ class TestMultimodal:
             for r in out.collect()
         )
         assert rows == rows2
-        # Frames differ per index and per doc (keyed stub).
-        assert len({r[3] for r in rows}) == 6
+        # Frames are contiguous segments: they reassemble to the
+        # decoded payload (fake/raw passes bytes through).
+        media_by_id = {
+            r.doc_id: bytes(r.media) for r in media.collect()
+        }
+        for doc_id in (1, 2):
+            joined = b"".join(
+                r[3] for r in rows if r[0] == doc_id
+            )
+            assert joined == media_by_id[doc_id]
+
+    def test_frame_sample_real_bmp_strips(self, spark):
+        # The REAL path: synth BMP -> decode -> 4 row-strip frames
+        # whose concatenation is exactly the decoded raster bytes.
+        from afg_data_pipeline_spark.operators.codecs import decode_bmp
+        from afg_data_pipeline_spark.operators.multimodal import (
+            attach_synth_bmp,
+            frame_sample,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "first doc"), (2, "second doc")],
+            "doc_id long, text string",
+        )
+        media = attach_synth_bmp(docs)
+        raster = {
+            r.doc_id: decode_bmp(bytes(r.media)).tobytes()
+            for r in media.collect()
+        }
+        out = frame_sample(media, n_frames=4).collect()
+        by_id: dict[int, list] = {}
+        for r in out:
+            by_id.setdefault(r.doc_id, []).append(
+                (r.frame_idx, bytes(r.frame))
+            )
+        for doc_id, frames in by_id.items():
+            frames.sort()
+            assert len(frames) == 4
+            assert b"".join(f for _, f in frames) == raster[doc_id]
 
     def test_resize_updates_meta_only(self, spark):
         docs = _docs_with_planted_dups(spark)
