@@ -71,6 +71,116 @@ def connected_components(
     return labels
 
 
+def _edge_checksum(edges: DataFrame) -> tuple:
+    """Order-independent fingerprint of an edge set: (count,
+    sum(xxhash64(u,v))). One tiny scalar row per round — the same
+    cheap-convergence idea as connected_components' sum(label)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same (vertex, component) contract as
+    ``connected_components``, converging in O(log² n) rounds
+    instead of O(diameter).
+
+    Min-label propagation is the right default for near-dup graphs
+    (tiny diameters) and stays the oracle; this is the escape for
+    adversarial diameters (chains, lattices) where O(diameter)
+    rounds of joins would dominate.
+
+    Each operation is explode-free and HOF-lambda-free (CLAUDE.md
+    rule 10): a symmetrize/orient, a per-vertex min aggregate, and
+    an equi-join back — all shuffling on vertex id.
+
+    - large-star: every vertex u links each strictly-larger
+      neighbor to m = min(Γ(u) ∪ {u});
+    - small-star: orient edges large→small; every vertex u links
+      its smaller neighbors and itself to m = min(Γ(u)).
+
+    Both preserve connectivity and strictly shrink the potential
+    function; the fixpoint is a star forest rooted at component
+    minima. Convergence is detected from an order-independent edge
+    checksum (count + sum of xxhash64), matching the scalar-probe
+    pattern of the min-label variant.
+    """
+    # Self-loop-free undirected edge set, canonicalized u < v.
+    base = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_vertices = (
+        base.select(F.col("u").alias("vertex"))
+        .unionByName(base.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = base.localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        # --- large-star ---------------------------------------
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mv"))
+        m = F.least(F.col("u"), F.col("__mv"))
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star ---------------------------------------
+        oriented = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("__m"))
+        e = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .unionByName(
+                mins.select(
+                    F.col("u"), F.col("__m").alias("v")
+                )
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint edges point every non-root vertex at its component
+    # minimum; roots (the minima) carry no outgoing edge.
+    pointed = e.select(
+        F.col("u").alias("vertex"), F.col("v").alias("component")
+    )
+    return (
+        all_vertices.join(pointed, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("component", "vertex").alias("component"),
+        )
+    )
+
+
 def canonical_per_component(
     members: DataFrame,
     id_col: str = "vertex",

@@ -639,9 +639,11 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "near_dup_components",
-    oracle="""
+# Shared by near_dup_components (min-label) and
+# near_dup_components_star (large-star/small-star): both algorithms
+# must produce the identical (doc_id, component=min reachable id)
+# table, so they register the same transitive-closure oracle.
+_NEAR_DUP_COMPONENTS_ORACLE = """
         WITH RECURSIVE tokd AS (
             SELECT doc_id,
                    regexp_split_to_array(trim(text), '\\s+') AS t
@@ -705,7 +707,12 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT v AS doc_id, min(r) AS component
         FROM reach GROUP BY v
-    """,
+    """
+
+
+@register(
+    "near_dup_components",
+    oracle=_NEAR_DUP_COMPONENTS_ORACLE,
     ops=("DEDUP",),
 )
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,6 +738,40 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= 0.5
     )
     comps = connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    )
+    return comps.select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
+
+
+@register(
+    "near_dup_components_star",
+    oracle=_NEAR_DUP_COMPONENTS_ORACLE,
+    ops=("DEDUP",),
+)
+def near_dup_components_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same duplicate-cluster contract as near_dup_components, but
+    resolved with alternating large-star/small-star (Kiveris et
+    al.) instead of min-label propagation: O(log² n) rounds instead
+    of O(diameter) — the escape hatch for adversarial graph shapes
+    (long chains, lattices) where diameter-bound iteration
+    dominates. Shares near_dup_components' WITH RECURSIVE closure
+    oracle, so both algorithms are held to the same bit-exact
+    answer; pytest additionally pins them against each other and a
+    union-find reference on synthetic graphs (tests/test_graph.py).
+    """
+    from afg_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_candidates(docs).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comps = connected_components_star(
         pairs, src="doc_id_a", dst="doc_id_b"
     )
     return comps.select(

@@ -105,13 +105,17 @@ def main() -> None:
     spark.range(1000).count()
 
     names = [n for n in HEADLINE if n in REGISTRY]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         q = REGISTRY[name]
-        # Best of 2: the first execution of a plan pays whole-stage
-        # codegen JIT (~0.5-2s); the second measures the plan.
+        # Min of N (default 3): the first execution of a plan pays
+        # whole-stage codegen JIT (~0.5-2s), and a 56-query session
+        # interleaves GC/compilation noise that min-of-2 couldn't
+        # filter (r02's phantom agg_median 2× "regression") — the
+        # minimum over three runs measures the plan.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time()
             df = q.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -90,6 +90,48 @@ class TestConnectedComponents:
         assert keep == {1: (1, 3), 7: (7, 2)}
 
 
+class TestStarComponents:
+    """Large-star/small-star vs the min-label oracle."""
+
+    def _star(self, spark, edges, max_iter=30):
+        from afg_data_pipeline_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = connected_components_star(df, max_iter=max_iter)
+        return {r["vertex"]: r["component"] for r in out.collect()}
+
+    def test_agrees_with_min_label_on_pseudorandom_graph(self, spark):
+        n, edges = 60, []
+        for i in range(120):
+            h = hashlib.md5(f"edge|{i}".encode()).digest()
+            a = int.from_bytes(h[:4], "big") % n
+            b = int.from_bytes(h[4:8], "big") % n
+            if a != b:
+                edges.append((a, b))
+        assert self._star(spark, edges) == _components_of(spark, edges)
+
+    def test_agrees_on_known_topologies(self, spark):
+        edges = [
+            (1, 2), (2, 3), (3, 4),
+            (10, 11), (11, 12), (12, 10),
+            (20, 21),
+        ]
+        assert self._star(spark, edges) == _components_of(spark, edges)
+
+    def test_long_chain_needs_logarithmic_rounds(self, spark):
+        # Diameter 255: min-label would need ~255 rounds; the star
+        # alternation must resolve it within 10 — the adversarial-
+        # diameter case this variant exists for.
+        n = 256
+        got = self._star(
+            spark, [(i, i + 1) for i in range(n - 1)], max_iter=10
+        )
+        assert set(got.values()) == {0}
+        assert len(got) == n
+
+
 class TestRadiusEdges:
     def _brute(self, pts, radius):
         out = set()
