@@ -780,6 +780,70 @@ def near_dup_components_star(
 
 
 @register(
+    "tfidf_doc_pairs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT id, term, count(*) AS tf
+            FROM toks GROUP BY id, term
+        ),
+        dfs AS (
+            SELECT term, count(*) AS df
+            FROM tf GROUP BY term HAVING count(*) <= 50
+        ),
+        n AS (SELECT count(*) AS n FROM documents),
+        w AS (
+            SELECT id, term,
+                   CAST(tf AS DOUBLE)
+                   * ln(CAST((SELECT n FROM n) AS DOUBLE)
+                        / CAST(df AS DOUBLE)) AS w
+            FROM tf JOIN dfs USING (term)
+        ),
+        norms AS (
+            SELECT id,
+                   sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,18)))
+                             AS DOUBLE)) AS norm
+            FROM w GROUP BY id
+        ),
+        dots AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   SUM(CAST(a.w * b.w AS DECIMAL(28,18))) AS dot
+            FROM w a JOIN w b USING (term)
+            WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT d.id_a, d.id_b,
+               CAST(d.dot AS DOUBLE) / (na.norm * nb.norm)
+                   AS cosine
+        FROM dots d
+        JOIN norms na ON na.id = d.id_a
+        JOIN norms nb ON nb.id = d.id_b
+        WHERE CAST(d.dot AS DOUBLE) / (na.norm * nb.norm) >= 0.3
+    """,
+    ops=("DEDUP",),
+)
+def tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity — the classical model-free
+    sibling of the embedding near-dup family: document pairs whose
+    TF-IDF term vectors have cosine >= 0.3, computed by a df-pruned
+    inverted-index join (operators/tfidf.py) that never enumerates
+    a pair without a shared discriminative term. All accumulation
+    in DECIMAL(28,18), so the cosine values are bit-exact against
+    the DuckDB replica."""
+    from afg_data_pipeline_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return tfidf_cosine_pairs(docs, min_sim=0.3, max_df=50)
+
+
+@register(
     "simhash_signatures",
     oracle="""
         WITH toks AS (

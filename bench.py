@@ -88,6 +88,9 @@ HEADLINE = [
     "simhash_signatures",
     "pack_token_stream",
     "spatial_adjacency_graph",
+    # --- round-3 additions (append-only) ---
+    "near_dup_components_star",
+    "tfidf_doc_pairs",
 ]
 
 

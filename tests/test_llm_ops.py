@@ -205,6 +205,96 @@ class TestSimilarity:
         assert sorted(by_id[2]) == [(0, 0), (1, 0)]
 
 
+class TestTfidfPairs:
+    def _local_reference(self, rows, max_df, min_sim):
+        import math
+        from collections import Counter
+
+        tf = {i: Counter(t.split()) for i, t in rows}
+        n = len(rows)
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+        vocab = {t for t, d in df.items() if d <= max_df}
+        w = {
+            i: {
+                t: c * math.log(n / df[t])
+                for t, c in cs.items()
+                if t in vocab
+            }
+            for i, cs in tf.items()
+        }
+        norm = {
+            i: math.sqrt(sum(x * x for x in ws.values()))
+            for i, ws in w.items()
+        }
+        out = {}
+        ids = sorted(w)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                shared = set(w[a]) & set(w[b])
+                if not shared or not norm[a] or not norm[b]:
+                    continue
+                dot = sum(w[a][t] * w[b][t] for t in shared)
+                sim = dot / (norm[a] * norm[b])
+                if sim >= min_sim:
+                    out[(a, b)] = sim
+        return out
+
+    def test_matches_local_reference(self, spark):
+        from afg_data_pipeline_spark.operators.tfidf import (
+            tfidf_cosine_pairs,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox leaps over the lazy dog"),
+            (3, "completely different content about spark engines"),
+            (4, "spark engines process content at scale"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in tfidf_cosine_pairs(
+                docs, min_sim=0.1, max_df=4
+            ).collect()
+        }
+        want = self._local_reference(rows, max_df=4, min_sim=0.1)
+        assert set(got) == set(want)
+        for pair, sim in got.items():
+            assert sim == pytest.approx(want[pair], rel=1e-12)
+        # identical docs -> cosine 1.0
+        assert got[(1, 5)] == pytest.approx(1.0)
+
+    def test_max_df_prunes_ubiquitous_terms(self, spark):
+        # With max_df=1 no term is shared between any two docs, so
+        # there are no candidate pairs at all — the join never even
+        # enumerates them.
+        from afg_data_pipeline_spark.operators.tfidf import (
+            tfidf_cosine_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha shared"), (2, "beta shared")],
+            "doc_id long, text string",
+        )
+        assert (
+            tfidf_cosine_pairs(docs, min_sim=0.0, max_df=1).count()
+            == 0
+        )
+
+    def test_no_cartesian_in_plan(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+        from tests.conftest import SF_DIR
+
+        df = REGISTRY["tfidf_doc_pairs"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestLshNearDup:
     """embedding_near_dup_lsh vs its brute-force anchor."""
 

@@ -142,9 +142,12 @@ def main() -> None:
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
     ).split():
+        path = f"{out_dir}/{t}.parquet"
+        # Spark writes multi-part directories; DuckDB needs the glob.
+        if os.path.isdir(path) and not os.path.islink(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * "
-            f"FROM '{out_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{path}'"
         )
 
     rows = []
