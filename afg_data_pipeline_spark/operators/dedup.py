@@ -320,6 +320,82 @@ def simhash_signatures(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication profile: for every document, how
+    many of its token k-grams occur more than once anywhere in the
+    corpus (including repeats inside the same document) — the
+    signal behind exact-substring dedup of training data
+    (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": duplicated ≥k-token spans are memorization
+    fuel and should be dropped or deduplicated).
+
+    Output: (id, n_grams, n_dup_grams); docs shorter than k tokens
+    report (0, 0) rather than disappearing.
+
+    Scale shape: grams are md5-hashed BEFORE the shuffle (32-hex
+    keys instead of arbitrary-length text), counted with a
+    map-side-combinable groupBy, and flagged by an equi-join back
+    on the hash — never a self-join on raw text. The k-fold slide
+    is expressed as explode(sequence) + slice (no HOF lambdas,
+    CLAUDE.md rule 10), with the pre-explosion side repartitioned
+    because AQE can't see row expansion in input shuffle bytes
+    (rule 3).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).withColumn("n_pos", F.size("t") - F.lit(k - 1))
+    grams = (
+        base.filter(F.col("n_pos") >= 1)
+        .repartition(par)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_pos"))
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            "id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr(f"slice(t, i, {k})")
+                )
+            ).alias("gh"),
+        )
+    )
+    counts = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = (
+        grams.join(counts, "gh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("c") >= 2, 1).otherwise(0)
+            ).alias("n_dup_grams"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

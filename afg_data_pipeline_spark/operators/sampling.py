@@ -15,7 +15,7 @@ oracle and retry-stability.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,6 +52,53 @@ def hash_stratified_sample(
             F.lit(fraction_threshold(frac)),
         ).otherwise(expr)
     return df.filter(digest < expr)
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per stratum —
+    Efraimidis–Spirakis A-ES: each row draws an exponential race
+    key ``-ln(u) / w`` and the k smallest keys per stratum win;
+    inclusion probability is proportional to ``weight_col`` (e.g.
+    sample documents proportional to length when filling a token
+    budget).
+
+    Deterministic and engine-portable like the md5-threshold
+    samplers above: u derives from the first 13 hex chars of
+    md5(id) — 52 bits, so (h+1)/2^52 is an EXACT double in (0, 1]
+    (no mantissa rounding), and ln/division are single IEEE ops
+    that DuckDB reproduces bit-for-bit (Spark ``conv(hex,16,10)``
+    ↔ DuckDB ``('0x' || hex)::BIGINT``). Ties (impossible short of
+    an md5 collision) break on id.
+
+    Scale shape: the race key is a pure projection; the top-k is a
+    per-stratum row_number window — k is small by contract, and
+    the window shuffles only (strata, key, id) plus carried
+    columns.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.col(id_col).cast("string")), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**52))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__key", "__rn")
+    )
 
 
 def mixture_resample(

@@ -412,6 +412,57 @@ def stratified_sample_by_lang(
 
 
 @register(
+    "weighted_sample_docs",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   -ln(CAST(('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 13
+                       ))::BIGINT + 1 AS DOUBLE)
+                       / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY k, doc_id
+                   ) AS rn
+            FROM keyed
+        )
+        SELECT doc_id, lang, n_chars
+        FROM ranked WHERE rn <= 20
+    """,
+    ops=("SAMPLE",),
+)
+def weighted_sample_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-weighted sampling without replacement: 20 docs per
+    language, inclusion probability proportional to n_chars — the
+    Efraimidis–Spirakis exponential race
+    (operators/sampling.weighted_reservoir_sample), keyed on
+    md5(doc_id) so the winners are bit-identical across engines,
+    retries, and repartitions. The typical use: filling a token
+    budget where longer documents should win proportionally more
+    often than uniform sampling gives them."""
+    from afg_data_pipeline_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_reservoir_sample(
+        docs,
+        strata_col="lang",
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=20,
+    )
+
+
+@register(
     "top_terms_per_lang",
     oracle="""
         WITH toks AS (
@@ -776,6 +827,61 @@ def near_dup_components_star(
     )
     return comps.select(
         F.col("vertex").alias("doc_id"), "component"
+    )
+
+
+@register(
+    "duplicate_span_detect",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 4)) AS i
+            FROM tokd WHERE len(t) >= 5
+        ),
+        grams AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(t, i, i + 4), ' '))
+                       AS gh
+            FROM pos
+        ),
+        cnt AS (SELECT gh, count(*) AS c FROM grams GROUP BY gh),
+        per AS (
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   count(*) FILTER (WHERE c >= 2) AS n_dup_grams
+            FROM grams g JOIN cnt USING (gh)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(per.n_dup_grams, 0) AS BIGINT)
+                   AS n_dup_grams
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+    ops=("DEDUP",),
+)
+def duplicate_span_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al.): per doc,
+    total token 5-grams and how many occur >= 2 times anywhere in
+    the corpus — the span-level signal document-level dedup can't
+    see (boilerplate fragments inside otherwise-unique docs).
+    operators/dedup.duplicate_spans; grams md5-hashed before any
+    shuffle, counted map-side-combinably, flagged by hash equi-join.
+    """
+    from afg_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return duplicate_spans(docs, k=5).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_dup_grams"
     )
 
 

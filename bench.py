@@ -91,6 +91,7 @@ HEADLINE = [
     # --- round-3 additions (append-only) ---
     "near_dup_components_star",
     "tfidf_doc_pairs",
+    "duplicate_span_detect",
 ]
 
 

@@ -205,6 +205,98 @@ class TestSimilarity:
         assert sorted(by_id[2]) == [(0, 0), (1, 0)]
 
 
+class TestWeightedReservoir:
+    def test_matches_local_aes_reference(self, spark):
+        import hashlib
+        import math
+
+        from afg_data_pipeline_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        rows = [
+            (i, "en" if i % 2 else "de", 10 + (i * 37) % 400)
+            for i in range(200)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long"
+        )
+        got = {
+            (r.lang, r.doc_id)
+            for r in weighted_reservoir_sample(
+                docs, "lang", "doc_id", "n_chars", k=5
+            ).collect()
+        }
+
+        def race_key(doc_id, w):
+            h = int(
+                hashlib.md5(str(doc_id).encode()).hexdigest()[:13],
+                16,
+            )
+            return -math.log((h + 1) / 2**52) / w
+
+        want = set()
+        for lang in ("en", "de"):
+            group = [
+                (race_key(i, w), i)
+                for i, lg, w in rows
+                if lg == lang
+            ]
+            for _, i in sorted(group)[:5]:
+                want.add((lang, i))
+        assert got == want
+
+    def test_k_rows_per_stratum_and_deterministic(self, spark):
+        from afg_data_pipeline_spark.operators.sampling import (
+            weighted_reservoir_sample,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"s{i % 3}", 1 + i % 7) for i in range(90)],
+            "doc_id long, lang string, n_chars long",
+        )
+        out = weighted_reservoir_sample(
+            docs, "lang", "doc_id", "n_chars", k=4
+        )
+        first = sorted((r.lang, r.doc_id) for r in out.collect())
+        again = sorted((r.lang, r.doc_id) for r in out.collect())
+        assert first == again
+        from collections import Counter
+
+        per = Counter(lang for lang, _ in first)
+        assert per == {"s0": 4, "s1": 4, "s2": 4}
+
+
+class TestDuplicateSpans:
+    def test_planted_spans_and_short_docs(self, spark):
+        from afg_data_pipeline_spark.operators.dedup import (
+            duplicate_spans,
+        )
+
+        shared = "one two three four five"  # exactly one 5-gram
+        rows = [
+            (1, f"{shared} unique tail alpha beta gamma"),
+            (2, f"different head words here {shared}"),
+            (3, "totally unrelated text with no repeats at all"),
+            (4, "tiny doc"),  # < 5 tokens -> (0, 0)
+            (5, f"{shared} {shared}"),  # within-doc repeat
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.id: (r.n_grams, r.n_dup_grams)
+            for r in duplicate_spans(docs, k=5).collect()
+        }
+        # doc1: 10 tokens -> 6 grams; only the leading shared one dups
+        assert got[1] == (6, 1)
+        # doc2: 9 tokens -> 5 grams; only the trailing shared one
+        assert got[2] == (5, 1)
+        assert got[3] == (4, 0)
+        assert got[4] == (0, 0)
+        # doc5: 10 tokens -> 6 grams; the shared 5-gram occurs at
+        # positions 1 and 6; the 4 bridging grams are unique to it
+        assert got[5] == (6, 2)
+
+
 class TestTfidfPairs:
     def _local_reference(self, rows, max_df, min_sim):
         import math

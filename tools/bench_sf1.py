@@ -4,22 +4,44 @@ The driver ships sf0.001/0.01/0.1 only; the scale claims of the
 dedup/ANN pipelines bind where the per-query scheduling floor stops
 dominating, so this tool derives a deterministic sf1 from sf0.1
 (10× the documents/embeddings rows) and runs the heavy queries
-Spark-vs-DuckDB, min-of-3 each, at that scale.
+Spark-vs-DuckDB at that scale.
 
 Derivation (seedless, reproducible): shard k ∈ 0..9 copies every
 sf0.1 row with
   doc_id/vec_id -> id + k * ceil_pow10(max_id + 1)
-  text          -> text || ' shardK'   (keeps docs distinct so the
-                   dedup pipelines see realistic near-dup structure
-                   instead of 10 exact copies of everything)
-  embedding     -> component 0 += k * 1e-3 (distinct vectors, same
-                   distribution shape)
-Shard 0 is byte-identical to sf0.1. Only documents + embeddings are
-scaled — the heavy pipelines read nothing else.
+  text          -> text || ' shardK'  (distinct docs; shard copies
+                   remain NEAR-dups of each other — deliberate: a
+                   ~10%-duplication corpus is what web-crawl dedup
+                   actually sees, so the dedup pipelines get
+                   realistic positive structure that grows linearly)
+  embedding     -> circular rotation by k positions — norm- and
+                   distribution-preserving, but decorrelates shard
+                   copies (rotating a random vector yields an
+                   essentially independent direction), so semantic
+                   near-dup structure grows linearly instead of
+                   every vector acquiring 9 planted twins.
+Shard 0 is byte-identical to sf0.1.
+
+embedding_near_dup_lsh runs in its PRODUCTION configuration, not
+the registered sf0.01-oracle one: SRP candidate volume is
+T·n²/2^(p+1) (occupancy-driven — threshold only filters AFTER
+verification), so n_planes must track log2(corpus); the registered
+(p=2, T=6) tuned for the sf0.01 low-threshold regime would melt at
+650k vectors by design. Here p=16/T=4/threshold=0.9 — the
+occupancy-constant shape a 100 TB deployment uses — with the
+matching parameterized DuckDB oracle from _srp_lsh_oracle_sql, so
+the comparison stays apples-to-apples. (Recall at cosine 0.9 with
+these parameters is ~(1-(1-0.856^16)^4) ≈ 0.29; production dedup
+thresholds of 0.95+ push per-table collision to 0.93^16 ≈ 0.30 and
+recall to ~0.76 — the familiar LSH recall/cost curve, documented
+rather than hidden.)
 
 Usage: python tools/bench_sf1.py [outdir] [query ...]
+Env: SPARK_GRAFT_SF1_REPS (spark reps, default 2),
+     SPARK_GRAFT_SF1_DUCK_REPS (duckdb reps, default 1 — the sf1
+     oracles run minutes, min-of-1 is the honest affordable point).
 Writes parquet under outdir (default /tmp/afg_sf1), prints one JSON
-row per query and a total row (same format as bench_compare.py).
+row per query and a total row.
 """
 
 from __future__ import annotations
@@ -40,6 +62,8 @@ HEAVY = [
     "near_dup_components_star",
     "ngram_jaccard_dups",
     "pack_token_stream",
+    "tfidf_doc_pairs",
+    "duplicate_span_detect",
 ]
 
 N_SHARDS = 10
@@ -89,33 +113,28 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
         shards = spark.range(N_SHARDS).select(
             F.col("id").alias("__shard")
         )
+        dim = len(emb.select("embedding").first()[0])
+        rotated = F.when(
+            F.col("__shard") == 0, F.col("embedding")
+        ).otherwise(
+            F.concat(
+                F.expr(
+                    f"slice(embedding, __shard + 1, {dim} - __shard)"
+                ),
+                F.expr("slice(embedding, 1, __shard)"),
+            )
+        )
         big = (
             emb.crossJoin(F.broadcast(shards))
             .withColumn(
                 "vec_id",
                 F.col("vec_id") + F.col("__shard") * F.lit(stride),
             )
-            .withColumn(
-                "embedding",
-                F.concat(
-                    F.array(
-                        (
-                            F.element_at("embedding", 1)
-                            + F.col("__shard").cast("float")
-                            * F.lit(0.001)
-                        ).cast("float")
-                    ),
-                    F.slice(
-                        "embedding", 2, 10**6
-                    ),
-                ),
-            )
+            .withColumn("embedding", rotated)
             .drop("__shard")
         )
         big.repartition(32).write.mode("overwrite").parquet(emb_path)
 
-    # The remaining star tables are read by read_star_table for some
-    # plans' session setup; symlink them so the sf_dir is complete.
     for t in (
         "region nation customer supplier part orders lineitem events"
     ).split():
@@ -124,11 +143,35 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
             os.symlink(f"{src_dir}/{t}.parquet", dst)
 
 
+def _lsh_production_entry():
+    """(spark_fn, oracle_sql) for the occupancy-scaled LSH config."""
+    from afg_data_pipeline_spark.plans.llm_ops import (
+        _srp_lsh_oracle_sql,
+    )
+
+    kw = dict(threshold=0.9, n_planes=16, n_tables=4, dim=64)
+
+    def fn(spark, sf_dir):
+        from afg_data_pipeline_spark.io import read_star_table
+        from afg_data_pipeline_spark.operators.similarity import (
+            lsh_near_dup_pairs,
+        )
+
+        emb = read_star_table(spark, "embeddings", sf_dir)
+        return lsh_near_dup_pairs(
+            emb, id_col="vec_id", vec_col="embedding", **kw
+        )
+
+    return fn, _srp_lsh_oracle_sql(**kw)
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/afg_sf1"
     only = set(sys.argv[2:]) or set(HEAVY)
     src_dir = "/root/testdata/sf0.1"
     os.makedirs(out_dir, exist_ok=True)
+    s_reps = int(os.environ.get("SPARK_GRAFT_SF1_REPS", "2"))
+    d_reps = int(os.environ.get("SPARK_GRAFT_SF1_DUCK_REPS", "1"))
 
     from afg_data_pipeline_spark.plans import REGISTRY
     from afg_data_pipeline_spark.session import get_session
@@ -143,7 +186,6 @@ def main() -> None:
         "events documents embeddings"
     ).split():
         path = f"{out_dir}/{t}.parquet"
-        # Spark writes multi-part directories; DuckDB needs the glob.
         if os.path.isdir(path) and not os.path.islink(path):
             path = f"{path}/*.parquet"
         con.execute(
@@ -152,21 +194,26 @@ def main() -> None:
 
     rows = []
     for name in HEAVY:
-        if name not in only or name not in REGISTRY:
+        if name not in only:
             continue
-        q = REGISTRY[name]
+        if name == "embedding_near_dup_lsh":
+            fn, oracle = _lsh_production_entry()
+        elif name in REGISTRY:
+            fn, oracle = REGISTRY[name].fn, REGISTRY[name].oracle
+        else:
+            continue
         spark_s = float("inf")
-        for _ in range(3):
+        for _ in range(s_reps):
             t0 = time.time()
-            q.fn(spark, out_dir).write.format("noop").mode(
+            fn(spark, out_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             spark_s = min(spark_s, time.time() - t0)
         duck_s = float("inf")
-        if q.oracle is not None:
-            for _ in range(3):
+        if oracle is not None:
+            for _ in range(d_reps):
                 t0 = time.time()
-                con.execute(q.oracle).fetchall()
+                con.execute(oracle).fetchall()
                 duck_s = min(duck_s, time.time() - t0)
         rows.append(
             {
