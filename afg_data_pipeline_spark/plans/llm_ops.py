@@ -905,20 +905,23 @@ def duplicate_span_detect(
         n AS (SELECT count(*) AS n FROM documents),
         w AS (
             SELECT id, term,
-                   CAST(tf AS DOUBLE)
-                   * ln(CAST((SELECT n FROM n) AS DOUBLE)
-                        / CAST(df AS DOUBLE)) AS w
+                   CAST(round(CAST(tf AS DOUBLE)
+                              * ln(CAST((SELECT n FROM n) AS DOUBLE)
+                                   / CAST(df AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS s
             FROM tf JOIN dfs USING (term)
         ),
         norms AS (
             SELECT id,
-                   sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,18)))
+                   sqrt(CAST(SUM(CAST(s AS DECIMAL(19,0))
+                                 * CAST(s AS DECIMAL(19,0)))
                              AS DOUBLE)) AS norm
             FROM w GROUP BY id
         ),
         dots AS (
             SELECT a.id AS id_a, b.id AS id_b,
-                   SUM(CAST(a.w * b.w AS DECIMAL(28,18))) AS dot
+                   SUM(CAST(a.s AS DECIMAL(19,0))
+                       * CAST(b.s AS DECIMAL(19,0))) AS dot
             FROM w a JOIN w b USING (term)
             WHERE a.id < b.id
             GROUP BY a.id, b.id
@@ -938,9 +941,11 @@ def tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of the embedding near-dup family: document pairs whose
     TF-IDF term vectors have cosine >= 0.3, computed by a df-pruned
     inverted-index join (operators/tfidf.py) that never enumerates
-    a pair without a shared discriminative term. All accumulation
-    in DECIMAL(28,18), so the cosine values are bit-exact against
-    the DuckDB replica."""
+    a pair without a shared discriminative term. Weights are
+    quantized once to integers (round(w·1e6) — portable across
+    engines, unlike double→decimal casts of irrational values);
+    dots/norms are then EXACT integer sums, so the cosine values
+    are bit-exact against the DuckDB replica."""
     from afg_data_pipeline_spark.operators.tfidf import (
         tfidf_cosine_pairs,
     )

@@ -355,8 +355,10 @@ class TestTfidfPairs:
         }
         want = self._local_reference(rows, max_df=4, min_sim=0.1)
         assert set(got) == set(want)
+        # weights are quantized to 1e-6 resolution for cross-engine
+        # determinism, so compare at ~1e-5 relative
         for pair, sim in got.items():
-            assert sim == pytest.approx(want[pair], rel=1e-12)
+            assert sim == pytest.approx(want[pair], rel=1e-5)
         # identical docs -> cosine 1.0
         assert got[(1, 5)] == pytest.approx(1.0)
 
