@@ -1,0 +1,156 @@
+"""Corpus-self-trained n-gram language-model scoring.
+
+`plans/llm_ops.unigram_lm_score` is the cheapest LM filter; this
+module adds the next rung — an interpolated BIGRAM model trained on
+the corpus itself (the CCNet-style quality signal, one order up):
+
+    p(t | prev) = λ · c(prev,t)/c(prev)  +  (1-λ) · c(t)/N
+
+with c(·) raw corpus counts and N total tokens. The context mass
+uses the FULL unigram count of ``prev`` (including document-final
+occurrences), so the conditional is slightly sub-normalized at doc
+boundaries — a deliberate simplification, documented rather than
+hidden: the score is a quality-ranking heuristic, not a calibrated
+probability, and dropping the boundary bookkeeping keeps the plan
+to two count aggregations and three equi-joins.
+
+Scale shape: token positions come from posexplode (no window over
+anything wider than one document); bigram and unigram count tables
+are partial-aggregated (map-side combine) before their shuffles;
+the count joins are plain equi-joins AQE can re-plan for stopword
+skew; the corpus total N rides in as a broadcast 1-row cross join.
+Per-document reduction is a decimal-accumulated mean (CLAUDE.md
+rule 1) — order-invariant, so the result is bit-stable under any
+partitioning and reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.functions.numeric import dsum_expr
+from afg_data_pipeline_spark.operators import text as TX
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's
+    interpolated bigram LM: (id, n_bigrams, avg_nll), one row per
+    document with >= 2 tokens.
+
+    Both count tables derive from one tokenized projection; the
+    bigram stream pairs each token with its predecessor via a
+    per-document lag window (partitioned by ``id_col`` — thousands
+    of tiny windows, never a corpus-wide sort).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(TX.tokens(text_col)).alias("pos", "t"),
+    )
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("t").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    big = pairs.groupBy("prev", "t").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    cu_prev = uni.select(
+        F.col("t").alias("prev"), F.col("cu").alias("cu_prev")
+    )
+    p = (
+        F.lit(float(lam))
+        * F.col("cb").cast("double")
+        / F.col("cu_prev").cast("double")
+        + F.lit(1.0 - float(lam))
+        * F.col("cu").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        pairs.join(big, ["prev", "t"])
+        .join(cu_prev, "prev")
+        .join(uni, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                dsum_expr(-F.log(p), "nll_sum")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_nll"),
+        )
+        .select("id", "n_bigrams", "avg_nll")
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of ADJACENT token pairs —
+    collocation mining in its classical form: (term_a, term_b,
+    n_pair, pmi) for bigrams occurring >= ``min_count`` times,
+    pmi = ln(N·c(a,b) / (c(a)·c(b))) over corpus token counts.
+
+    Adjacency (not document co-occurrence) keeps the statistic
+    LINEAR in corpus size: bigram and unigram count tables are
+    partial-aggregated before their shuffles, the final join is
+    vocabulary-sized, and there is no quadratic per-document pair
+    fanout at all — the right collocation shape for 100 TB. All
+    counts are integers, so pmi is one deterministic double
+    expression per output row.
+
+    operators/tfidf.pmi_pairs is the document-co-occurrence
+    sibling (df-pruned posting-list self-join) for topic-level
+    association; this one is for phrase-level collocation.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(TX.tokens(text_col)).alias("pos", "t"),
+    )
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("t").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    big = (
+        pairs.groupBy("prev", "t")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    cu_prev = uni.select(
+        F.col("t").alias("prev"), F.col("cu").alias("cu_prev")
+    )
+    pmi = F.log(
+        F.col("n").cast("double")
+        * F.col("cb").cast("double")
+        / (
+            F.col("cu_prev").cast("double")
+            * F.col("cu").cast("double")
+        )
+    )
+    # ln() can differ by 1 ulp across engines; snap to a 1e-9 grid
+    # through an integer round (see operators/text.py note).
+    pmi = F.round(pmi * F.lit(1e9), 0).cast("bigint").cast(
+        "double"
+    ) / F.lit(1e9)
+    return (
+        big.join(cu_prev, "prev")
+        .join(uni, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("prev").alias("term_a"),
+            F.col("t").alias("term_b"),
+            F.col("cb").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+    )

@@ -170,3 +170,39 @@ def mixture_resample(
         .filter(F.md5(F.col(id_col).cast("string")) < thresh)
         .drop("__rate")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split``
+    column from md5(salt || ':' || id) against cumulative hex
+    thresholds — the same engine-portable, retry-stable membership
+    scheme as the samplers above (no RNG, no shuffle, a pure
+    projection that pushes through any downstream plan). The salt
+    decorrelates the split from every other md5-keyed decision
+    (sampling, bucketing) made on the same ids.
+
+    test gets the remaining 1 − train − val mass.
+    """
+    if not (0 < train < 1 and 0 <= val < 1 and train + val <= 1):
+        raise ValueError(f"bad split fractions: {train}, {val}")
+    digest = F.md5(
+        F.concat(
+            F.lit(f"{salt}:"), F.col(id_col).cast("string")
+        )
+    )
+    return df.withColumn(
+        "split",
+        F.when(
+            digest < F.lit(fraction_threshold(train)), "train"
+        )
+        .when(
+            digest < F.lit(fraction_threshold(train + val)), "val"
+        )
+        .otherwise("test"),
+    )

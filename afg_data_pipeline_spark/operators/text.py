@@ -191,3 +191,111 @@ def redact_pii(col: str = "text"):
         "[PHONE]",
     )
     return out
+
+
+def char_entropy_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char):
+    (id, n_chars_counted, entropy) — the classic gibberish /
+    binary-paste / repeated-padding quality signal (very low
+    entropy = repetition, very high = random noise).
+
+    H = (ln(n) − (Σ_c cnt·ln(cnt)) / n) / ln 2 over per-char
+    counts — the factored form needs ONE aggregate over the
+    (doc, char) count table instead of materializing
+    probabilities. The inner sum is quantized to
+    round(cnt·ln(cnt)·1e9) and accumulated as exact BIGINT
+    (cnt ≤ doc length ~1e4 → addend ≤ 1e14, far under 2^63 even
+    for million-char docs), because decimal casts of irrational
+    doubles are NOT portable across engines (see
+    operators/tfidf.py) while integer rounding of the same double
+    is. The outer expression is then scalar double ops on exact
+    integers — deterministic on any engine. ln, not log2: natural
+    log is bit-identical between Spark and DuckDB (verified over
+    2..2000), while log2 differs in the last ulp for ~25% of
+    inputs; the bits conversion divides by a LITERAL ln 2 on both
+    sides.
+
+    Scale: explode(chars) → groupBy(id, char) partial-aggregates
+    map-side (alphabet-bounded fanin), then one per-doc combine.
+    """
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "")).alias("c"),
+    ).filter(F.length("c") > 0)
+    counts = chars.groupBy("id", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    q = F.round(
+        F.col("cnt").cast("double")
+        * F.log(F.col("cnt").cast("double"))
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    per = counts.groupBy("id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(q).alias("qsum"),
+    )
+    ln2 = 0.6931471805599453
+    h = (
+        F.log(F.col("n").cast("double"))
+        - F.col("qsum").cast("double")
+        / F.lit(1e9)
+        / F.col("n").cast("double")
+    ) / F.lit(ln2)
+    # ln() can differ by 1 ulp between JVM Math.log and libm, so
+    # the final score is snapped to a 1e-9 grid through an integer
+    # round (cross-engine-stable; straddle risk ~1e-12/row).
+    hq = F.round(h * F.lit(1e9), 0).cast("bigint").cast(
+        "double"
+    ) / F.lit(1e9)
+    return per.select(
+        "id",
+        F.col("n").alias("n_chars_counted"),
+        hq.alias("entropy"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Sliding-window document chunking for training-sequence prep:
+    (id, chunk_idx, chunk_text, n_chunk_chars), chunks of ``size``
+    chars every ``stride`` chars (overlap = size − stride). The
+    last chunk may be shorter; a doc shorter than ``size`` yields
+    exactly one chunk. Pure native expressions (length / sequence /
+    explode / substring) — character-indexed identically in Spark
+    and DuckDB (both 1-based, code-point semantics).
+
+    Scale: the explode expands each row by ~len/stride — bounded
+    and uniform (no skew amplification), so the parquet scan's
+    partitioning carries through; no shuffle at all.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n = F.length(F.col(text_col))
+    k_max = F.floor(
+        (
+            F.greatest(n - F.lit(size), F.lit(0))
+            + F.lit(stride - 1)
+        )
+        / F.lit(stride)
+    ).cast("int")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_idx"),
+    )
+    chunk = F.expr(
+        f"substring(__text, 1 + chunk_idx * {stride}, {size})"
+    )
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+    ).withColumn("n_chunk_chars", F.length("chunk_text"))

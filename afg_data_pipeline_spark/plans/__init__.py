@@ -18,6 +18,7 @@ from afg_data_pipeline_spark.plans import (  # noqa: F401, E402
     extended,
     classics,
     product_analytics,
+    corpus_ops,
 )
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,285 @@
+"""Declared queries: round-3 corpus-preparation operators —
+bigram LM scoring, character entropy, PMI collocations, sliding
+chunking, and deterministic train/val/test splitting.
+
+These extend the LLM-data surface of plans/llm_ops.py; same
+conventions (exact DuckDB oracle per query, identical column
+aliases on both sides, decimal/integer accumulation per CLAUDE.md
+rule 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.io import read_star_table
+from afg_data_pipeline_spark.operators.sampling import (
+    fraction_threshold,
+    hash_split,
+)
+from afg_data_pipeline_spark.plans.registry import register
+
+
+@register(
+    "bigram_lm_score",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, pos, list_extract(arr, pos) AS tok
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr)))
+                             AS pos
+                  FROM tokd)
+        ),
+        bigrams AS (
+            SELECT doc_id, prev, tok FROM (
+                SELECT doc_id,
+                       lag(tok) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS prev,
+                       tok
+                FROM toks)
+            WHERE prev IS NOT NULL
+        ),
+        bg AS (
+            SELECT prev, tok, count(*) AS cb
+            FROM bigrams GROUP BY prev, tok
+        ),
+        uni AS (
+            SELECT tok, count(*) AS cu FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST((- ln(
+                   0.75 * CAST(bg.cb AS DOUBLE)
+                        / CAST(cup.cu AS DOUBLE)
+                   + 0.25 * CAST(u.cu AS DOUBLE)
+                          / CAST(tot.n AS DOUBLE)
+               )) AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_nll
+        FROM bigrams b
+        JOIN bg ON bg.prev = b.prev AND bg.tok = b.tok
+        JOIN uni cup ON cup.tok = b.prev
+        JOIN uni u ON u.tok = b.tok
+        CROSS JOIN tot
+        GROUP BY b.doc_id
+    """,
+    ops=("TEXT", "A1"),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (CCNet-style, one order
+    above unigram_lm_score): per-doc mean NLL of each token given
+    its predecessor, p = 0.75·c(prev,t)/c(prev) + 0.25·c(t)/N.
+    operators/lm.bigram_lm_nll; decimal-accumulated mean, per-doc
+    lag windows, map-side-combined count tables."""
+    from afg_data_pipeline_spark.operators.lm import bigram_lm_nll
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return bigram_lm_nll(docs, lam=0.75).select(
+        F.col("id").alias("doc_id"), "n_bigrams", "avg_nll"
+    )
+
+
+@register(
+    "char_entropy",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '')) AS c
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, c, count(*) AS cnt
+            FROM chars WHERE length(c) > 0
+            GROUP BY doc_id, c
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(
+                       CAST(cnt AS DOUBLE)
+                       * ln(CAST(cnt AS DOUBLE))
+                       * 1000000000.0) AS BIGINT)) AS BIGINT)
+                       AS qsum
+            FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id,
+               n AS n_chars_counted,
+               CAST(round(
+                   (ln(CAST(n AS DOUBLE))
+                       - CAST(qsum AS DOUBLE) / 1e9
+                         / CAST(n AS DOUBLE))
+                   / 0.6931471805599453 * 1e9) AS BIGINT)
+                   / 1e9 AS entropy
+        FROM per
+    """,
+    ops=("TEXT",),
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish
+    / padding / binary-paste quality gate. operators/text.
+    char_entropy_profile: factored H = log2(n) − Σc·log2(c)/n with
+    the inner sum quantized to exact BIGINT (portable across
+    engines, unlike decimal casts of irrational doubles)."""
+    from afg_data_pipeline_spark.operators.text import (
+        char_entropy_profile,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return char_entropy_profile(docs).select(
+        F.col("id").alias("doc_id"), "n_chars_counted", "entropy"
+    )
+
+
+@register(
+    "pmi_collocations",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, pos, list_extract(arr, pos) AS tok
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr)))
+                             AS pos
+                  FROM tokd)
+        ),
+        bigrams AS (
+            SELECT doc_id, prev, tok FROM (
+                SELECT doc_id,
+                       lag(tok) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS prev,
+                       tok
+                FROM toks)
+            WHERE prev IS NOT NULL
+        ),
+        bg AS (
+            SELECT prev, tok, count(*) AS cb
+            FROM bigrams GROUP BY prev, tok
+            HAVING count(*) >= 5
+        ),
+        uni AS (
+            SELECT tok, count(*) AS cu FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT bg.prev AS term_a, bg.tok AS term_b,
+               CAST(bg.cb AS BIGINT) AS n_pair,
+               CAST(round(
+                   ln(CAST(tot.n AS DOUBLE) * CAST(bg.cb AS DOUBLE)
+                      / (CAST(cup.cu AS DOUBLE)
+                         * CAST(u.cu AS DOUBLE))) * 1e9)
+                    AS BIGINT) / 1e9 AS pmi
+        FROM bg
+        JOIN uni cup ON cup.tok = bg.prev
+        JOIN uni u ON u.tok = bg.tok
+        CROSS JOIN tot
+    """,
+    ops=("TEXT", "A1"),
+)
+def pmi_collocations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adjacent-bigram PMI collocation mining: token pairs
+    occurring >= 5 times, pmi = ln(N·c_ab/(c_a·c_b)) over corpus
+    token counts — all-integer counts, so the score is one
+    deterministic double expression. operators/lm.bigram_pmi:
+    linear in corpus size (no per-document pair fanout), count
+    tables partial-aggregated before their shuffles."""
+    from afg_data_pipeline_spark.operators.lm import bigram_pmi
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return bigram_pmi(docs, min_count=5)
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0,
+                       CAST(floor((greatest(n - 200, 0) + 149)
+                                  / 150.0) AS BIGINT)
+                   )) AS chunk_idx
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               substr(text, 1 + chunk_idx * 150, 200)
+                   AS chunk_text,
+               CAST(length(substr(text, 1 + chunk_idx * 150, 200))
+                    AS BIGINT) AS n_chunk_chars
+        FROM idx
+    """,
+    ops=("P10", "U4"),
+)
+def chunk_documents_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window chunking for training-sequence prep: 200-char
+    chunks every 150 chars (50 overlap), last chunk ragged.
+    operators/text.chunk_documents — pure projection + bounded
+    explode, zero shuffles."""
+    from afg_data_pipeline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, size=200, stride=150).select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "chunk_text",
+        "n_chunk_chars",
+    )
+
+
+_T_TRAIN = fraction_threshold(0.8)
+_T_VAL = fraction_threshold(0.9)
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+        SELECT lang, split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM (
+            SELECT lang, n_chars,
+                   CASE WHEN md5('split:'
+                                 || CAST(doc_id AS VARCHAR))
+                             < '{_T_TRAIN}' THEN 'train'
+                        WHEN md5('split:'
+                                 || CAST(doc_id AS VARCHAR))
+                             < '{_T_VAL}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+        GROUP BY lang, split
+    """,
+    ops=("A1", "P14"),
+)
+def train_val_test_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted
+    md5 threshold (operators/sampling.hash_split — no RNG, no
+    shuffle, identical membership on every engine/retry), audited
+    as per-(lang, split) doc and char totals."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    return (
+        hash_split(docs, "doc_id", train=0.8, val=0.1)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )

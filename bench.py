@@ -92,6 +92,9 @@ HEADLINE = [
     "near_dup_components_star",
     "tfidf_doc_pairs",
     "duplicate_span_detect",
+    "bigram_lm_score",
+    "pmi_collocations",
+    "char_entropy",
 ]
 
 

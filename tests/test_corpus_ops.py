@@ -1,0 +1,251 @@
+"""Tests for the round-3 corpus-preparation operators: bigram LM
+scoring, PMI (both collocation and document-co-occurrence forms),
+character entropy, sliding chunking, and hash-based splits.
+
+The registered queries are oracle-checked by test_correctness;
+these pin the semantics on crafted inputs where the expected
+values are hand-derivable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.operators.lm import (
+    bigram_lm_nll,
+    bigram_pmi,
+)
+from afg_data_pipeline_spark.operators.sampling import hash_split
+from afg_data_pipeline_spark.operators.text import (
+    char_entropy_profile,
+    chunk_documents,
+)
+from afg_data_pipeline_spark.operators.tfidf import pmi_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBigramLm:
+    def test_matches_local_reference(self, spark):
+        rows = [
+            (1, "a b a b c"),
+            (2, "a b c d"),
+            (3, "x y"),
+        ]
+        # local reference
+        toks = {i: t.split() for i, t in rows}
+        from collections import Counter
+
+        uni = Counter(t for ts in toks.values() for t in ts)
+        n = sum(uni.values())
+        big = Counter(
+            (ts[j], ts[j + 1])
+            for ts in toks.values()
+            for j in range(len(ts) - 1)
+        )
+        lam = 0.75
+        want = {}
+        for i, ts in toks.items():
+            if len(ts) < 2:
+                continue
+            nlls = [
+                -math.log(
+                    lam * big[(ts[j], ts[j + 1])] / uni[ts[j]]
+                    + (1 - lam) * uni[ts[j + 1]] / n
+                )
+                for j in range(len(ts) - 1)
+            ]
+            want[i] = (len(nlls), sum(nlls) / len(nlls))
+
+        got = {
+            r.id: (r.n_bigrams, r.avg_nll)
+            for r in bigram_lm_nll(_docs(spark, rows)).collect()
+        }
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0]
+            # decimal(18,6) accumulation quantizes each addend to
+            # 1e-6 before the mean
+            assert got[i][1] == pytest.approx(
+                want[i][1], abs=2e-6
+            )
+
+    def test_single_token_docs_absent(self, spark):
+        rows = [(1, "solo"), (2, "a b")]
+        got = bigram_lm_nll(_docs(spark, rows)).collect()
+        assert {r.id for r in got} == {2}
+
+
+class TestBigramPmi:
+    def test_known_counts(self, spark):
+        # "of the" 3×, tokens: of=3, the=3, N=10
+        rows = [
+            (1, "of the of the"),
+            (2, "of the x y z w"),
+        ]
+        got = {
+            (r.term_a, r.term_b): (r.n_pair, r.pmi)
+            for r in bigram_pmi(
+                _docs(spark, rows), min_count=3
+            ).collect()
+        }
+        assert set(got) == {("of", "the")}
+        n_pair, pmi = got[("of", "the")]
+        assert n_pair == 3
+        assert pmi == pytest.approx(
+            math.log(10 * 3 / (3 * 3)), abs=2e-9
+        )
+
+    def test_min_count_filters(self, spark):
+        rows = [(1, "a b c d e")]
+        assert (
+            bigram_pmi(_docs(spark, rows), min_count=2).count()
+            == 0
+        )
+
+
+class TestDocPmiPairs:
+    def test_doc_cooccurrence(self, spark):
+        # u,v co-occur in docs 1,2 (df(u)=df(v)=2, both docs)
+        rows = [
+            (1, "u v filler1"),
+            (2, "u v filler2"),
+            (3, "u w"),  # df(u)=3 > max_df=2 -> u pruned? no: 3
+            (4, "v z"),  # df(v)=3
+        ]
+        # with max_df=10, min_df=2: df(u)=3, df(v)=3, c_ab=2
+        got = {
+            (r.term_a, r.term_b): (r.n_docs_both, r.pmi)
+            for r in pmi_pairs(
+                _docs(spark, rows),
+                min_df=2,
+                max_df=10,
+                min_pair_count=2,
+            ).collect()
+        }
+        assert ("u", "v") in got
+        n_both, pmi = got[("u", "v")]
+        assert n_both == 2
+        assert pmi == pytest.approx(
+            math.log(4 * 2 / (3 * 3)), rel=1e-12
+        )
+        # singleton fillers pruned by min_df -> no pair with them
+        assert all(
+            a in ("u", "v", "w", "z") and b in ("u", "v", "w", "z")
+            for a, b in got
+        )
+
+
+class TestCharEntropy:
+    def test_known_entropies(self, spark):
+        rows = [
+            (1, "aaaa"),  # H = 0
+            (2, "abab"),  # H = 1 bit
+            (3, "abcd"),  # H = 2 bits
+        ]
+        got = {
+            r.id: (r.n_chars_counted, r.entropy)
+            for r in char_entropy_profile(
+                _docs(spark, rows)
+            ).collect()
+        }
+        assert got[1] == (4, pytest.approx(0.0, abs=1e-8))
+        assert got[2] == (4, pytest.approx(1.0, abs=1e-8))
+        assert got[3] == (4, pytest.approx(2.0, abs=1e-8))
+
+    def test_spaces_counted(self, spark):
+        rows = [(1, "a a")]  # a:2, space:1, n=3
+        got = char_entropy_profile(_docs(spark, rows)).collect()
+        n = 3
+        want = -(2 / n) * math.log2(2 / n) - (1 / n) * math.log2(
+            1 / n
+        )
+        assert got[0].n_chars_counted == 3
+        assert got[0].entropy == pytest.approx(want, abs=1e-8)
+
+
+class TestChunking:
+    def test_short_doc_single_chunk(self, spark):
+        rows = [(1, "short text")]
+        got = chunk_documents(
+            _docs(spark, rows), size=200, stride=150
+        ).collect()
+        assert len(got) == 1
+        assert got[0].chunk_idx == 0
+        assert got[0].chunk_text == "short text"
+        assert got[0].n_chunk_chars == 10
+
+    def test_cover_and_overlap(self, spark):
+        text = "".join(chr(ord("a") + i % 26) for i in range(370))
+        rows = [(1, text)]
+        got = sorted(
+            chunk_documents(
+                _docs(spark, rows), size=200, stride=150
+            ).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # starts 0, 150, 300 -> 3 chunks (k_max = ceil(170/150)=2)
+        assert [r.chunk_idx for r in got] == [0, 1, 2]
+        assert got[0].chunk_text == text[0:200]
+        assert got[1].chunk_text == text[150:350]
+        assert got[2].chunk_text == text[300:370]
+        # full coverage: every char index falls in some chunk
+        covered = set()
+        for r in got:
+            start = r.chunk_idx * 150
+            covered.update(range(start, start + r.n_chunk_chars))
+        assert covered == set(range(370))
+
+    def test_exact_fit_no_extra_chunk(self, spark):
+        rows = [(1, "x" * 200)]
+        got = chunk_documents(
+            _docs(spark, rows), size=200, stride=150
+        ).collect()
+        assert len(got) == 1
+
+    def test_bad_params_raise(self, spark):
+        with pytest.raises(ValueError):
+            chunk_documents(_docs(spark, [(1, "t")]), size=0)
+
+
+class TestHashSplit:
+    def test_partition_of_ids_and_determinism(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        out = hash_split(df, "doc_id", train=0.8, val=0.1)
+        counts = {
+            r.split: r.c
+            for r in out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert sum(counts.values()) == 2000
+        # ~80/10/10 within generous tolerance
+        assert 1500 < counts["train"] < 1700
+        assert 130 < counts["val"] < 270
+        assert 130 < counts["test"] < 270
+        # retry-stable: same assignment on re-evaluation
+        a = {r.doc_id: r.split for r in out.collect()}
+        b = {r.doc_id: r.split for r in out.collect()}
+        assert a == b
+
+    def test_salt_decorrelates(self, spark):
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        s1 = {
+            r.doc_id: r.split
+            for r in hash_split(df, "doc_id", salt="s1").collect()
+        }
+        s2 = {
+            r.doc_id: r.split
+            for r in hash_split(df, "doc_id", salt="s2").collect()
+        }
+        assert s1 != s2
+
+    def test_bad_fractions_raise(self, spark):
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            hash_split(df, "doc_id", train=0.9, val=0.2)
