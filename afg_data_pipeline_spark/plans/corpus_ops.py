@@ -283,3 +283,80 @@ def train_val_test_split(
             F.sum("n_chars").alias("n_chars_total"),
         )
     )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS cnt
+                FROM toks GROUP BY tok
+                ORDER BY cnt DESC, tok ASC
+                LIMIT 1000
+            )
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE v.tok IS NULL)
+                    AS BIGINT) AS n_oov,
+               CAST(count(*) FILTER (WHERE v.tok IS NULL)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY doc_id
+    """,
+    ops=("TEXT", "A1"),
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-1000
+    corpus vocabulary (count desc, term asc tie-break) and report
+    each document's out-of-vocabulary token count and rate — the
+    pre-training sanity check for vocab/tokenizer choices.
+
+    Scale notes: the vocabulary selection is orderBy+limit →
+    TakeOrderedAndProject (per-task partial top-k, no partitionless
+    window funneling the vocabulary through one task — same
+    discipline as the IVF centroid seeding); the membership probe
+    is a broadcast left join (1000 rows) against the token stream;
+    per-doc counts partial-aggregate. Integer counts + one double
+    division = deterministic on any engine.
+    """
+    from afg_data_pipeline_spark.operators import text as TX
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(1000)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(
+                F.when(F.col("__in_vocab").isNull(), F.lit(1))
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

@@ -547,3 +547,111 @@ def graph_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
     )
     return node_degrees(edges)
+
+
+def _pagerank_oracle_sql(
+    iterations: int = 10, scale: int = 10**12
+) -> str:
+    """Unrolled-CTE DuckDB replica of operators/graph.pagerank over
+    the supplier radius graph: one (dangling, contrib, rank) CTE
+    triple per iteration — recursive CTEs can't aggregate in the
+    recursive term, but a FIXED iteration count unrolls into plain
+    SQL, which is exactly what makes the integer PageRank
+    oracle-checkable at all."""
+    half = f"""
+            SELECT a.s_suppkey AS s, b.s_suppkey AS d
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE {_ADJ_DIST_SQL} <= 500.0"""
+    parts = [
+        f"""
+        WITH edges AS MATERIALIZED ({half}
+            UNION ALL
+            SELECT d, s FROM ({half})
+        ),
+        nodes AS MATERIALIZED (SELECT s_suppkey AS id FROM supplier),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM supplier),
+        outdeg AS MATERIALIZED (
+            SELECT s, count(*) AS od FROM edges GROUP BY s
+        ),
+        r0 AS MATERIALIZED (
+            SELECT id, CAST({scale} // nn.n AS BIGINT) AS rank
+            FROM nodes CROSS JOIN nn
+        )"""
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+            SELECT COALESCE(SUM((85 * rank) // 100), 0) AS dm
+            FROM {prev} LEFT JOIN outdeg ON {prev}.id = outdeg.s
+            WHERE od IS NULL
+        ),
+        c{i} AS MATERIALIZED (
+            SELECT e.d AS id,
+                   SUM((85 * r.rank) // (100 * o.od)) AS contrib
+            FROM edges e
+            JOIN {prev} r ON r.id = e.s
+            JOIN outdeg o ON o.s = e.s
+            GROUP BY e.d
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT nodes.id,
+                   CAST((15 * {scale}) // (100 * nn.n)
+                        + (SELECT dm FROM d{i}) // nn.n
+                        + COALESCE(c.contrib, 0) AS BIGINT)
+                       AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN c{i} c ON c.id = nodes.id
+        )"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+        SELECT id AS vertex, rank AS rank_scaled,
+               CAST(rank AS DOUBLE) / 1e12 AS rank
+        FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "pagerank_centrality",
+    oracle=_pagerank_oracle_sql(iterations=10),
+    ops=("M5", "A1"),
+)
+def pagerank_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer-exact PageRank (10 iterations, damping 0.85) over
+    the supplier spatial adjacency graph — the node-importance
+    feature of the GNN graph-table contract, and the registry's
+    iterative-algorithm showcase: ranks live on a 1/1e12 integer
+    grid so every contribution sum is associative BIGINT
+    arithmetic, bit-identical in the unrolled-CTE DuckDB replica
+    (operators/graph.pagerank: per-iteration equi-join + partial
+    agg, localCheckpoint lineage truncation, broadcast dangling
+    mass — no collect, no global sort)."""
+    from afg_data_pipeline_spark.operators.graph import (
+        pagerank,
+        radius_edges_grid2d,
+    )
+
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("x"),
+        (F.col("s_nationkey") * 400).cast("double").alias("y"),
+    )
+    edges = radius_edges_grid2d(
+        s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
+    )
+    nodes = s.select(F.col("s_suppkey").alias("id"))
+    return pagerank(
+        nodes,
+        edges,
+        id_col="id",
+        src="id_a",
+        dst="id_b",
+        iterations=10,
+    )

@@ -95,6 +95,8 @@ HEADLINE = [
     "bigram_lm_score",
     "pmi_collocations",
     "char_entropy",
+    "pagerank_centrality",
+    "vocab_oov_rate",
 ]
 
 

@@ -212,3 +212,79 @@ class TestRadiusEdges:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPagerank:
+    def _local_pagerank(self, n_nodes, edges, iters=10, scale=10**12):
+        """Pure-python integer replica of operators/graph.pagerank."""
+        from collections import defaultdict
+
+        nodes = list(range(1, n_nodes + 1))
+        n = len(nodes)
+        dedges = edges + [(b, a) for a, b in edges]
+        outdeg = defaultdict(int)
+        for s, _ in dedges:
+            outdeg[s] += 1
+        rank = {v: scale // n for v in nodes}
+        teleport = (15 * scale) // (100 * n)
+        for _ in range(iters):
+            dm = sum(
+                (85 * rank[v]) // 100
+                for v in nodes
+                if outdeg[v] == 0
+            )
+            contrib = defaultdict(int)
+            for s, d in dedges:
+                contrib[d] += (85 * rank[s]) // (100 * outdeg[s])
+            rank = {
+                v: teleport + dm // n + contrib[v] for v in nodes
+            }
+        return rank
+
+    def test_matches_integer_reference(self, spark):
+        from afg_data_pipeline_spark.operators.graph import pagerank
+
+        # path 1-2-3, 4 isolated (dangling)
+        edges = [(1, 2), (2, 3)]
+        nodes_df = spark.createDataFrame(
+            [(i,) for i in range(1, 5)], "id long"
+        )
+        edges_df = spark.createDataFrame(
+            edges, "src long, dst long"
+        )
+        got = {
+            r.vertex: r.rank_scaled
+            for r in pagerank(
+                nodes_df, edges_df, iterations=10
+            ).collect()
+        }
+        want = self._local_pagerank(4, edges)
+        assert got == want
+        # center of the path outranks the ends; dangling lowest
+        assert got[2] > got[1] == got[3] > got[4]
+
+    def test_mass_approximately_conserved(self, spark):
+        from afg_data_pipeline_spark.operators.graph import pagerank
+
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+        nodes_df = spark.createDataFrame(
+            [(i,) for i in range(1, 5)], "id long"
+        )
+        edges_df = spark.createDataFrame(
+            edges, "src long, dst long"
+        )
+        out = pagerank(nodes_df, edges_df, iterations=5).collect()
+        total = sum(r.rank_scaled for r in out)
+        # floor-divisions only ever drop mass; bounded by a few
+        # units per node per iteration
+        assert 0.999 * 10**12 < total <= 10**12
+
+    def test_empty_nodes_raise(self, spark):
+        from afg_data_pipeline_spark.operators.graph import pagerank
+
+        empty = spark.createDataFrame([], "id long")
+        edges = spark.createDataFrame([], "src long, dst long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pagerank(empty, edges)

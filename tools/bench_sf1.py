@@ -55,15 +55,15 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-HEAVY = [
-    "minhash_near_dup",
-    "embedding_near_dup_lsh",
+HEAVY = [  # cheap-first so partial sweeps still bank results
+    "pack_token_stream",
+    "duplicate_span_detect",
+    "tfidf_doc_pairs",
+    "ngram_jaccard_dups",
     "near_dup_components",
     "near_dup_components_star",
-    "ngram_jaccard_dups",
-    "pack_token_stream",
-    "tfidf_doc_pairs",
-    "duplicate_span_detect",
+    "minhash_near_dup",
+    "embedding_near_dup_lsh",
 ]
 
 N_SHARDS = 10
@@ -181,6 +181,12 @@ def main() -> None:
     build_sf1(spark, src_dir, out_dir)
 
     con = duckdb.connect()
+    # sf1 oracles build multi-GB intermediates: cap memory below
+    # the Spark JVM's share and give DuckDB an out-of-core spill
+    # path instead of a bad_alloc death.
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='90GB'")
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
@@ -209,11 +215,20 @@ def main() -> None:
                 "overwrite"
             ).save()
             spark_s = min(spark_s, time.time() - t0)
+        print(
+            json.dumps({"query": name, "spark_s": round(spark_s, 3)}),
+            flush=True,
+        )
         duck_s = float("inf")
         if oracle is not None:
+            # count(*) wrapper: evaluates the full pipeline but
+            # skips materializing millions of rows into Python —
+            # the moral twin of Spark's noop sink (and strictly
+            # kind to DuckDB in the ratio).
+            wrapped = f"SELECT count(*) FROM ({oracle}) __q"
             for _ in range(d_reps):
                 t0 = time.time()
-                con.execute(oracle).fetchall()
+                con.execute(wrapped).fetchall()
                 duck_s = min(duck_s, time.time() - t0)
         rows.append(
             {
