@@ -582,3 +582,94 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = read_star_table(spark, "part", sf_dir)
     return fuzzy_join_blocked(p, p, "p_name", "p_name")
+
+
+@register(
+    "value_hour_correlation",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS x,
+                   CAST(hour(ts) AS BIGINT) AS y
+            FROM events
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                         = 0.0
+                    THEN NULL
+                    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE)
+                                 * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE)
+                                   * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE)))
+               END AS corr_value_hour
+        FROM s
+    """,
+    ops=("A1", "F10"),
+)
+def value_hour_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type Pearson correlation between transaction value
+    and hour-of-day — the engagement-seasonality diagnostic, and
+    the registry's group-wise second-moment showcase.
+
+    Determinism: events.value is 2-decimal money, so x =
+    round(value·100) is an EXACT BIGINT (the lsum trick); y =
+    hour(ts) is an integer. All five moment sums are then exact
+    integer arithmetic — associative, partitioning-invariant,
+    identical in DuckDB — and the correlation is one mirrored
+    double expression over them (zero-variance groups -> NULL).
+    One shuffle (groupBy event_type, partial-aggregated map-side);
+    no window, no second pass — the classic one-pass moments
+    formulation, safe here because the integer sums can't lose
+    precision the way naive float moment accumulation does.
+    """
+    ev = read_star_table(spark, "events", sf_dir)
+    pts = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.hour("ts").cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("double")
+
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    return s.select(
+        "event_type",
+        "n",
+        F.when(vx * vy == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(num / F.sqrt(vx * vy))
+        .alias("corr_value_hour"),
+    )

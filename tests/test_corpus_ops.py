@@ -303,3 +303,47 @@ class TestVocabOov:
         # top-k vocabulary must be per-task partial top-k, never a
         # partitionless global window
         assert "TakeOrderedAndProject" in plan
+
+
+class TestValueHourCorrelation:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from afg_data_pipeline_spark.plans import REGISTRY
+        from tests.conftest import SF_DIR
+
+        got = {
+            r.event_type: (r.n, r.corr_value_hour)
+            for r in REGISTRY["value_hour_correlation"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        from afg_data_pipeline_spark.io import read_star_table
+
+        ev = (
+            read_star_table(spark, "events", SF_DIR)
+            .select(
+                "event_type",
+                F.round(F.col("value") * 100, 0)
+                .cast("bigint")
+                .alias("x"),
+                F.hour("ts").alias("y"),
+            )
+            .collect()
+        )
+        by_type = {}
+        for r in ev:
+            by_type.setdefault(r.event_type, []).append(
+                (r.x, r.y)
+            )
+        for et, pts in by_type.items():
+            xs = np.array([p[0] for p in pts], dtype=float)
+            ys = np.array([p[1] for p in pts], dtype=float)
+            n, corr = got[et]
+            assert n == len(pts)
+            if xs.std() == 0 or ys.std() == 0:
+                assert corr is None
+            else:
+                assert corr == pytest.approx(
+                    float(np.corrcoef(xs, ys)[0, 1]), abs=1e-9
+                )
