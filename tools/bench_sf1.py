@@ -68,6 +68,15 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
 
 N_SHARDS = 10
 
+# Oracles whose DuckDB cost at sf1 is prohibitive BY CONSTRUCTION
+# of the sharded corpus: the deliberate ~10%-duplication structure
+# turns every original doc into a 10-copy near-dup cluster, so
+# pair-verification work grows ~100x on 10x data. Spark absorbs
+# that in the salted/banded joins; DuckDB's quadratic SQL replica
+# (already 110s at sf0.1, 21x behind Spark) extrapolates to hours.
+# Spark timings still print; the row carries duck_s = None.
+ORACLE_SKIP = {"ngram_jaccard_dups"}
+
 
 def build_sf1(spark, src_dir: str, out_dir: str) -> None:
     """Materialize the 10× documents/embeddings tables (idempotent:
@@ -176,6 +185,7 @@ def main() -> None:
     from afg_data_pipeline_spark.plans import REGISTRY
     from afg_data_pipeline_spark.session import get_session
 
+    results_path = os.path.join(out_dir, "sf1_results.jsonl")
     spark = get_session("bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     build_sf1(spark, src_dir, out_dir)
@@ -219,8 +229,15 @@ def main() -> None:
             json.dumps({"query": name, "spark_s": round(spark_s, 3)}),
             flush=True,
         )
+        with open(results_path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"query": name, "spark_s": round(spark_s, 3)}
+                )
+                + "\n"
+            )
         duck_s = float("inf")
-        if oracle is not None:
+        if oracle is not None and name not in ORACLE_SKIP:
             # count(*) wrapper: evaluates the full pipeline but
             # skips materializing millions of rows into Python —
             # the moral twin of Spark's noop sink (and strictly
@@ -230,6 +247,13 @@ def main() -> None:
                 t0 = time.time()
                 con.execute(wrapped).fetchall()
                 duck_s = min(duck_s, time.time() - t0)
+        with open(results_path, "a") as fh:
+            fh.write(json.dumps({
+                "query": name,
+                "spark_s": round(spark_s, 3),
+                "duck_s": round(duck_s, 3)
+                if duck_s != float("inf") else None,
+            }) + "\n")
         rows.append(
             {
                 "query": name,
