@@ -238,11 +238,17 @@ def main() -> None:
             )
         duck_s = float("inf")
         if oracle is not None and name not in ORACLE_SKIP:
-            # count(*) wrapper: evaluates the full pipeline but
-            # skips materializing millions of rows into Python —
-            # the moral twin of Spark's noop sink (and strictly
-            # kind to DuckDB in the ratio).
-            wrapped = f"SELECT count(*) FROM ({oracle}) __q"
+            # md5-consume wrapper: evaluates EVERY output column
+            # (count(*) would let DuckDB prune projection/window
+            # work that doesn't change cardinality — measured: the
+            # pack_token_stream oracle dropped to 0.38s because
+            # the windows were optimized away) while skipping the
+            # materialization of millions of rows into Python —
+            # the moral twin of Spark's noop sink.
+            wrapped = (
+                "SELECT min(md5(CAST(COLUMNS(*) AS VARCHAR))) "
+                f"FROM ({oracle}) __q"
+            )
             for _ in range(d_reps):
                 t0 = time.time()
                 con.execute(wrapped).fetchall()
