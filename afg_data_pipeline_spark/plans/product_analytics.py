@@ -673,3 +673,80 @@ def value_hour_correlation(
         .otherwise(num / F.sqrt(vx * vy))
         .alias("corr_value_hour"),
     )
+
+
+@register(
+    "robust_outlier_counts",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type,
+                   abs(e.value - m.med) AS dev, m.med
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               min(d.med) AS median_value,
+               min(m.mad) AS mad,
+               CAST(count(*) FILTER (
+                   WHERE d.dev > 4.4478 * m.mad
+               ) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
+    ops=("A2", "A4"),
+)
+def robust_outlier_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median/MAD robust outlier detection per event type — the
+    heavy-tail-safe sibling of the z-score anomaly query
+    (`user_value_anomalies`): flag |value − median| > 3·1.4826·MAD
+    (literal 4.4478 on BOTH engines — folding 3·1.4826 separately
+    can differ in the last ulp).
+
+    Two exact interpolating percentiles (Spark `percentile` ≡
+    DuckDB quantile_cont bit-for-bit, the agg_median convention)
+    + equi-joins back on event_type; every derived value is the
+    same IEEE expression on both engines. At 100 TB the exact
+    percentile is a per-group sort — approx_percentile is the
+    documented scale escape, same as agg_median.
+    """
+    ev = read_star_table(spark, "events", sf_dir).select(
+        "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.count(
+                F.when(
+                    F.col("dev")
+                    > F.lit(4.4478) * F.col("mad"),
+                    F.lit(1),
+                )
+            ).alias("n_outliers"),
+        )
+    )
