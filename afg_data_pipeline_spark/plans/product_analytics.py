@@ -750,3 +750,47 @@ def robust_outlier_counts(
             ).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "user_event_paths",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '->'
+                          ORDER BY ts, event_id) AS path
+        FROM events
+        GROUP BY user_id
+    """,
+    ops=("A1", "U4", "O1"),
+)
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user chronological event-type path (the path-mining /
+    journey-analysis reshape): user_id, event count, and the
+    '->'-joined sequence ordered by (ts, event_id) — the unique
+    event_id tie-break makes the string deterministic on both
+    engines.
+
+    Spark has no ordered string_agg; the equivalent without any
+    HOF lambda (CLAUDE.md rule 10) is collect_list of
+    (ts, event_id, event_type) structs → array_sort (lexicographic
+    by field order = the ORDER BY) → `.getField` to project the
+    array of event_types → array_join. collect_list is bounded by
+    per-user event cardinality — the same per-key state contract
+    as any sessionization; users with pathological event counts
+    would need a path-length cap, noted here rather than hidden.
+    """
+    ev = read_star_table(spark, "events", sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                arr.getField("event_type"), "->"
+            ).alias("path"),
+        )
+        .select("user_id", "n_events", "path")
+    )
