@@ -97,6 +97,9 @@ HEADLINE = [
     "char_entropy",
     "pagerank_centrality",
     "vocab_oov_rate",
+    "value_hour_correlation",
+    "robust_outlier_counts",
+    "user_event_paths",
 ]
 
 
