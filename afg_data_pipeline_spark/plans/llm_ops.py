@@ -2026,3 +2026,72 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_star_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 32)
     return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, {_SCORE_COLS_SQL}
+            FROM documents
+        ),
+        pred AS (
+            SELECT lang AS true_lang,
+                   CASE
+                     WHEN score_en = greatest(score_en, score_de,
+                                              score_fr, score_es)
+                       THEN 'en'
+                     WHEN score_de = greatest(score_en, score_de,
+                                              score_fr, score_es)
+                       THEN 'de'
+                     WHEN score_fr = greatest(score_en, score_de,
+                                              score_fr, score_es)
+                       THEN 'fr'
+                     ELSE 'es'
+                   END AS pred_lang
+            FROM scored
+        ),
+        cnt AS (
+            SELECT true_lang, pred_lang, count(*) AS n
+            FROM pred GROUP BY true_lang, pred_lang
+        ),
+        tot AS (
+            SELECT true_lang, count(*) AS t
+            FROM pred GROUP BY true_lang
+        )
+        SELECT c.true_lang, c.pred_lang,
+               CAST(c.n AS BIGINT) AS n_docs,
+               CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+        FROM cnt c JOIN tot t USING (true_lang)
+    """,
+    ops=("TEXT", "A1", "U5"),
+)
+def lang_confusion_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-eval confusion matrix for the heuristic language ID:
+    (true_lang, pred_lang, count, row-normalized share) — the
+    audit a pipeline runs before trusting a classifier stage for
+    filtering. Two vocabulary-sized aggregates + one equi-join;
+    share is an integer/integer double division, deterministic on
+    both engines."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        TX.lang_id("text").alias("pred_lang"),
+    )
+    cnt = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = pred.groupBy("true_lang").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    return cnt.join(tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.col("t").cast("double")
+        ).alias("share"),
+    )

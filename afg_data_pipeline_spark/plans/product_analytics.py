@@ -794,3 +794,35 @@ def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "path")
     )
+
+
+@register(
+    "value_quartiles_by_type",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.95) AS p95
+        FROM events
+        GROUP BY event_type
+    """,
+    ops=("A2",),
+)
+def value_quartiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quartile + tail bands of transaction value per event type —
+    the distribution summary behind pricing/limit decisions. Exact
+    interpolating percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont bit-for-bit, the agg_median convention); at
+    100 TB approx_percentile is the documented scale escape."""
+    ev = read_star_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.50)).alias("p50"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
