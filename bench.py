@@ -100,6 +100,8 @@ HEADLINE = [
     "value_hour_correlation",
     "robust_outlier_counts",
     "user_event_paths",
+    "lang_confusion_matrix",
+    "value_quartiles_by_type",
 ]
 
 
