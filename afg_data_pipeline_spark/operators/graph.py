@@ -350,13 +350,21 @@ def pagerank(
             )
         )
     )
+    # Materialize the directed edge list and degree table ONCE:
+    # they feed every iteration, and without truncation each
+    # iteration's action would re-run the upstream graph
+    # construction (e.g. the grid-bucketed radius join) from
+    # scratch.
+    dedges = dedges.localCheckpoint()
     outdeg = dedges.groupBy("s").agg(
         F.count(F.lit(1)).alias("od")
-    )
+    ).localCheckpoint()
     teleport = (15 * scale) // (100 * n)
-    ranks = nodes.select(
-        F.col(id_col).alias("vertex"),
-        F.lit(scale // n).cast("bigint").alias("rank"),
+    vertices = nodes.select(
+        F.col(id_col).alias("vertex")
+    ).localCheckpoint()
+    ranks = vertices.withColumn(
+        "rank", F.lit(scale // n).cast("bigint")
     ).localCheckpoint()
     for it in range(iterations):
         with_od = ranks.join(
@@ -378,7 +386,7 @@ def pagerank(
             )
         )
         ranks = (
-            nodes.select(F.col(id_col).alias("vertex"))
+            vertices
             .join(
                 contribs,
                 F.col("vertex") == F.col("d"),
