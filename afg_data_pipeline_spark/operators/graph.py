@@ -40,11 +40,15 @@ def connected_components(
     appear in the edge list; isolated vertices (no edges) are the
     caller's concern — they are their own component trivially.
     """
+    # Materialize the symmetrized edge list ONCE: it feeds every
+    # round's join, and without truncation each iteration would
+    # re-run the upstream edge pipeline (e.g. the full MinHash
+    # candidate generation) from scratch.
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()
