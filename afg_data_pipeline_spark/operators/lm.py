@@ -154,3 +154,86 @@ def bigram_pmi(
             pmi.alias("pmi"),
         )
     )
+
+
+def trigram_lm_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    l3: float = 0.5,
+    l2: float = 0.3,
+) -> DataFrame:
+    """Interpolated TRIGRAM LM mean NLL per document — the top rung
+    of the module's LM ladder (unigram → bigram → trigram):
+
+        p(t | t2,t1) = l3·c(t2,t1,t)/c(t2,t1)
+                     + l2·c(t1,t)/c(t1)
+                     + (1−l3−l2)·c(t)/N
+
+    Context counts: c(t1) is the followed-count (t1 in non-final
+    position), so the middle term is properly normalized; c(t2,t1)
+    is the full bigram count, so the trigram term is slightly
+    sub-normalized at boundaries — the same documented trade as
+    ``bigram_lm_nll``. Scale shape identical: one posexplode, two
+    per-doc lag windows, three partial-aggregated count tables
+    joined back by equi-join, decimal-accumulated per-doc mean.
+    Output rows are documents with >= 3 tokens.
+    """
+    l1 = 1.0 - float(l3) - float(l2)
+    if l1 <= 0:
+        raise ValueError("l3 + l2 must be < 1")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(TX.tokens(text_col)).alias("pos", "t"),
+    )
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("id").orderBy("pos")
+    ctx = (
+        toks.withColumn("t1", F.lag("t", 1).over(w))
+        .withColumn("t2", F.lag("t", 2).over(w))
+    )
+    tri_stream = ctx.filter(F.col("t2").isNotNull())
+    bi_stream = ctx.filter(F.col("t1").isNotNull())
+    tri = tri_stream.groupBy("t2", "t1", "t").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    bi = bi_stream.groupBy("t1", "t").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    bictx = bi.groupBy("t1").agg(F.sum("c2").alias("cb"))
+    # trigram-context count c(t2,t1) = occurrences of the bigram
+    # (t2,t1) as a PREFIX, i.e. the bigram table re-keyed
+    trictx = bi.select(
+        F.col("t1").alias("t2"),
+        F.col("t").alias("t1"),
+        F.col("c2").alias("cc"),
+    )
+    p = (
+        F.lit(float(l3))
+        * F.col("c3").cast("double")
+        / F.col("cc").cast("double")
+        + F.lit(float(l2))
+        * F.col("c2").cast("double")
+        / F.col("cb").cast("double")
+        + F.lit(l1)
+        * F.col("cu").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        tri_stream.join(tri, ["t2", "t1", "t"])
+        .join(trictx, ["t2", "t1"])
+        .join(bi, ["t1", "t"])
+        .join(bictx, "t1")
+        .join(uni, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (
+                dsum_expr(-F.log(p), "nll_sum")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_nll"),
+        )
+        .select("id", "n_trigrams", "avg_nll")
+    )

@@ -360,3 +360,93 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "trigram_lm_score",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, pos, list_extract(arr, pos) AS tok
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr)))
+                             AS pos
+                  FROM tokd)
+        ),
+        ctx AS (
+            SELECT doc_id, tok,
+                   lag(tok, 1) OVER (PARTITION BY doc_id
+                                     ORDER BY pos) AS t1,
+                   lag(tok, 2) OVER (PARTITION BY doc_id
+                                     ORDER BY pos) AS t2
+            FROM toks
+        ),
+        tri_stream AS (
+            SELECT doc_id, t2, t1, tok FROM ctx
+            WHERE t2 IS NOT NULL
+        ),
+        bi_stream AS (
+            SELECT t1, tok FROM ctx WHERE t1 IS NOT NULL
+        ),
+        tri AS (
+            SELECT t2, t1, tok, count(*) AS c3
+            FROM tri_stream GROUP BY t2, t1, tok
+        ),
+        bi AS (
+            SELECT t1, tok, count(*) AS c2
+            FROM bi_stream GROUP BY t1, tok
+        ),
+        bictx AS (
+            SELECT t1, CAST(SUM(c2) AS BIGINT) AS cb
+            FROM bi GROUP BY t1
+        ),
+        trictx AS (
+            SELECT t1 AS t2, tok AS t1, c2 AS cc FROM bi
+        ),
+        uni AS (
+            SELECT tok, count(*) AS cu FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(SUM(CAST((- ln(
+                   0.5 * CAST(tr.c3 AS DOUBLE)
+                       / CAST(tc.cc AS DOUBLE)
+                   + 0.3 * CAST(b.c2 AS DOUBLE)
+                         / CAST(bc.cb AS DOUBLE)
+                   + 0.19999999999999998 * CAST(u.cu AS DOUBLE)
+                         / CAST(tot.n AS DOUBLE)
+               )) AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_nll
+        FROM tri_stream s
+        JOIN tri tr ON tr.t2 = s.t2 AND tr.t1 = s.t1
+                   AND tr.tok = s.tok
+        JOIN trictx tc ON tc.t2 = s.t2 AND tc.t1 = s.t1
+        JOIN bi b ON b.t1 = s.t1 AND b.tok = s.tok
+        JOIN bictx bc ON bc.t1 = s.t1
+        JOIN uni u ON u.tok = s.tok
+        CROSS JOIN tot
+        GROUP BY s.doc_id
+    """,
+    ops=("TEXT", "A1"),
+)
+def trigram_lm_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interpolated trigram LM quality score — top rung of the LM
+    ladder (unigram_lm_score → bigram_lm_score → here):
+    p = 0.5·c(t2,t1,t)/c(t2,t1) + 0.3·c(t1,t)/c(t1) + 0.2·c(t)/N.
+    operators/lm.trigram_lm_nll; two per-doc lag windows, three
+    map-side-combined count tables, decimal-accumulated mean."""
+    from afg_data_pipeline_spark.operators.lm import (
+        trigram_lm_nll,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return trigram_lm_nll(docs, l3=0.5, l2=0.3).select(
+        F.col("id").alias("doc_id"), "n_trigrams", "avg_nll"
+    )

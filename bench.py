@@ -102,6 +102,7 @@ HEADLINE = [
     "user_event_paths",
     "lang_confusion_matrix",
     "value_quartiles_by_type",
+    "trigram_lm_score",
 ]
 
 

@@ -347,3 +347,70 @@ class TestValueHourCorrelation:
                 assert corr == pytest.approx(
                     float(np.corrcoef(xs, ys)[0, 1]), abs=1e-9
                 )
+
+
+class TestTrigramLm:
+    def test_matches_local_reference(self, spark):
+        from collections import Counter
+
+        from afg_data_pipeline_spark.operators.lm import (
+            trigram_lm_nll,
+        )
+
+        rows = [
+            (1, "a b a b a b c"),
+            (2, "a b c a b c"),
+            (3, "x y"),  # < 3 tokens -> absent
+        ]
+        toks = {i: t.split() for i, t in rows}
+        uni = Counter(t for ts in toks.values() for t in ts)
+        n = sum(uni.values())
+        tri = Counter(
+            (ts[j], ts[j + 1], ts[j + 2])
+            for ts in toks.values()
+            for j in range(len(ts) - 2)
+        )
+        bi = Counter(
+            (ts[j], ts[j + 1])
+            for ts in toks.values()
+            for j in range(len(ts) - 1)
+        )
+        bictx = Counter()
+        for (a, _), c in bi.items():
+            bictx[a] += c
+        want = {}
+        for i, ts in toks.items():
+            if len(ts) < 3:
+                continue
+            nlls = []
+            for j in range(len(ts) - 2):
+                t2, t1, t = ts[j], ts[j + 1], ts[j + 2]
+                p = (
+                    0.5 * tri[(t2, t1, t)] / bi[(t2, t1)]
+                    + 0.3 * bi[(t1, t)] / bictx[t1]
+                    + (1.0 - 0.5 - 0.3) * uni[t] / n
+                )
+                nlls.append(-math.log(p))
+            want[i] = (len(nlls), sum(nlls) / len(nlls))
+        got = {
+            r.id: (r.n_trigrams, r.avg_nll)
+            for r in trigram_lm_nll(
+                _docs(spark, rows), l3=0.5, l2=0.3
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == pytest.approx(
+                want[i][1], abs=2e-6
+            )
+
+    def test_bad_lambdas_raise(self, spark):
+        from afg_data_pipeline_spark.operators.lm import (
+            trigram_lm_nll,
+        )
+
+        with pytest.raises(ValueError):
+            trigram_lm_nll(
+                _docs(spark, [(1, "a b c")]), l3=0.8, l2=0.3
+            )
