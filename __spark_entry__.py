@@ -56,8 +56,31 @@ def _coverage_order(names: list[str]) -> list[str]:
     stale_before = {
         "minhash_near_dup": 2,
         "simhash_signatures": 2,
-        "near_dup_components": 2,
+        "near_dup_components": 4,
         "approx_quantiles": 2,
+        # Round-3 code changes after these queries' last driver
+        # row (sharded pack cumsum; SRP bucket-0 fix; brute guard
+        # on nn_assign; sampling threshold refactor) — and round-4
+        # changes (ANSI-proof convergence probes, integer-quantized
+        # LM NLL, tiered ngram verification): their pre-change rows
+        # don't certify current code, so re-enter the window.
+        "pack_token_stream": 4,
+        "embedding_near_dup_lsh": 4,
+        "ann_lsh_topk": 4,
+        "ann_ivf_topk": 4,
+        "ann_cosine_topk": 4,
+        "nn_assign": 4,
+        "nn_assign_bucketed": 4,
+        "nn_assign_grid2d": 4,
+        "stratified_sample_by_lang": 4,
+        "weighted_sample_docs": 4,
+        "domain_mixture_resample": 4,
+        "train_val_test_split": 4,
+        "bigram_lm_score": 4,
+        "trigram_lm_score": 4,
+        "ngram_jaccard_dups": 4,
+        "near_dup_components_star": 4,
+        "pagerank_centrality": 4,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

@@ -199,6 +199,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     n: int = 2,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram-set Jaccard over candidate pairs within a
     group.
@@ -209,7 +210,81 @@ def ngram_jaccard_pairs(
     n-grams with n>=2 (not unigrams) — on a small shared vocabulary
     unigram sets of unrelated documents overlap almost completely,
     while n-gram sets only overlap under genuine shared phrasing.
+
+    TIERED CONTRACT (the 100 TB guard): exact verification costs
+    Σ_g |g|² pairs — linear in duplication mass, so a
+    duplication-heavy crawl makes this the dominant job (measured
+    529.7s at sf1 on a 10-copy-heavy corpus vs 6.5s at sf0.1).
+    Before the self-join, the per-group pair count is computed with
+    one cheap aggregate; if it exceeds ``max_pairs`` (default env
+    ``AFG_NGRAM_JACCARD_MAX_PAIRS``, 20M), the operator announces
+    the tier switch (never silent) and delegates candidate
+    generation to banded MinHash LSH (same n-gram shingles, same
+    exact-Jaccard verification on the banded collisions, restricted
+    to same-group pairs) — a high-probability-recall SUBSET of the
+    exact output whose cost is bounded by band collisions instead
+    of group size. Below the budget the output is exactly the full
+    pair set (oracle-checkable).
     """
+    import os
+
+    if max_pairs is None:
+        max_pairs = int(
+            os.environ.get("AFG_NGRAM_JACCARD_MAX_PAIRS", "20000000")
+        )
+    n_pairs_row = (
+        df.groupBy(F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.sum(
+                (
+                    F.col("__n").cast("decimal(38,0)")
+                    * (F.col("__n").cast("decimal(38,0)") - 1)
+                )
+                / 2
+            ).alias("p")
+        )
+        .collect()[0]
+    )
+    n_pairs = int(n_pairs_row["p"] or 0)
+    if n_pairs > max_pairs:
+        print(
+            f"ngram_jaccard_pairs: {n_pairs} exact candidate pairs "
+            f"exceed the AFG_NGRAM_JACCARD_MAX_PAIRS budget "
+            f"({max_pairs}); falling back to banded MinHash "
+            f"candidates (same shingles, exact Jaccard on banded "
+            f"collisions, same-group only) — a high-recall subset"
+        )
+        cand = minhash_lsh_candidates(
+            df, id_col=id_col, text_col=text_col, shingle_k=n
+        )
+        groups = df.select(
+            F.col(id_col), F.col(group_col).alias("__g")
+        )
+        return (
+            cand.join(
+                groups.select(
+                    F.col(id_col).alias("doc_id_a"),
+                    F.col("__g").alias("__ga"),
+                ),
+                "doc_id_a",
+            )
+            .join(
+                groups.select(
+                    F.col(id_col).alias("doc_id_b"),
+                    F.col("__g").alias("__gb"),
+                ),
+                "doc_id_b",
+            )
+            .filter(F.col("__ga") == F.col("__gb"))
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                F.col("__ga").alias(group_col),
+                F.col("doc_id_a").alias("id_a"),
+                F.col("doc_id_b").alias("id_b"),
+                "jaccard",
+            )
+        )
     side = (
         df.select(
             F.col(group_col).alias("g"),

@@ -66,8 +66,13 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
+        # DECIMAL(38,0) accumulation: vertex ids may be 64-bit
+        # hash-derived, and the driver's session runs ANSI-on where
+        # a BIGINT sum overflow is a hard ARITHMETIC_OVERFLOW
+        # (CLAUDE.md rule 1/11) — never a bare long sum of
+        # unbounded ids.
         cur_sum = labels.agg(
-            F.sum("component").alias("s")
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:
             break
@@ -78,10 +83,18 @@ def connected_components(
 def _edge_checksum(edges: DataFrame) -> tuple:
     """Order-independent fingerprint of an edge set: (count,
     sum(xxhash64(u,v))). One tiny scalar row per round — the same
-    cheap-convergence idea as connected_components' sum(label)."""
+    cheap-convergence idea as connected_components' sum(label).
+
+    The hash sum accumulates in DECIMAL(38,0): xxhash64 values are
+    uniform over ±2^63, so a BIGINT sum overflows almost surely
+    beyond a handful of edges — silently wrapping under ANSI-off,
+    but a hard ARITHMETIC_OVERFLOW under the driver's default
+    ANSI-on session (the round-3 red row; CLAUDE.md rule 11)."""
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("u", "v")).alias("h"),
+        F.sum(
+            F.xxhash64("u", "v").cast("decimal(38,0)")
+        ).alias("h"),
     ).collect()[0]
     return (row["n"], row["h"])
 
@@ -91,6 +104,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and
@@ -117,7 +131,17 @@ def connected_components_star(
     minima. Convergence is detected from an order-independent edge
     checksum (count + sum of xxhash64), matching the scalar-probe
     pattern of the min-label variant.
+
+    ``probe_every``: the checksum probe is a full Spark job on the
+    checkpointed edge frame, so it runs every N rounds (default 2
+    — PageRank's measured checkpoint-frequency pattern). Sound:
+    the potential function strictly decreases at every non-fixpoint
+    step, so the edge set can never revisit an earlier state — two
+    equal probes N rounds apart imply every intervening round was
+    already at the fixpoint, and iterating at the fixpoint is the
+    identity, so the output is bit-identical at any frequency.
     """
+    probe_every = max(1, int(probe_every))
     # Self-loop-free undirected edge set, canonicalized u < v.
     base = (
         edges.select(
@@ -135,7 +159,7 @@ def connected_components_star(
     )
     e = base.localCheckpoint()
     prev = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # --- large-star ---------------------------------------
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -167,10 +191,11 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        cur = _edge_checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+        if (it + 1) % probe_every == 0 or it == max_iter - 1:
+            cur = _edge_checksum(e)
+            if cur == prev:
+                break
+            prev = cur
     # Fixpoint edges point every non-root vertex at its component
     # minimum; roots (the minima) carry no outgoing edge.
     pointed = e.select(
@@ -313,6 +338,7 @@ def pagerank(
     iterations: int = 10,
     scale: int = 10**12,
     checkpoint_every: int = 2,
+    symmetrize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank with damping 0.85, computed in EXACT
     integer arithmetic: (vertex, rank_scaled, rank) where
@@ -346,14 +372,20 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank over an empty node set")
-    dedges = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(
+    # ``symmetrize`` (default True) treats the edge list as
+    # UNDIRECTED — each input edge contributes both directions,
+    # matching the radius-graph use case where (id_a, id_b) is a
+    # canonicalized undirected pair. Pass False for a genuinely
+    # directed graph (src -> dst only).
+    dedges = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    )
+    if symmetrize:
+        dedges = dedges.unionByName(
             edges.select(
                 F.col(dst).alias("s"), F.col(src).alias("d")
             )
         )
-    )
     # Materialize the directed edge list and degree table ONCE:
     # they feed every iteration, and without truncation each
     # iteration's action would re-run the upstream graph

@@ -19,9 +19,10 @@ anything wider than one document); bigram and unigram count tables
 are partial-aggregated (map-side combine) before their shuffles;
 the count joins are plain equi-joins AQE can re-plan for stopword
 skew; the corpus total N rides in as a broadcast 1-row cross join.
-Per-document reduction is a decimal-accumulated mean (CLAUDE.md
-rule 1) — order-invariant, so the result is bit-stable under any
-partitioning and reproducible in the DuckDB oracle.
+Per-document reduction quantizes each row's -ln(p) to an integer
+1e-9 grid and sums exactly (CLAUDE.md rules 1b/1c) —
+order-invariant and engine-portable, so the result is bit-stable
+under any partitioning and reproducible in the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -29,8 +30,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from afg_data_pipeline_spark.functions.numeric import dsum_expr
 from afg_data_pipeline_spark.operators import text as TX
+
+
+def _nll_mean(p, n_alias: str):
+    """Per-doc mean NLL of per-row probabilities ``p``, computed
+    portably: quantize each row's -ln(p) ONCE to an integer 1e-9
+    grid (integer rounding of the same double agrees across
+    engines), sum exactly in DECIMAL(38,0) (ANSI-proof, no long
+    overflow), then divide. CLAUDE.md rules 1b/1c: a decimal cast
+    of the raw irrational double diverges between Spark
+    (shortest-string rounding) and DuckDB (binary expansion);
+    integer quantization does not.
+
+    Returns (count_expr, avg_expr) aggregate expressions.
+    """
+    q = F.round(-F.log(p) * F.lit(1e9), 0).cast("bigint")
+    cnt = F.count(F.lit(1))
+    avg = (
+        F.sum(q.cast("decimal(38,0)")).cast("double")
+        / F.lit(1e9)
+        / cnt.cast("double")
+    )
+    return cnt.alias(n_alias), avg.alias("avg_nll")
 
 
 def bigram_lm_nll(
@@ -72,19 +94,14 @@ def bigram_lm_nll(
         * F.col("cu").cast("double")
         / F.col("n").cast("double")
     )
+    n_expr, avg_expr = _nll_mean(p, "n_bigrams")
     return (
         pairs.join(big, ["prev", "t"])
         .join(cu_prev, "prev")
         .join(uni, "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (
-                dsum_expr(-F.log(p), "nll_sum")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("avg_nll"),
-        )
+        .agg(n_expr, avg_expr)
         .select("id", "n_bigrams", "avg_nll")
     )
 
@@ -220,6 +237,7 @@ def trigram_lm_nll(
         * F.col("cu").cast("double")
         / F.col("n").cast("double")
     )
+    n_expr, avg_expr = _nll_mean(p, "n_trigrams")
     return (
         tri_stream.join(tri, ["t2", "t1", "t"])
         .join(trictx, ["t2", "t1"])
@@ -228,12 +246,6 @@ def trigram_lm_nll(
         .join(uni, "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            (
-                dsum_expr(-F.log(p), "nll_sum")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("avg_nll"),
-        )
+        .agg(n_expr, avg_expr)
         .select("id", "n_trigrams", "avg_nll")
     )

@@ -205,6 +205,12 @@ def pmi_pairs(
         * F.col("n_docs_both").cast("double")
         / (F.col("ca").cast("double") * F.col("cb").cast("double"))
     )
+    # ln() can differ by 1 ulp across engines (CLAUDE.md rule 1c);
+    # snap to the 1e-9 grid through an integer round, same as
+    # operators/lm.bigram_pmi.
+    pmi = F.round(pmi * F.lit(1e9), 0).cast("bigint").cast(
+        "double"
+    ) / F.lit(1e9)
     return pairs.select(
         "term_a", "term_b", "n_docs_both", pmi.alias("pmi")
     )

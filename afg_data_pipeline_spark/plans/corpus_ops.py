@@ -55,12 +55,12 @@ from afg_data_pipeline_spark.plans.registry import register
         tot AS (SELECT count(*) AS n FROM toks)
         SELECT b.doc_id,
                CAST(count(*) AS BIGINT) AS n_bigrams,
-               CAST(SUM(CAST((- ln(
+               CAST(SUM(CAST(round((- ln(
                    0.75 * CAST(bg.cb AS DOUBLE)
                         / CAST(cup.cu AS DOUBLE)
                    + 0.25 * CAST(u.cu AS DOUBLE)
                           / CAST(tot.n AS DOUBLE)
-               )) AS DECIMAL(18,6))) AS DOUBLE)
+               )) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
                    / CAST(count(*) AS DOUBLE) AS avg_nll
         FROM bigrams b
         JOIN bg ON bg.prev = b.prev AND bg.tok = b.tok
@@ -75,8 +75,9 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality score (CCNet-style, one order
     above unigram_lm_score): per-doc mean NLL of each token given
     its predecessor, p = 0.75·c(prev,t)/c(prev) + 0.25·c(t)/N.
-    operators/lm.bigram_lm_nll; decimal-accumulated mean, per-doc
-    lag windows, map-side-combined count tables."""
+    operators/lm.bigram_lm_nll; per-row NLL quantized to the 1e-9
+    integer grid and summed exactly (engine-portable), per-doc lag
+    windows, map-side-combined count tables."""
     from afg_data_pipeline_spark.operators.lm import bigram_lm_nll
 
     docs = read_star_table(spark, "documents", sf_dir)
@@ -196,6 +197,66 @@ def pmi_collocations(
 
     docs = read_star_table(spark, "documents", sf_dir)
     return bigram_pmi(docs, min_count=5)
+
+
+@register(
+    "pmi_doc_pairs",
+    oracle="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id AS id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text),
+                                                    '\\s+')) AS term
+                FROM documents)
+        ),
+        dfs AS (
+            SELECT term, count(*) AS c
+            FROM dt GROUP BY term
+            HAVING count(*) >= 2 AND count(*) <= 400
+        ),
+        pruned AS (
+            SELECT dt.id, dt.term, dfs.c
+            FROM dt JOIN dfs USING (term)
+        ),
+        n AS (SELECT count(*) AS n FROM documents),
+        pairs AS (
+            SELECT a.term AS term_a, b.term AS term_b,
+                   a.c AS ca, b.c AS cb,
+                   count(*) AS n_docs_both
+            FROM pruned a JOIN pruned b ON a.id = b.id
+            WHERE a.term < b.term
+            GROUP BY a.term, b.term, a.c, b.c
+            HAVING count(*) >= 2
+        )
+        SELECT term_a, term_b,
+               CAST(n_docs_both AS BIGINT) AS n_docs_both,
+               CAST(round(
+                   ln(CAST((SELECT n FROM n) AS DOUBLE)
+                      * CAST(n_docs_both AS DOUBLE)
+                      / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+                   * 1e9) AS BIGINT) / 1e9 AS pmi
+        FROM pairs
+    """,
+    ops=("TEXT", "A1"),
+)
+def pmi_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-co-occurrence PMI — the topic-level association
+    sibling of pmi_collocations (which is adjacency/phrase-level):
+    term pairs sharing >= 2 documents, pmi over DOCUMENT
+    frequencies, df-pruned (2 <= df <= 400) so singleton terms
+    never pair and near-universal terms never pay the per-doc
+    quadratic fanout. The cap is tuned to this corpus's profile
+    (synthetic vocabulary: 31 terms, df 25..402 at sf0.01 — a
+    max_df below 400 prunes everything); production corpora with
+    Zipfian vocabularies use a much lower cap relative to N.
+    operators/tfidf.pmi_pairs: posting-list self-join on doc id,
+    integer counts, pmi snapped to the 1e-9 grid."""
+    from afg_data_pipeline_spark.operators.tfidf import pmi_pairs
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return pmi_pairs(
+        docs, min_df=2, max_df=400, min_pair_count=2
+    )
 
 
 @register(
@@ -413,14 +474,14 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (SELECT count(*) AS n FROM toks)
         SELECT s.doc_id,
                CAST(count(*) AS BIGINT) AS n_trigrams,
-               CAST(SUM(CAST((- ln(
+               CAST(SUM(CAST(round((- ln(
                    0.5 * CAST(tr.c3 AS DOUBLE)
                        / CAST(tc.cc AS DOUBLE)
                    + 0.3 * CAST(b.c2 AS DOUBLE)
                          / CAST(bc.cb AS DOUBLE)
                    + 0.19999999999999998 * CAST(u.cu AS DOUBLE)
                          / CAST(tot.n AS DOUBLE)
-               )) AS DECIMAL(18,6))) AS DOUBLE)
+               )) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1e9
                    / CAST(count(*) AS DOUBLE) AS avg_nll
         FROM tri_stream s
         JOIN tri tr ON tr.t2 = s.t2 AND tr.t1 = s.t1
@@ -441,7 +502,8 @@ def trigram_lm_score(
     ladder (unigram_lm_score → bigram_lm_score → here):
     p = 0.5·c(t2,t1,t)/c(t2,t1) + 0.3·c(t1,t)/c(t1) + 0.2·c(t)/N.
     operators/lm.trigram_lm_nll; two per-doc lag windows, three
-    map-side-combined count tables, decimal-accumulated mean."""
+    map-side-combined count tables, per-row NLL quantized to the
+    1e-9 integer grid and summed exactly."""
     from afg_data_pipeline_spark.operators.lm import (
         trigram_lm_nll,
     )

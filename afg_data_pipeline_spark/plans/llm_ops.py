@@ -216,7 +216,13 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram-set Jaccard near-dups within a language
-    block (unigram sets are degenerate on a shared vocabulary)."""
+    block (unigram sets are degenerate on a shared vocabulary).
+    Tiered at scale: beyond AFG_NGRAM_JACCARD_MAX_PAIRS exact
+    candidate pairs (default 20M; a duplication-heavy corpus makes
+    the exact tier the dominant job — measured 529.7s at sf1), the
+    operator announces and switches to banded-MinHash candidates
+    with the same exact-Jaccard verification (high-recall subset;
+    see operators/dedup.ngram_jaccard_pairs)."""
     docs = read_star_table(spark, "documents", sf_dir)
     return ngram_jaccard_pairs(
         docs, group_col="lang", threshold=0.5, n=2

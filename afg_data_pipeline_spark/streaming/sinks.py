@@ -8,7 +8,14 @@ second delivery a no-op. The two canonical shapes:
 
 - partition-overwrite: write each micro-batch to a
   ``batch_id=<id>`` partition with dynamic overwrite — a replayed
-  batch overwrites its own partition with identical content;
+  batch overwrites its own partition with identical content.
+  SCOPE: this guarantee covers recovery/restart from the SAME
+  checkpoint, where the offset log pins each batchId to the same
+  input rows. A fresh-checkpoint rerun is a new query — batch
+  boundaries may differ (maxFilesPerTrigger, file-listing order),
+  and stale batch_id partitions the rerun doesn't produce are NOT
+  cleaned up; treat that as a backfill into an empty target, not
+  a replay;
 - merge/upsert: key-wise MERGE into the target (cdc_upsert shape);
   replay re-applies the same upserts, which is idempotent when the
   updates are deterministic.
@@ -29,7 +36,10 @@ def idempotent_parquet_sink(out_dir: str):
     """foreachBatch function writing each micro-batch to its own
     ``batch_id=<id>`` partition via dynamic partition overwrite —
     a replayed batch rewrites only its own partition with the same
-    rows, so delivery is effectively exactly-once."""
+    rows, so delivery is effectively exactly-once FOR recovery
+    from the same checkpoint (the offset log fixes the
+    batchId→rows mapping; see module docstring for why a
+    fresh-checkpoint rerun is outside the guarantee)."""
     from pyspark.sql import functions as F
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -4,6 +4,13 @@ Mirrors the driver's t2 check (SURVEY.md §5.1) at sf0.001 so the
 whole registry is validated on every pytest run. Exact compare —
 floats must match bit-for-bit, which the decimal-accumulation
 convention (functions/numeric.py) guarantees.
+
+DRIVER PARITY: the gate runs with spark.sql.ansi.enabled=TRUE —
+the driver supplies its own Spark 4 session where that is the
+default, and round 3's only red row (near_dup_components_star) was
+an ANSI-only long overflow that the engine's ANSI-off session
+masked in every local check. Registered queries must be correct
+under ANY session conf (CLAUDE.md rule 11).
 """
 
 from __future__ import annotations
@@ -12,6 +19,14 @@ import pytest
 
 from afg_data_pipeline_spark.plans import REGISTRY
 from tests.conftest import SF_DIR, assert_frames_match
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ansi_on(spark):
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", old)
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

@@ -288,3 +288,109 @@ class TestPagerank:
 
         with _pytest.raises(ValueError):
             pagerank(empty, edges)
+
+
+class TestAnsiProofConvergenceProbes:
+    """Round-3 regression: the driver supplies its own Spark 4
+    session where spark.sql.ansi.enabled defaults to TRUE, and a
+    bare BIGINT sum of hash-valued/unbounded columns is a hard
+    ARITHMETIC_OVERFLOW there (near_dup_components_star was the
+    only red row in 129 queries). Both components variants must
+    converge under ANSI-on with 64-bit hash-derived vertex ids —
+    the exact overflow shape."""
+
+    def _hash_edges(self, n=40):
+        import hashlib
+
+        edges = []
+        for i in range(n):
+            ha = hashlib.md5(f"va{i}".encode()).digest()
+            hb = hashlib.md5(f"vb{i}".encode()).digest()
+            # signed 64-bit ids spanning the full long range
+            a = int.from_bytes(ha[:8], "big", signed=True)
+            b = int.from_bytes(hb[:8], "big", signed=True)
+            if a != b:
+                edges.append((a, b))
+        return edges
+
+    def test_both_variants_under_ansi_on(self, spark):
+        from afg_data_pipeline_spark.operators.graph import (
+            connected_components,
+            connected_components_star,
+        )
+
+        edges = self._hash_edges()
+        df = spark.createDataFrame(edges, "src long, dst long")
+        old = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            a = {
+                (r.vertex, r.component)
+                for r in connected_components(df).collect()
+            }
+            b = {
+                (r.vertex, r.component)
+                for r in connected_components_star(df).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+        assert a == b
+        assert len(a) == len({v for e in edges for v in e})
+
+    def test_star_probe_frequency_is_bit_identical(self, spark):
+        """The every-N-rounds checksum probe (a full job per probe)
+        must not change the output: the potential function strictly
+        decreases, so the edge set never revisits a state, and
+        iterating at the fixpoint is the identity."""
+        import hashlib
+
+        from afg_data_pipeline_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        edges = []
+        for i in range(120):
+            h = hashlib.md5(f"pe|{i}".encode()).digest()
+            a = int.from_bytes(h[:4], "big") % 60
+            b = int.from_bytes(h[4:8], "big") % 60
+            if a != b:
+                edges.append((a, b))
+        df = spark.createDataFrame(edges, "src long, dst long")
+        outs = [
+            sorted(
+                (r.vertex, r.component)
+                for r in connected_components_star(
+                    df, probe_every=k
+                ).collect()
+            )
+            for k in (1, 3)
+        ]
+        assert outs[0] == outs[1]
+
+
+class TestPagerankSymmetrize:
+    def test_directed_differs_from_undirected(self, spark):
+        from afg_data_pipeline_spark.operators.graph import pagerank
+
+        nodes = spark.createDataFrame(
+            [(1,), (2,), (3,)], "id long"
+        )
+        # star INTO node 3: directed ranks concentrate on 3;
+        # undirected symmetrization spreads mass back out.
+        edges = spark.createDataFrame(
+            [(1, 3), (2, 3)], "src long, dst long"
+        )
+        und = {
+            r.vertex: r.rank_scaled
+            for r in pagerank(nodes, edges, iterations=5).collect()
+        }
+        dire = {
+            r.vertex: r.rank_scaled
+            for r in pagerank(
+                nodes, edges, iterations=5, symmetrize=False
+            ).collect()
+        }
+        assert dire[3] > und[3]
+        assert dire[1] == dire[2]
+        # directed: 1 and 2 only get teleport+dangling mass
+        assert dire[3] > dire[1]

@@ -778,3 +778,74 @@ class TestMixtureResample:
         a = sorted(r.doc_id for r in out.collect())
         b = sorted(r.doc_id for r in out.collect())
         assert a == b
+
+
+class TestNgramJaccardTiering:
+    """The exact tier costs Σ_g |g|² pairs (529.7s at sf1 on a
+    10-copy-heavy corpus); beyond the pair budget the operator
+    must announce and fall back to banded-MinHash candidates with
+    the same exact-Jaccard verification — a subset of the exact
+    output that still contains the genuine near-dups."""
+
+    def _docs(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog and runs "
+            "far away into the deep green forest tonight"
+        )
+        near = base.replace("tonight", "today")
+        rows = [(1, base, "en"), (2, base, "en"), (3, near, "en")]
+        rows += [
+            (
+                10 + i,
+                f"unrelated filler text number {i} about nothing "
+                f"in particular item {i}",
+                "en",
+            )
+            for i in range(12)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_fallback_is_subset_and_keeps_planted_dups(
+        self, spark, capsys
+    ):
+        from afg_data_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = self._docs(spark)
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, group_col="lang", threshold=0.5
+            ).collect()
+        }
+        # 15 docs in one group = 105 pairs; budget of 10 forces
+        # the banded tier.
+        fb = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, group_col="lang", threshold=0.5, max_pairs=10
+            ).collect()
+        }
+        out = capsys.readouterr().out
+        assert "falling back to banded MinHash" in out
+        # subset with identical jaccard values
+        for pair, j in fb.items():
+            assert exact[pair] == j
+        # the planted exact + near dups survive the banded tier
+        assert (1, 2) in fb
+        assert (1, 3) in fb
+
+    def test_under_budget_is_exact_and_silent(self, spark, capsys):
+        from afg_data_pipeline_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = self._docs(spark)
+        out = ngram_jaccard_pairs(
+            docs, group_col="lang", threshold=0.5, max_pairs=10**6
+        ).collect()
+        assert "falling back" not in capsys.readouterr().out
+        assert {(r.id_a, r.id_b) for r in out} >= {(1, 2), (1, 3)}

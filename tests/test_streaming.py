@@ -192,10 +192,17 @@ class TestStreamingDedup:
 
 class TestForeachBatchSink:
     def test_idempotent_partition_overwrite(self, spark, tmp_path):
-        """foreachBatch exactly-once contract: draining the same
-        source twice (fresh checkpoint -> full replay) leaves the
-        target byte-identical — every batch lands in its own
-        batch_id partition via dynamic overwrite."""
+        """foreachBatch exactly-once contract, tested on the path
+        the guarantee actually covers: recovery from the SAME
+        checkpoint. The last commit marker is deleted (simulating a
+        crash after the sink wrote but before the commit landed),
+        so restart re-delivers that batch with the same batchId and
+        the same offset-log-pinned rows — dynamic overwrite must
+        leave the target byte-identical. (A fresh-checkpoint rerun
+        is deliberately NOT the claim: batch boundaries there
+        depend on file-listing order.)"""
+        import shutil
+
         import pyspark.sql.functions as F
 
         from afg_data_pipeline_spark.streaming.sinks import (
@@ -204,6 +211,7 @@ class TestForeachBatchSink:
 
         src = tmp_path / "src"
         out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt1"
         spark.range(100).withColumn(
             "v", F.col("id") * 2
         ).repartition(4).write.parquet(str(src))
@@ -213,9 +221,7 @@ class TestForeachBatchSink:
             .option("maxFilesPerTrigger", 2)
             .parquet(str(src))
         )
-        run_foreach_batch(
-            stream, str(out), str(tmp_path / "ckpt1")
-        )
+        run_foreach_batch(stream, str(out), str(ckpt))
         first = sorted(
             (r.id, r.v)
             for r in spark.read.parquet(str(out)).collect()
@@ -223,11 +229,31 @@ class TestForeachBatchSink:
         assert len(first) == 100
         assert all(v == 2 * i for i, v in first)
 
-        # replay from a FRESH checkpoint: same batches re-delivered,
-        # dynamic overwrite makes it a no-op
-        run_foreach_batch(
-            stream, str(out), str(tmp_path / "ckpt2")
-        )
+        # Crash-recovery replay: copy the checkpoint and erase the
+        # last batch's offsets + commit markers while KEEPING its
+        # already-written sink output — the crash window where the
+        # foreachBatch write landed but the checkpoint advance was
+        # lost. Restart re-plans that batch with the same batchId
+        # over the same remaining files and re-delivers it; the
+        # partition overwrite must make the second delivery a
+        # no-op.
+        ckpt2 = tmp_path / "ckpt_recover"
+        shutil.copytree(str(ckpt), str(ckpt2))
+        for log in ("commits", "offsets"):
+            entries = sorted(
+                (
+                    p
+                    for p in (ckpt2 / log).iterdir()
+                    if p.name.isdigit()
+                ),
+                key=lambda p: int(p.name),
+            )
+            assert len(entries) >= 2
+            entries[-1].unlink()
+            crc = entries[-1].parent / f".{entries[-1].name}.crc"
+            if crc.exists():
+                crc.unlink()
+        run_foreach_batch(stream, str(out), str(ckpt2))
         second = sorted(
             (r.id, r.v)
             for r in spark.read.parquet(str(out)).collect()

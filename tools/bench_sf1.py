@@ -186,6 +186,21 @@ def main() -> None:
     from afg_data_pipeline_spark.session import get_session
 
     results_path = os.path.join(out_dir, "sf1_results.jsonl")
+    # One run-delimiter line per invocation: the file accumulates
+    # across runs (append mode), so consumers group records by the
+    # preceding run_start stamp instead of double-counting.
+    with open(results_path, "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "run_start": time.strftime(
+                        "%Y-%m-%dT%H:%M:%S", time.gmtime()
+                    ),
+                    "queries": sorted(only & set(HEAVY)),
+                }
+            )
+            + "\n"
+        )
     spark = get_session("bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     build_sf1(spark, src_dir, out_dir)
@@ -229,10 +244,18 @@ def main() -> None:
             json.dumps({"query": name, "spark_s": round(spark_s, 3)}),
             flush=True,
         )
+        # Tagged partial: the Spark timing is banked immediately so
+        # a sweep killed mid-oracle still records it, but consumers
+        # filtering `not r.get("partial")` never double-count
+        # against the final record below.
         with open(results_path, "a") as fh:
             fh.write(
                 json.dumps(
-                    {"query": name, "spark_s": round(spark_s, 3)}
+                    {
+                        "query": name,
+                        "spark_s": round(spark_s, 3),
+                        "partial": True,
+                    }
                 )
                 + "\n"
             )

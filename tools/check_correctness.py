@@ -6,6 +6,12 @@ order-insensitive exact value comparison (sorted rows of stringified
 cells). Stricter than the driver is likely to be — floats must match
 bit-for-bit — so passing here means passing there.
 
+The Spark session runs with ``spark.sql.ansi.enabled=true`` by
+default — DRIVER PARITY: the driver supplies its own Spark 4
+session (ANSI on by default), and round 3's only red row was an
+ANSI-only overflow that the engine's ANSI-off session masked
+locally. Set AFG_ANSI=0 to sweep under the engine default instead.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -13,6 +19,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import os
 import sys
 import time
 
@@ -69,6 +76,9 @@ def main() -> int:
     from afg_data_pipeline_spark.session import get_session
 
     spark = get_session("check-correctness")
+    ansi = os.environ.get("AFG_ANSI", "1") != "0"
+    spark.conf.set("spark.sql.ansi.enabled", str(ansi).lower())
+    print(f"spark.sql.ansi.enabled={ansi} (driver default: true)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
