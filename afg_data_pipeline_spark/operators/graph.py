@@ -104,7 +104,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
-    probe_every: int = 2,
+    probe_every: int = 1,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and
@@ -133,13 +133,19 @@ def connected_components_star(
     pattern of the min-label variant.
 
     ``probe_every``: the checksum probe is a full Spark job on the
-    checkpointed edge frame, so it runs every N rounds (default 2
-    — PageRank's measured checkpoint-frequency pattern). Sound:
-    the potential function strictly decreases at every non-fixpoint
-    step, so the edge set can never revisit an earlier state — two
-    equal probes N rounds apart imply every intervening round was
-    already at the fixpoint, and iterating at the fixpoint is the
-    identity, so the output is bit-identical at any frequency.
+    checkpointed edge frame, so it CAN run every N rounds; the
+    output is bit-identical at any frequency (the potential
+    function strictly decreases at every non-fixpoint step, so the
+    edge set never revisits a state — two equal probes N apart
+    imply every intervening round was already at the fixpoint, and
+    iterating at the fixpoint is the identity). Default 1, unlike
+    PageRank's checkpoint_every=2: PageRank runs a FIXED iteration
+    count, so sparser checkpoints only remove jobs, while here
+    sparser probes DELAY convergence detection by up to
+    2(N-1) extra star rounds — and a round (two shuffled
+    aggregates + join + distinct + checkpoint) costs ~10x a probe.
+    Measured at sf0.1 (min-of-3): probe_every=1 5.91s,
+    probe_every=2 8.52s.
     """
     probe_every = max(1, int(probe_every))
     # Self-loop-free undirected edge set, canonicalized u < v.

@@ -104,7 +104,13 @@ def tfidf_cosine_pairs(
     the division order (dot_double / (√na² · √nb²)) is fixed so the
     DuckDB oracle reproduces the exact float result.
     """
-    w = tfidf_weights(docs, id_col, text_col, max_df)
+    # The posting list feeds THREE plan branches (norms, both
+    # self-join sides); materialize it once — otherwise each branch
+    # re-tokenizes the corpus and recomputes tf/df. The checkpoint
+    # holds only (id, term, s): never raw text.
+    w = tfidf_weights(docs, id_col, text_col, max_df).localCheckpoint(
+        eager=True
+    )
     dec = F.col("s").cast("decimal(19,0)")
     norms = w.groupBy("id").agg(
         F.sqrt(
@@ -174,6 +180,9 @@ def pmi_pairs(
     groupBy(term_a, term_b) partial-aggregates before its shuffle.
     """
     n_docs = docs.count()
+    # Three plan branches read the tokenized (id, term) table (the
+    # df counts and both self-join sides); materialize it once so
+    # tokenization runs once, not three times.
     dt = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -181,7 +190,7 @@ def pmi_pairs(
                 F.split(F.trim(F.col(text_col)), r"\s+")
             )
         ).alias("term"),
-    )
+    ).localCheckpoint(eager=True)
     dfs = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     dfs = dfs.filter(F.col("c") >= min_df)
     if max_df is not None:

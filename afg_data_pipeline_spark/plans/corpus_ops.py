@@ -512,3 +512,131 @@ def trigram_lm_score(
     return trigram_lm_nll(docs, l3=0.5, l2=0.3).select(
         F.col("id").alias("doc_id"), "n_trigrams", "avg_nll"
     )
+
+
+@register(
+    "duplicate_span_extract",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 4)) AS pos
+            FROM tokd WHERE len(t) >= 5
+        ),
+        grams AS (
+            SELECT doc_id, pos,
+                   md5(array_to_string(
+                       list_slice(t, pos, pos + 4), ' ')) AS gh
+            FROM pos
+        ),
+        counted AS (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY gh) AS c
+            FROM grams
+        ),
+        dup AS (SELECT doc_id, pos FROM counted WHERE c >= 2),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + 5
+                        THEN 1 ELSE 0 END AS new_island
+            FROM dup
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 4 AS BIGINT) AS span_end,
+               CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT)
+                   AS n_span_tokens
+        FROM islands GROUP BY doc_id, island
+    """,
+    ops=("DEDUP",),
+)
+def duplicate_span_extract_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized duplicated spans (Lee et al. exact-substring
+    dedup, the actionable sibling of duplicate_span_detect): the
+    MERGED 1-based token intervals covered by corpus-duplicated
+    5-grams, per document — exactly the ranges a training-data
+    dedup pass cuts. operators/dedup.duplicate_span_extract:
+    single-evaluation xxhash64 gram stream, window count by hash,
+    per-doc gaps-and-islands; two shuffles, all-integer output."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        duplicate_span_extract,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return duplicate_span_extract(docs, k=5).select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("n_span_tokens").cast("bigint").alias(
+            "n_span_tokens"
+        ),
+    )
+
+
+@register(
+    "winnow_fingerprints",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, t, len(t) - 3 AS n_pos,
+                   unnest(generate_series(1, len(t) - 3)) AS pos
+            FROM tokd WHERE len(t) >= 4
+        ),
+        grams AS (
+            SELECT doc_id, n_pos, pos,
+                   md5(array_to_string(
+                       list_slice(t, pos, pos + 3), ' ')) AS gh
+            FROM g
+        ),
+        wm AS (
+            SELECT doc_id, n_pos, pos,
+                   min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 4 PRECEDING
+                                 AND CURRENT ROW) AS win_min
+            FROM grams
+        )
+        SELECT DISTINCT doc_id, win_min AS fp
+        FROM wm WHERE pos >= 5 OR pos = n_pos
+    """,
+    ops=("DEDUP",),
+)
+def winnow_fingerprints_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    per-document minimum md5 of each sliding window of 5
+    consecutive token-4-gram hashes — any shared substring of
+    >= 8 tokens is GUARANTEED to produce an identical fingerprint
+    in both documents while keeping only ~2/(w+1) of grams. The
+    position-robust candidate-generation tier between MinHash
+    (whole-doc) and exact-substring counting.
+    operators/dedup.winnow_fingerprints: bounded-PRECEDING window
+    frames only (rule 2), lexicographic hex min (engine-portable),
+    distinct shuffles (id, fp) pairs only."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return winnow_fingerprints(docs, k=4, w=5).select(
+        F.col("id").alias("doc_id"), "fp"
+    )

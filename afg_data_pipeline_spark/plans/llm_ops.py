@@ -1519,14 +1519,18 @@ def pack_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat-then-chunk recipe, unlike length_bucketed_batches which
     never splits).
 
-    Scale shape: the running total is a two-pass SHARDED prefix sum
-    (operators/prefixsum.sharded_cumsum) — per-(lang, doc_id-range
-    shard) partial sums, broadcast exclusive shard offsets, then a
-    within-shard window — so parallelism is n_shards per language
-    instead of one task per language (a mostly-monolingual 100 TB
-    corpus would otherwise funnel through a single task). Integer
-    addition is associative, so the output is bit-identical to the
-    plain per-lang window the oracle expresses."""
+    Scale shape: the running total is an ADAPTIVE prefix sum
+    (operators/prefixsum.sharded_cumsum). Above the per-group row
+    threshold it is the two-pass SHARDED scan — per-(lang,
+    doc_id-range shard) partial sums, broadcast exclusive shard
+    offsets, then a within-shard window — so parallelism is
+    n_shards per language instead of one task per language (a
+    mostly-monolingual 100 TB corpus would otherwise funnel
+    through a single task). Below it (this corpus at test sfs) the
+    plain one-shuffle window runs: measured at sf1 the sharded
+    machinery is 1.64s vs 0.27s of pure overhead on small groups.
+    Integer addition is associative, so both strategies are
+    bit-identical to the per-lang window the oracle expresses."""
     from afg_data_pipeline_spark.operators.prefixsum import sharded_cumsum
     from afg_data_pipeline_spark.operators.text import token_count
 

@@ -131,9 +131,9 @@ class TestDocPmiPairs:
         assert ("u", "v") in got
         n_both, pmi = got[("u", "v")]
         assert n_both == 2
-        assert pmi == pytest.approx(
-            math.log(4 * 2 / (3 * 3)), rel=1e-12
-        )
+        # pmi is snapped to the 1e-9 grid (rule 1c — ln differs by
+        # 1 ulp across engines); expect the snapped value exactly.
+        assert pmi == round(math.log(4 * 2 / (3 * 3)) * 1e9) / 1e9
         # singleton fillers pruned by min_df -> no pair with them
         assert all(
             a in ("u", "v", "w", "z") and b in ("u", "v", "w", "z")

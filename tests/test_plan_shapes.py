@@ -248,14 +248,19 @@ class TestNewLlmOpShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_pack_token_stream_window_is_sharded(self, spark):
-        # The packing cumsum must be the two-pass sharded scan: the
-        # row-level window partitioned by (lang, __shard) — per-lang
-        # alone bounds parallelism at language cardinality. The
-        # per-shard-offset window (≤ n_shards rows per lang) is the
-        # only one allowed to partition by lang alone.
+    def test_pack_token_stream_window_is_sharded(
+        self, spark, monkeypatch
+    ):
+        # Above the adaptive threshold the packing cumsum must be
+        # the two-pass sharded scan: the row-level window
+        # partitioned by (lang, __shard) — per-lang alone bounds
+        # parallelism at language cardinality. The per-shard-offset
+        # window (≤ n_shards rows per lang) is the only one allowed
+        # to partition by lang alone. Threshold forced to 0 so the
+        # tiny test sf exercises the at-scale plan shape.
         import re
 
+        monkeypatch.setenv("AFG_CUMSUM_PLAIN_MAX_GROUP_ROWS", "0")
         df = REGISTRY["pack_token_stream"].fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         win_lines = [
@@ -270,6 +275,17 @@ class TestNewLlmOpShapes:
         assert cumsum_lines, win_lines
         for ln in cumsum_lines:
             assert "__shard" in ln and "lang" in ln, ln
+
+    def test_pack_token_stream_small_groups_use_plain_window(
+        self, spark
+    ):
+        # Below the threshold (every group at tiny sf) the adaptive
+        # strategy must pick the one-shuffle plain window — the
+        # sharded machinery's two extra shuffled aggregates are
+        # measured pure overhead there (PERF.md round 4).
+        df = REGISTRY["pack_token_stream"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "__shard" not in plan, plan
 
     def test_unigram_lm_total_is_broadcast_scalar(self, spark):
         # The 1-row corpus total must ride a broadcast, and the

@@ -44,6 +44,15 @@ def frame(spark):
     return spark.createDataFrame(rows, "g string, k long, v long")
 
 
+@pytest.fixture(autouse=True)
+def _force_sharded(monkeypatch):
+    """Every equivalence test here exercises the SHARDED strategy:
+    with the adaptive threshold at its 8M default, the tiny test
+    groups would all take the plain-window path and the tests
+    would compare plain against plain."""
+    monkeypatch.setenv("AFG_CUMSUM_PLAIN_MAX_GROUP_ROWS", "0")
+
+
 class TestShardedCumsum:
     def test_matches_plain_window_grouped(self, frame):
         got = sharded_cumsum(
@@ -97,3 +106,36 @@ class TestShardedCumsum:
         assert row_wins, plan
         for ln in row_wins:
             assert "__shard" in ln, ln
+
+    def test_adaptive_picks_plain_below_threshold(
+        self, frame, monkeypatch
+    ):
+        # Default threshold (8M rows/group): small groups take the
+        # one-shuffle plain window — no __shard machinery in the
+        # plan — and the values are identical either way.
+        monkeypatch.delenv(
+            "AFG_CUMSUM_PLAIN_MAX_GROUP_ROWS", raising=False
+        )
+        got = sharded_cumsum(frame, "v", "k", ["g"], n_shards=8)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "__shard" not in plan, plan
+        assert _rows(got) == _rows(
+            _plain_cumsum(frame, "v", "k", ["g"])
+        )
+
+    def test_adaptive_threshold_boundary(self, frame, monkeypatch):
+        # Largest group in the fixture is 900 rows: cap 900 -> plain,
+        # cap 899 -> sharded; both bit-identical.
+        want = _rows(_plain_cumsum(frame, "v", "k", ["g"]))
+        monkeypatch.setenv("AFG_CUMSUM_PLAIN_MAX_GROUP_ROWS", "900")
+        plain = sharded_cumsum(frame, "v", "k", ["g"], n_shards=8)
+        assert "__shard" not in (
+            plain._jdf.queryExecution().executedPlan().toString()
+        )
+        assert _rows(plain) == want
+        monkeypatch.setenv("AFG_CUMSUM_PLAIN_MAX_GROUP_ROWS", "899")
+        sharded = sharded_cumsum(frame, "v", "k", ["g"], n_shards=8)
+        assert "__shard" in (
+            sharded._jdf.queryExecution().executedPlan().toString()
+        )
+        assert _rows(sharded) == want
