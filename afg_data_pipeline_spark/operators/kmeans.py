@@ -1,0 +1,225 @@
+"""Integer-exact Lloyd's k-means over embedding columns — the
+clustering stage of semantic dedup (SemDeDup-style: cluster, then
+prune near-dups within clusters) and of IVF-style index builds.
+
+Why integer-exact: distributed k-means normally sums per-cluster
+double coordinates in shuffle order — irreproducible across
+partitionings, retries, and engines, so an oracle comparison would
+be impossible and reruns would flap. Here every coordinate is
+quantized ONCE to the 1e-6 grid (``q = round(x · 1e6)`` BIGINT —
+integer rounding of the same double agrees across engines,
+CLAUDE.md rule 1b) and every downstream step is exact integer
+arithmetic:
+
+    dist²(v, c)  = Σ_j (q_vj − c_j)²            (BIGINT; ≤ ~8e13
+                   for 64 dims of |x| ≤ 10 — far under 2^63)
+    assignment   = argmin dist², ties → smaller cluster id
+    c'_j         = floor(Σ q_vj / n)  computed as
+                   (Σ q_vj + n·OFF) div n − OFF  with OFF = 1e7
+
+The OFF shift makes the dividend non-negative, where truncating
+(Spark ``div``, Python ``//`` on positives) and flooring division
+agree — so Spark, DuckDB and the driver-side Python all produce
+bit-identical centroids. Empty clusters die (standard Lloyd's
+variant); surviving cluster ids are stable, never renumbered.
+
+Scale shape: the quantized array frame is localCheckpoint()ed once
+and scanned T+1 times; each iteration is ONE map-side-combinable
+aggregate producing k×(d+1) partials, and the model state
+(k·d integers) rides the driver exactly as Spark MLlib's own
+KMeans does — O(k·d), independent of corpus size. Distances are
+compact BIGINT array folds against centroid literal arrays (see
+``_dist_expr`` for why not flat unrolled expressions), each
+materialized once per row: no explode, no join, no shuffle on the
+data path besides the k-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point grid for coordinates (1e-6 — matches tfidf.QUANT)
+QUANT = 1_000_000
+#: non-negativity shift for floor-division portability; must exceed
+#: max |quantized coordinate| (1e7 covers |x| <= 10)
+OFF = 10_000_000
+
+
+def _dist_expr(centroid: list[int]):
+    """Σ_j (qarr[j] − c_j)² as a compact BIGINT array fold.
+
+    A flat 64-term expression per centroid (×8 centroids) grows
+    whole-stage codegen past the JVM's 64 KB method limit —
+    measured: compile-fail-and-fallback cycles put the sf0.01 query
+    at 37.9s; the fold form runs it in ~2s. The fold is a
+    HOF-lambda expression feeding an ORACLE-CHECKED output, which
+    is the sanctioned use under CLAUDE.md rule 10 (a corruption
+    recurrence is a red row, never silent)."""
+    lits = ", ".join(str(int(c)) for c in centroid)
+    return F.expr(
+        f"aggregate(zip_with(qarr, array({lits}), "
+        "(x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Run ``iterations`` Lloyd's rounds from deterministic seeds
+    (the k vectors with smallest id) and return the FINAL
+    assignment: (id, cluster, dist_q) with dist_q the exact
+    integer squared distance on the 1e-6 grid.
+
+    Raises on corpora with fewer than ``k`` vectors.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        if first is None:
+            raise ValueError("kmeans over an empty frame")
+        dim = first[0]
+    # Explicit 64-element array build (no HOF for the quantization
+    # itself); the fold lambdas appear only in the oracle-checked
+    # distance path.
+    qarr = F.array(
+        *[
+            F.round(
+                F.element_at(F.col(vec_col), j + 1).cast("double")
+                * F.lit(float(QUANT)),
+                0,
+            ).cast("bigint")
+            for j in range(dim)
+        ]
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), qarr.alias("qarr")
+    ).localCheckpoint(eager=True)
+    seeds = base.orderBy("id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans needs at least k={k} vectors, got {len(seeds)}"
+        )
+    # cluster id = seed rank by vector id (0-based), stable forever.
+    cents: dict[int, list[int]] = {
+        cid: list(row["qarr"]) for cid, row in enumerate(seeds)
+    }
+
+    def with_cluster(cents_now: dict[int, list[int]]):
+        """(frame + d_<cid> columns + cluster + dist_q) — each
+        distance is materialized once as a column, then the argmin
+        when-chain compares columns, never re-evaluating folds."""
+        cids = sorted(cents_now)
+        frame = base.withColumns(
+            {f"d_{c}": _dist_expr(cents_now[c]) for c in cids}
+        )
+        best = F.least(*[F.col(f"d_{c}") for c in cids])
+        # ordered when-chain: first (= smallest) cid at the min —
+        # the deterministic tie-break the oracle mirrors with
+        # row_number() ORDER BY (dist, cid).
+        expr = F.when(F.col(f"d_{cids[0]}") == best, F.lit(cids[0]))
+        for c in cids[1:]:
+            expr = expr.when(F.col(f"d_{c}") == best, F.lit(c))
+        return frame.withColumn(
+            "cluster", expr.cast("int")
+        ).withColumn("dist_q", best)
+
+    for _ in range(iterations):
+        agg = (
+            with_cluster(cents)
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    # DECIMAL(38,0) accumulation: ANSI-proof
+                    # (rule 11); the bound Σ|q| ≤ n·1e7 is cast
+                    # back to BIGINT after (exact under 9.2e18).
+                    F.sum(
+                        F.element_at("qarr", j + 1).cast(
+                            "decimal(38,0)"
+                        )
+                    )
+                    .cast("bigint")
+                    .alias(f"s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        cents = {
+            row["cluster"]: [
+                (row[f"s{j}"] + row["n"] * OFF) // row["n"] - OFF
+                for j in range(dim)
+            ]
+            for row in agg
+        }
+
+    return with_cluster(cents).select("id", "cluster", "dist_q")
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then find near-duplicate pairs ONLY within
+    clusters — the pair space shrinks from n² to Σ_c n_c², and the
+    cluster assignment is the integer-exact k-means above, so the
+    whole pipeline stays bit-reproducible.
+
+    Output: (id_a, id_b, cluster, cosine) for same-cluster pairs
+    with cosine >= threshold. Cosine uses the engine's sequential
+    double-fold dot/norm (operators/similarity.dot_decimal — the
+    same contract every ANN query here uses), so the oracle
+    reproduces every float bit-for-bit.
+
+    Scale: the within-cluster self-join shuffles on cluster id with
+    quantized vectors riding along; clusters are the blocking key
+    (same role as the LSH band / language block elsewhere). Skewed
+    (giant) clusters are the known cost of SemDeDup — callers raise
+    k; the join is AQE-skew-splittable since the pair fanout
+    happens after an equi-join on cluster, salted by the id range
+    via AQE.
+    """
+    assign = kmeans_assign(
+        df, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
+    ).select(F.col("id"), "cluster")
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("qv")
+    ).join(assign, "id")
+    a = vecs.select(
+        F.col("id").alias("id_a"),
+        F.col("qv").alias("va"),
+        "cluster",
+    )
+    b = vecs.select(
+        F.col("id").alias("id_b"),
+        F.col("qv").alias("vb"),
+        "cluster",
+    )
+    from afg_data_pipeline_spark.operators.similarity import (
+        dot_decimal,
+        norm_decimal,
+    )
+
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot_decimal("va", "vb")
+            / (norm_decimal("va") * norm_decimal("vb")),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    return pairs.select("id_a", "id_b", "cluster", "cosine")

@@ -19,6 +19,7 @@ from afg_data_pipeline_spark.plans import (  # noqa: F401, E402
     classics,
     product_analytics,
     corpus_ops,
+    clustering,
 )
 
 __all__ = ["REGISTRY", "Query", "register"]

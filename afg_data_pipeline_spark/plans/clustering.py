@@ -1,0 +1,167 @@
+"""Declared queries: integer-exact k-means clustering and
+SemDeDup-style semantic dedup over the embeddings table.
+
+The oracle for the iterative k-means is the PageRank pattern
+(plans/product_analytics.py precedent): iterations unrolled as a
+chained CTE with AS MATERIALIZED (CLAUDE.md rule 5 — DuckDB inlines
+plain CTEs and the plan tree would grow exponentially). Every
+quantity is exact integer arithmetic on the 1e-6 grid, so the
+unrolled SQL reproduces Spark's assignments and distances
+bit-for-bit (see operators/kmeans.py for the portability argument:
+integer rounding, non-negative-shifted floor division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.io import read_star_table
+from afg_data_pipeline_spark.operators.kmeans import OFF, QUANT
+from afg_data_pipeline_spark.plans.registry import register
+
+_K = 8
+_ITERS = 3
+_DIM = 64
+
+
+def _kmeans_cte(k: int, iterations: int, dim: int) -> str:
+    """Shared CTE chain ending in the final assignment a{T+1}."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j])))"
+    ).format(dim=dim)
+    parts = [
+        f"""
+        qv AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}.0)
+                     AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS INTEGER) AS cid, q
+            FROM (SELECT vec_id, q FROM qv
+                  ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for i in range(1, iterations + 2):
+        parts.append(
+            f"""
+        a{i} AS MATERIALIZED (
+            SELECT vec_id, q, cluster, dist FROM (
+                SELECT vec_id, q, cluster, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist, cluster) AS rn
+                FROM (
+                    SELECT v.vec_id, v.q, c.cid AS cluster,
+                           {dist} AS dist
+                    FROM qv v CROSS JOIN c{i - 1} c))
+            WHERE rn = 1
+        )"""
+        )
+        if i <= iterations:
+            parts.append(
+                f"""
+        c{i} AS MATERIALIZED (
+            SELECT cid, list(val ORDER BY dim) AS q FROM (
+                SELECT cluster AS cid, g.j AS dim,
+                       (CAST(SUM(q[g.j]) AS BIGINT)
+                        + count(*) * {OFF}) // count(*)
+                       - {OFF} AS val
+                FROM a{i}, generate_series(1, {dim}) g(j)
+                GROUP BY cluster, g.j)
+            GROUP BY cid
+        )"""
+            )
+    return "WITH" + ",".join(parts)
+
+
+_FINAL = f"a{_ITERS + 1}"
+
+
+@register(
+    "kmeans_cluster_assign",
+    oracle=_kmeans_cte(_K, _ITERS, _DIM)
+    + f"""
+        SELECT vec_id,
+               CAST(cluster AS INTEGER) AS cluster,
+               CAST(dist AS BIGINT) AS dist_q
+        FROM {_FINAL}
+    """,
+    ops=("ANN", "A1"),
+)
+def kmeans_cluster_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer-exact Lloyd's k-means (k=8, 3 rounds, deterministic
+    smallest-id seeds) over the embeddings: final (vec_id, cluster,
+    dist_q) with the exact integer squared distance on the 1e-6
+    grid. operators/kmeans.kmeans_assign: one checkpointed
+    quantized scan, one map-side-combinable aggregate per round,
+    O(k·d) driver model state (the Spark MLlib shape) — distances
+    are flat codegen against centroid literals, no explode/join on
+    the data path. Oracle: iterations unrolled as MATERIALIZED
+    CTEs, bit-identical by integer construction."""
+    from afg_data_pipeline_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    return kmeans_assign(
+        emb, k=_K, iterations=_ITERS, dim=_DIM
+    ).select(
+        F.col("id").alias("vec_id"), "cluster", "dist_q"
+    )
+
+
+@register(
+    "semantic_dedup_pairs",
+    oracle=_kmeans_cte(_K, _ITERS, _DIM)
+    + f""",
+        vecs AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding, a.cluster,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(e.embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings e
+            JOIN {_FINAL} a ON a.vec_id = e.vec_id
+        )
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               CAST(x.cluster AS INTEGER) AS cluster,
+               list_aggregate(list_transform(
+                   generate_series(1, len(x.embedding)),
+                   i -> CAST(x.embedding[i] AS DOUBLE)
+                        * CAST(y.embedding[i] AS DOUBLE)),
+                   'sum') / (x.nrm * y.nrm) AS cosine
+        FROM vecs x JOIN vecs y ON x.cluster = y.cluster
+        WHERE x.vec_id < y.vec_id
+          AND list_aggregate(list_transform(
+                  generate_series(1, len(x.embedding)),
+                  i -> CAST(x.embedding[i] AS DOUBLE)
+                       * CAST(y.embedding[i] AS DOUBLE)),
+                  'sum') / (x.nrm * y.nrm) >= 0.2
+    """,
+    ops=("ANN", "DEDUP"),
+)
+def semantic_dedup_pairs_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup (Abbas et al.): embedding-space near-dup pairs
+    restricted to the SAME k-means cluster — the pair space drops
+    from n² to Σ n_c², with the integer-exact clustering as the
+    blocking key. Threshold 0.2 surfaces the heavy-overlap tail of
+    this synthetic corpus (as embedding_near_dup). Cosine is the
+    sequential double fold every ANN oracle here uses —
+    bit-identical across engines."""
+    from afg_data_pipeline_spark.operators.kmeans import (
+        semantic_dedup_pairs,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    return semantic_dedup_pairs(
+        emb, k=_K, iterations=_ITERS, threshold=0.2
+    )

@@ -640,3 +640,71 @@ def winnow_fingerprints_q(
     return winnow_fingerprints(docs, k=4, w=5).select(
         F.col("id").alias("doc_id"), "fp"
     )
+
+
+@register(
+    "winnow_candidate_pairs",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, t, len(t) - 3 AS n_pos,
+                   unnest(generate_series(1, len(t) - 3)) AS pos
+            FROM tokd WHERE len(t) >= 4
+        ),
+        grams AS (
+            SELECT doc_id, n_pos, pos,
+                   md5(array_to_string(
+                       list_slice(t, pos, pos + 3), ' ')) AS gh
+            FROM g
+        ),
+        wm AS (
+            SELECT doc_id, n_pos, pos,
+                   min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 4 PRECEDING
+                                 AND CURRENT ROW) AS win_min
+            FROM grams
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, win_min AS fp
+            FROM wm WHERE pos >= 5 OR pos = n_pos
+        ),
+        keep AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING count(*) <= 200
+        ),
+        capped AS (
+            SELECT fps.doc_id, fps.fp
+            FROM fps JOIN keep USING (fp)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared_fps
+        FROM capped a JOIN capped b ON a.fp = b.fp
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+    """,
+    ops=("DEDUP",),
+)
+def winnow_candidate_pairs_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MOSS match step: document pairs sharing >= 2 winnowing
+    fingerprints (k=4, w=5), with the shared count — the
+    position-robust candidate tier (detects copied PASSAGES at any
+    offset, where MinHash needs whole-doc similarity).
+    operators/dedup.winnow_candidate_pairs: inverted-index
+    self-join on fingerprint, hot fingerprints capped at 200 docs
+    (boilerplate guard, the minhash bucket-cap pattern),
+    fingerprint table checkpointed once."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return winnow_candidate_pairs(
+        docs, k=4, w=5, min_shared=2, max_fp_docs=200
+    )

@@ -1,0 +1,138 @@
+"""Integer-exact k-means: pure-python replica pin (the operator is
+oracle-checked too, but the replica pins the driver-side centroid
+arithmetic independently of DuckDB) plus clustering-sanity checks."""
+
+from __future__ import annotations
+
+from afg_data_pipeline_spark.operators.kmeans import (
+    OFF,
+    QUANT,
+    kmeans_assign,
+    semantic_dedup_pairs,
+)
+
+
+def _replica(vectors, k, iterations):
+    """vectors: list[(id, [floats])] -> {id: (cluster, dist)}."""
+    q = {
+        vid: [round(float(x) * QUANT) for x in vec]
+        for vid, vec in vectors
+    }
+    seeds = sorted(q)[:k]
+    cents = {cid: list(q[vid]) for cid, vid in enumerate(seeds)}
+
+    def assign(c):
+        out = {}
+        for vid, qv in q.items():
+            best = None
+            for cid in sorted(c):
+                d = sum(
+                    (a - b) * (a - b) for a, b in zip(qv, c[cid])
+                )
+                if best is None or d < best[1]:
+                    best = (cid, d)
+            out[vid] = best
+        return out
+
+    for _ in range(iterations):
+        a = assign(cents)
+        sums: dict = {}
+        for vid, (cid, _d) in a.items():
+            s = sums.setdefault(cid, [0] * len(q[vid]) + [0])
+            for j, v in enumerate(q[vid]):
+                s[j] += v
+            s[-1] += 1
+        cents = {
+            cid: [
+                (s[j] + s[-1] * OFF) // s[-1] - OFF
+                for j in range(len(s) - 1)
+            ]
+            for cid, s in sums.items()
+        }
+    return assign(cents)
+
+
+def _fixture():
+    import hashlib
+
+    # three well-separated blobs in 8-d
+    vecs = []
+    for i in range(30):
+        h = hashlib.md5(f"km{i}".encode()).digest()
+        blob = i % 3
+        base = [0.0] * 8
+        base[blob] = 1.0
+        jitter = [
+            (h[j] / 255 - 0.5) * 0.1 for j in range(8)
+        ]
+        vecs.append(
+            (i, [base[j] + jitter[j] for j in range(8)])
+        )
+    return vecs
+
+
+class TestKmeansAssign:
+    def test_matches_python_replica(self, spark):
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r.id: (r.cluster, r.dist_q)
+            for r in kmeans_assign(
+                df, k=4, iterations=3, dim=8
+            ).collect()
+        }
+        assert got == _replica(vecs, k=4, iterations=3)
+
+    def test_blobs_separate(self, spark):
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        got = {
+            r.id: r.cluster
+            for r in kmeans_assign(
+                df, k=3, iterations=4, dim=8
+            ).collect()
+        }
+        # same-blob vectors must co-cluster; different blobs not.
+        for i in range(30):
+            for j in range(30):
+                same_blob = i % 3 == j % 3
+                assert (got[i] == got[j]) == same_blob, (i, j)
+
+    def test_refuses_fewer_than_k(self, spark):
+        import pytest
+
+        df = spark.createDataFrame(
+            _fixture()[:3], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="at least k"):
+            kmeans_assign(df, k=4, iterations=1, dim=8)
+
+
+class TestSemanticDedupPairs:
+    def test_pairs_are_same_cluster_and_high_cosine(self, spark):
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        rows = semantic_dedup_pairs(
+            df, k=3, iterations=3, threshold=0.95
+        ).collect()
+        assert rows
+        assign = {
+            r.id: r.cluster
+            for r in kmeans_assign(
+                df, k=3, iterations=3, dim=8
+            ).collect()
+        }
+        for r in rows:
+            assert r.id_a < r.id_b
+            assert r.cosine >= 0.95
+            assert assign[r.id_a] == assign[r.id_b] == r.cluster
+        # cross-blob pairs can never appear (cosine ~0 anyway)
+        assert all(
+            r.id_a % 3 == r.id_b % 3 for r in rows
+        )

@@ -111,9 +111,6 @@ class TestDuplicateSpanExtract:
         assert got == [
             (r[0], r[1], r[2]) for r in _brute_spans(rows, k=5)
         ]
-        # doc 3/4: 5-token shared + 1 glue + 5-token shared — the
-        # duplicated grams at pos 1 and pos 7 have gap 6 > k=5? no:
-        # pos 7 <= 1 + 5 + 1 → brute decides; just trust the pin.
 
 
 class TestWinnowFingerprints:
@@ -150,3 +147,58 @@ class TestWinnowFingerprints:
             fps.setdefault(r.id, set()).add(r.fp)
         assert 4 not in fps          # no 4-gram at all
         assert len(fps[5]) == 1      # global min of its 2 grams
+
+
+class TestWinnowCandidatePairs:
+    def test_copied_passage_found_at_any_offset(self, spark):
+        from afg_data_pipeline_spark.operators.dedup import (
+            winnow_candidate_pairs,
+        )
+
+        passage = (
+            "one two three four five six seven eight nine ten "
+            "eleven twelve"
+        )
+        rows = [
+            (1, f"{passage} tail tokens here alpha beta gamma"),
+            (2, f"unrelated lead-in words go first {passage}"),
+            (3, "no shared content at all in this document body x"),
+            (4, "another fully distinct set of tokens right here y"),
+        ]
+        df = spark.createDataFrame(rows, DOCS_SCHEMA)
+        got = {
+            (r.id_a, r.id_b): r.n_shared_fps
+            for r in winnow_candidate_pairs(
+                df, k=4, w=5, min_shared=2
+            ).collect()
+        }
+        assert (1, 2) in got
+        assert got[(1, 2)] >= 2
+        assert all(p == (1, 2) for p in got)
+
+    def test_hot_fingerprint_cap_drops_boilerplate(self, spark):
+        from afg_data_pipeline_spark.operators.dedup import (
+            winnow_candidate_pairs,
+        )
+
+        boiler = [
+            (
+                100 + i,
+                "all rights reserved terms of service apply "
+                "to this content always",
+            )
+            for i in range(30)
+        ]
+        pair = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "intro alpha beta gamma delta epsilon zeta eta theta"),
+        ]
+        df = spark.createDataFrame(boiler + pair, DOCS_SCHEMA)
+        capped = {
+            (r.id_a, r.id_b)
+            for r in winnow_candidate_pairs(
+                df, k=4, w=5, min_shared=1, max_fp_docs=10
+            ).collect()
+        }
+        assert (1, 2) in capped
+        assert not any(a >= 100 and b >= 100 for a, b in capped)
