@@ -1,0 +1,133 @@
+"""Exact per-group discrete percentiles at scale, and the adaptive
+quality filter built on them.
+
+percentile_disc(q) = the smallest group value whose cumulative count
+reaches ceil(q · n). The naive form — rank every row with a window
+partitioned by group — sorts each group in ONE task (a language
+group of a 100 TB corpus through a single sort). Here the heavy pass
+is a map-side-combinable ``groupBy(group, value).count()``: the
+shuffle carries one row per DISTINCT (group, value) — for discrete
+quality metrics (char lengths, token counts, scores on a grid) that
+is thousands of rows per group regardless of corpus size — and the
+cumulative window then runs over that tiny frame. Same two-pass
+idea as the sharded prefix sum (operators/prefixsum.py), but here
+the value domain itself is the compression.
+
+All-integer selection (counts, ceil on integers), so results are
+bit-identical across engines — unlike interpolating percentiles,
+which need the agg_median double conventions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_percentile_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+) -> DataFrame:
+    """One row per group: (group, n, p_<q> for each q in qs).
+
+    p_q is percentile_disc: the smallest value v in the group with
+    |{rows <= v}| >= ceil(q·n). qs entries are strictly between 0
+    and 1; column names use the percent as an integer (q=0.1 →
+    ``p10``).
+    """
+    for q in qs:
+        if not 0.0 < q < 1.0:
+            raise ValueError(f"q must be in (0,1), got {q}")
+    counts = df.groupBy(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("g")
+    cum = counts.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        name = f"p{round(q * 100)}"
+        # ceil(q·n) in exact integer arithmetic: for q expressed
+        # as num/100, ceil(q·n) = (n·num + 99) div 100 — no double
+        # rounding anywhere near a rank boundary.
+        num = round(q * 100)
+        rank = F.expr(f"(n * {num} + 99) div 100")
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= rank, F.col("v"))
+            ).alias(name)
+        )
+    return (
+        cum.groupBy("g")
+        .agg(*aggs)
+        .select(F.col("g").alias(group_col), "n", *[
+            f"p{round(q * 100)}" for q in qs
+        ])
+    )
+
+
+def adaptive_band_filter(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.1,
+    hi_q: float = 0.9,
+) -> DataFrame:
+    """Per-group adaptive band audit: compute [p_lo, p_hi] per group
+    and report how many rows survive the cut — the per-language
+    length/quality gate of corpus prep (fixed global thresholds
+    misfire across languages; adaptive ones track each group's own
+    distribution).
+
+    Output: (group, n_docs, lo, hi, n_kept). The band join is a
+    broadcast of the tiny percentile table back onto the data —
+    one extra scan, no row-level window anywhere.
+    """
+    bands = grouped_percentile_disc(
+        df, group_col, value_col, (lo_q, hi_q)
+    )
+    lo_name = f"p{round(lo_q * 100)}"
+    hi_name = f"p{round(hi_q * 100)}"
+    joined = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).join(
+        F.broadcast(
+            bands.select(
+                F.col(group_col).alias("g"),
+                F.col("n").alias("n_docs"),
+                F.col(lo_name).alias("lo"),
+                F.col(hi_name).alias("hi"),
+            )
+        ),
+        "g",
+    )
+    return (
+        joined.groupBy("g", "n_docs", "lo", "hi")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("v") >= F.col("lo"))
+                    & (F.col("v") <= F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept")
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "lo",
+            "hi",
+            "n_kept",
+        )
+    )

@@ -708,3 +708,56 @@ def winnow_candidate_pairs_q(
     return winnow_candidate_pairs(
         docs, k=4, w=5, min_shared=2, max_fp_docs=200
     )
+
+
+@register(
+    "adaptive_length_filter",
+    oracle="""
+        WITH counts AS (
+            SELECT lang AS g, n_chars AS v, count(*) AS c
+            FROM documents GROUP BY lang, n_chars
+        ),
+        cum AS (
+            SELECT g, v,
+                   SUM(c) OVER (PARTITION BY g ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER (PARTITION BY g) AS n
+            FROM counts
+        ),
+        bands AS (
+            SELECT g, CAST(max(n) AS BIGINT) AS n_docs,
+                   min(CASE WHEN cum >= (n * 10 + 99) // 100
+                            THEN v END) AS lo,
+                   min(CASE WHEN cum >= (n * 90 + 99) // 100
+                            THEN v END) AS hi
+            FROM cum GROUP BY g
+        )
+        SELECT d.lang, b.n_docs, b.lo, b.hi,
+               CAST(SUM(CASE WHEN d.n_chars BETWEEN b.lo AND b.hi
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+        FROM documents d JOIN bands b ON b.g = d.lang
+        GROUP BY d.lang, b.n_docs, b.lo, b.hi
+    """,
+    ops=("A2", "TEXT"),
+)
+def adaptive_length_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language adaptive length gate: exact discrete p10/p90 of
+    n_chars per lang and the count of documents inside the band —
+    fixed global length thresholds misfire across languages, so
+    corpus prep cuts each language against its own distribution.
+    operators/quantiles.grouped_percentile_disc: the heavy pass is
+    a map-side-combinable (lang, n_chars) count — one row per
+    DISTINCT value per group regardless of corpus size — and the
+    cumulative window runs over that tiny frame; never a per-group
+    row sort. ceil(q·n) ranks in exact integer arithmetic."""
+    from afg_data_pipeline_spark.operators.quantiles import (
+        adaptive_band_filter,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return adaptive_band_filter(
+        docs, "lang", "n_chars", lo_q=0.1, hi_q=0.9
+    )

@@ -103,6 +103,14 @@ HEADLINE = [
     "lang_confusion_matrix",
     "value_quartiles_by_type",
     "trigram_lm_score",
+    # --- round-4 additions (append-only) ---
+    "pmi_doc_pairs",
+    "duplicate_span_extract",
+    "winnow_fingerprints",
+    "winnow_candidate_pairs",
+    "kmeans_cluster_assign",
+    "semantic_dedup_pairs",
+    "adaptive_length_filter",
 ]
 
 
