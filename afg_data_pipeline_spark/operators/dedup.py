@@ -49,6 +49,64 @@ def exact_dedup(
     )
 
 
+def _minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    band_size: int,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared banding pipeline: returns (base, long) where base is
+    the eager-checkpointed (id, shingles) frame and long is the
+    (id, band_key) table. Extracted so the self-join
+    (minhash_lsh_candidates) and the cross-corpus incremental join
+    (cross_corpus_near_dup) band identically — same md5 family,
+    same keys, byte-compatible with a persisted signature store."""
+    toks = tokens(text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        # Round-robin first: the corpus often arrives in one file /
+        # one row group, and the shingle + signature computation
+        # should use every core.
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(par)
+        .withColumn("__toks", toks)
+        .select(
+            id_col,
+            F.array_distinct(shingle_expr("__toks", shingle_k)).alias(
+                "shingles"
+            ),
+        )
+    )
+    base = base.localCheckpoint(eager=True)
+    exploded = base.select(id_col, F.explode("shingles").alias("__s"))
+    hashed = exploded.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("__s"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    sigs = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    )
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    long = sigs.select(
+        id_col,
+        F.explode(F.array(*band_cols)).alias("band_key"),
+    )
+    return base, long
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -109,46 +167,8 @@ def minhash_lsh_candidates(
         CacheManager's plan substitution, removing in-cache AQE
         from the equation for the four downstream branches.
     """
-    toks = tokens(text_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        # Round-robin first: the corpus often arrives in one file /
-        # one row group, and the shingle + signature computation
-        # should use every core.
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(par)
-        .withColumn("__toks", toks)
-        .select(
-            id_col,
-            F.array_distinct(shingle_expr("__toks", shingle_k)).alias(
-                "shingles"
-            ),
-        )
-    )
-    base = base.localCheckpoint(eager=True)
-    exploded = base.select(id_col, F.explode("shingles").alias("__s"))
-    hashed = exploded.select(
-        id_col,
-        *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("__s"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    sigs = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)]
-    )
-    n_bands = n_hashes // band_size
-    band_cols = [
-        F.concat_ws(
-            "|",
-            F.lit(str(b)),
-            *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
-    long = sigs.select(
-        id_col,
-        F.explode(F.array(*band_cols)).alias("band_key"),
+    base, long = _minhash_band_table(
+        df, id_col, text_col, n_hashes, band_size, shingle_k
     )
     if max_bucket_size is not None:
         ok = (
@@ -352,47 +372,61 @@ def simhash_signatures(
     bit-matrix math inside mapInPandas (Arrow), because a 64-bit
     majority vote per row is a matrix op, not a SQL expression.
     """
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
     out_schema = f"{id_col} long, simhash long"
 
     def batch(iterator):
+        import pandas as pd
+
         for pdf in iterator:
-            sigs = []
-            for text in pdf[text_col]:
-                toks = text.split()
-                if not toks:
-                    sigs.append(0)
-                    continue
-                hashes = np.array(
-                    [
-                        int.from_bytes(
-                            hashlib.md5(t.encode()).digest()[:8], "big"
-                        )
-                        for t in toks
-                    ],
-                    dtype=np.uint64,
-                )
-                bits_m = (
-                    hashes[:, None]
-                    >> np.arange(bits, dtype=np.uint64)[None, :]
-                ) & np.uint64(1)
-                votes = (2 * bits_m.astype(np.int64) - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for i, v in enumerate(votes):
-                    if v > 0:
-                        sig |= np.uint64(1) << np.uint64(i)
-                sigs.append(int(np.int64(sig)))
             yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "simhash": sigs}
+                {
+                    id_col: pdf[id_col].values,
+                    "simhash": simhash_of_texts(
+                        pdf[text_col], bits
+                    ),
+                }
             )
 
     return df.select(id_col, text_col).mapInPandas(
         batch, schema=out_schema
     )
+
+
+def simhash_of_texts(texts, bits: int = 64) -> list[int]:
+    """Batch SimHash kernel (shared by the batch signature operator
+    above and the streaming near-dup dedup): one signed-64 SimHash
+    per input text. Pure function of the text — the determinism the
+    SQL replica and the stream==batch tests both rely on."""
+    import hashlib
+
+    import numpy as np
+
+    sigs = []
+    for text in texts:
+        toks = text.split()
+        if not toks:
+            sigs.append(0)
+            continue
+        hashes = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "big"
+                )
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits_m = (
+            hashes[:, None]
+            >> np.arange(bits, dtype=np.uint64)[None, :]
+        ) & np.uint64(1)
+        votes = (2 * bits_m.astype(np.int64) - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i, v in enumerate(votes):
+            if v > 0:
+                sig |= np.uint64(1) << np.uint64(i)
+        sigs.append(int(np.int64(sig)))
+    return sigs
 
 
 def duplicate_spans(
@@ -753,4 +787,92 @@ def winnow_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def cross_corpus_near_dup(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: which NEW documents are
+    near-duplicates of an EXISTING corpus — the daily-crawl-delta
+    production shape, where re-running all-pairs dedup over the
+    whole corpus per increment would be quadratic in history.
+
+    Output: (new_id, dup_of, jaccard) — one row per banded
+    collision between a new doc and a corpus doc, with the exact
+    shingle Jaccard. New-vs-new pairs are NOT reported (run
+    ``minhash_lsh_candidates`` on the increment for those);
+    corpus-vs-corpus pairs never form because the band join is
+    strictly cross-side.
+
+    Scale shape: both sides band through the SAME pipeline
+    (``_minhash_band_table`` — identical md5 family and band keys),
+    so the corpus side's (id, band_key, shingles) tables are
+    byte-compatible with a persisted signature store: a production
+    deployment computes them once, writes them partitioned by
+    band-key prefix (io.write_parquet_sorted), and each increment
+    joins its few band rows against that store instead of
+    re-hashing history — the code path here recomputes them only
+    because the testdata has no persisted store. The join is a
+    plain equi-join on band_key (corpus side probe, increment side
+    build — Spark/AQE broadcasts the increment when it is small,
+    exactly the right plan for a small delta against a big
+    corpus); ``max_bucket_size`` caps boilerplate buckets on the
+    corpus side as in the self-join variant.
+    """
+    c_base, c_long = _minhash_band_table(
+        corpus, id_col, text_col, n_hashes, band_size, shingle_k
+    )
+    n_base, n_long = _minhash_band_table(
+        new_docs, id_col, text_col, n_hashes, band_size, shingle_k
+    )
+    if max_bucket_size is not None:
+        ok = (
+            c_long.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band_key")
+        )
+        c_long = c_long.join(ok, "band_key", "left_semi")
+    pairs = (
+        n_long.select(
+            F.col(id_col).alias("new_id"), "band_key"
+        )
+        .join(
+            c_long.select(
+                F.col(id_col).alias("dup_of"), "band_key"
+            ),
+            "band_key",
+        )
+        .select("new_id", "dup_of")
+        .dropDuplicates()
+    )
+    pairs = pairs.join(
+        n_base.select(
+            F.col(id_col).alias("new_id"),
+            F.col("shingles").alias("sh_a"),
+        ),
+        "new_id",
+    ).join(
+        c_base.select(
+            F.col(id_col).alias("dup_of"),
+            F.col("shingles").alias("sh_b"),
+        ),
+        "dup_of",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return pairs.select(
+        "new_id",
+        "dup_of",
+        (inter.cast("double") / union.cast("double")).alias(
+            "jaccard"
+        ),
     )

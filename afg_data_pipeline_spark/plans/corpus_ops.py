@@ -761,3 +761,92 @@ def adaptive_length_filter(
     return adaptive_band_filter(
         docs, "lang", "n_chars", lo_q=0.1, hi_q=0.9
     )
+
+
+@register(
+    "incremental_near_dup",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, source,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS s
+            FROM tokd
+        ),
+        sig AS (
+            SELECT doc_id, source, s,
+                   list_aggregate(list_transform(s,
+                       x -> md5('0|' || x)), 'min') AS mh0,
+                   list_aggregate(list_transform(s,
+                       x -> md5('1|' || x)), 'min') AS mh1,
+                   list_aggregate(list_transform(s,
+                       x -> md5('2|' || x)), 'min') AS mh2,
+                   list_aggregate(list_transform(s,
+                       x -> md5('3|' || x)), 'min') AS mh3,
+                   list_aggregate(list_transform(s,
+                       x -> md5('4|' || x)), 'min') AS mh4,
+                   list_aggregate(list_transform(s,
+                       x -> md5('5|' || x)), 'min') AS mh5,
+                   list_aggregate(list_transform(s,
+                       x -> md5('6|' || x)), 'min') AS mh6,
+                   list_aggregate(list_transform(s,
+                       x -> md5('7|' || x)), 'min') AS mh7
+            FROM sh
+        ),
+        long AS (
+            SELECT doc_id, source,
+                   unnest(['0|' || mh0 || '|' || mh1,
+                           '1|' || mh2 || '|' || mh3,
+                           '2|' || mh4 || '|' || mh5,
+                           '3|' || mh6 || '|' || mh7]) AS band_key
+            FROM sig
+        ),
+        pairs AS (
+            SELECT DISTINCT n.doc_id AS new_id,
+                            c.doc_id AS dup_of
+            FROM long n JOIN long c USING (band_key)
+            WHERE n.source IN ('src0', 'src1')
+              AND c.source NOT IN ('src0', 'src1')
+        )
+        SELECT p.new_id, p.dup_of,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / CAST(len(sa.s) + len(sb.s)
+                      - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   AS jaccard
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.new_id
+        JOIN sh sb ON sb.doc_id = p.dup_of
+    """,
+    ops=("DEDUP",),
+)
+def incremental_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup detection: treat
+    sources src0/src1 as today's crawl increment and every other
+    source as the existing corpus; report which new docs are banded
+    near-dups of corpus docs with exact shingle Jaccard — the
+    production shape where all-pairs re-dedup per increment would
+    be quadratic in history.
+    operators/dedup.cross_corpus_near_dup: both sides band through
+    the shared _minhash_band_table pipeline (byte-compatible with a
+    persisted signature store), strictly cross-side equi-join on
+    band_key (AQE broadcasts the small increment side)."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        cross_corpus_near_dup,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    is_new = F.col("source").isin("src0", "src1")
+    return cross_corpus_near_dup(
+        docs.filter(~is_new), docs.filter(is_new)
+    )

@@ -849,3 +849,68 @@ class TestNgramJaccardTiering:
         ).collect()
         assert "falling back" not in capsys.readouterr().out
         assert {(r.id_a, r.id_b) for r in out} >= {(1, 2), (1, 3)}
+
+
+class TestCrossCorpusNearDup:
+    def test_cross_side_only(self, spark):
+        from afg_data_pipeline_spark.operators.dedup import (
+            cross_corpus_near_dup,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and "
+            "runs far away into the deep green forest tonight"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, base),
+                (2, "completely different corpus text about engines"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (100, base.replace("tonight", "today")),  # near-dup of 1
+                (101, base.replace("tonight", "today")),  # dup of 100
+                (102, "fresh unrelated words never seen before now"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.new_id, r.dup_of): r.jaccard
+            for r in cross_corpus_near_dup(corpus, new).collect()
+        }
+        assert (100, 1) in got and got[(100, 1)] > 0.8
+        assert (101, 1) in got
+        # new-vs-new (100,101) and corpus-vs-corpus never reported
+        assert all(d in (1, 2) for (_n, d) in got)
+        assert all(n >= 100 for (n, _d) in got)
+        assert not any(n == 102 for (n, _d) in got)
+
+    def test_bucket_cap_on_corpus_side(self, spark):
+        from afg_data_pipeline_spark.operators.dedup import (
+            cross_corpus_near_dup,
+        )
+
+        boiler = "all rights reserved terms of service apply here"
+        corpus = spark.createDataFrame(
+            [(i, boiler) for i in range(40)]
+            + [(90, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (100, boiler),
+                (101, "the quick brown fox jumps over the lazy cat"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.new_id, r.dup_of)
+            for r in cross_corpus_near_dup(
+                corpus, new, max_bucket_size=10
+            ).collect()
+        }
+        # boilerplate buckets capped away; genuine near-dup kept
+        assert (101, 90) in got
+        assert not any(n == 100 for (n, _d) in got)

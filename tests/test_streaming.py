@@ -267,3 +267,80 @@ class TestForeachBatchSink:
             .count()
         )
         assert n_parts >= 2
+
+
+class TestStreamingNearDup:
+    def test_simhash_dedup_stream_equals_batch(
+        self, spark, tmp_path
+    ):
+        """Planted doc stream: exact dup + token-REORDERED dup +
+        distinct docs. SimHash-equality dedup must suppress both
+        duplicate forms; the surviving signature set must equal the
+        batch twin's distinct signatures."""
+        import datetime as dt
+
+        import pyspark.sql.functions as F
+
+        from afg_data_pipeline_spark.operators.dedup import (
+            simhash_signatures,
+        )
+        from afg_data_pipeline_spark.streaming.near_dup import (
+            near_dup_within_watermark,
+            with_simhash,
+        )
+        from afg_data_pipeline_spark.streaming.windows import (
+            run_append_to_memory_sink,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog"
+        rows = [
+            (1, base, dt.datetime(2026, 1, 1, 10, 0)),
+            (2, base, dt.datetime(2026, 1, 1, 10, 5)),  # exact dup
+            (
+                3,
+                "dog lazy the over jumps fox brown quick the",
+                dt.datetime(2026, 1, 1, 10, 10),
+            ),  # reordered -> same simhash
+            (
+                4,
+                "completely different words about spark engines",
+                dt.datetime(2026, 1, 1, 10, 15),
+            ),
+            (
+                5,
+                "numbers one two three four five six seven",
+                dt.datetime(2026, 1, 1, 10, 20),
+            ),
+        ]
+        src = str(tmp_path / "docs")
+        batch_df = spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        )
+        batch_df.repartition(3).write.parquet(src)
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        got = run_append_to_memory_sink(
+            near_dup_within_watermark(stream),
+            "t_near_dup_stream",
+            spark,
+        )
+        got_rows = got.collect()
+        batch_sigs = {
+            r.simhash
+            for r in simhash_signatures(batch_df).collect()
+        }
+        assert {r.simhash for r in got_rows} == batch_sigs
+        # three distinct signatures survive: base-class, doc4, doc5
+        assert len(got_rows) == 3
+        kept_ids = {r.doc_id for r in got_rows}
+        assert 4 in kept_ids and 5 in kept_ids
+        assert len(kept_ids & {1, 2, 3}) == 1
+        # batch twin through the same stateless kernel agrees
+        twin = with_simhash(batch_df).dropDuplicates(["simhash"])
+        assert {r.simhash for r in twin.collect()} == batch_sigs
