@@ -850,3 +850,96 @@ def incremental_near_dup(
     return cross_corpus_near_dup(
         docs.filter(~is_new), docs.filter(is_new)
     )
+
+
+def _contrastive_oracle() -> str:
+    """Compose the oracle from the registered minhash oracle (the
+    positives are exactly its >= 0.5 pairs) plus the portable
+    md5-bucket negative probing — same SQL text the Spark operator
+    derives its bucket expression from."""
+    from afg_data_pipeline_spark.plans.registry import REGISTRY
+
+    minhash_sql = REGISTRY["minhash_near_dup"].oracle
+    bucket = (
+        "(((instr('0123456789abcdef', substr(md5(cast({col} as "
+        "VARCHAR)), 1, 1)) - 1) * 16 + instr('0123456789abcdef', "
+        "substr(md5(cast({col} as VARCHAR)), 2, 1)) - 1) % 64 + 64)"
+        " % 64"
+    )
+    return f"""
+        WITH pos_base AS (
+            SELECT doc_id_a AS id_a, doc_id_b AS id_b
+            FROM ({minhash_sql}) mh
+            WHERE jaccard >= 0.5
+        ),
+        pos AS (
+            SELECT id_a AS anchor_id, id_b AS partner_id
+            FROM pos_base
+            UNION ALL
+            SELECT id_b, id_a FROM pos_base
+        ),
+        anchors AS (SELECT DISTINCT anchor_id FROM pos),
+        reps AS (
+            SELECT bucket, min(cand) AS neg_id FROM (
+                SELECT doc_id AS cand,
+                       {bucket.format(col='doc_id')} AS bucket
+                FROM documents)
+            GROUP BY bucket
+        ),
+        probes AS (
+            SELECT anchor_id,
+                   ((anchor_id + g.i * 40503) % 64 + 64) % 64
+                       AS bucket
+            FROM anchors, generate_series(1, 3) g(i)
+        ),
+        negs AS (
+            SELECT DISTINCT p.anchor_id, r.neg_id AS partner_id
+            FROM probes p JOIN reps r USING (bucket)
+            WHERE r.neg_id <> p.anchor_id
+              AND NOT EXISTS (
+                  SELECT 1 FROM pos
+                  WHERE pos.anchor_id = p.anchor_id
+                    AND pos.partner_id = r.neg_id)
+        )
+        SELECT anchor_id, partner_id, 'pos' AS label FROM pos
+        UNION ALL
+        SELECT anchor_id, partner_id, 'neg' AS label FROM negs
+    """
+
+
+@register(
+    "contrastive_pairs",
+    oracle=_contrastive_oracle(),
+    ops=("DEDUP", "TEXT"),
+)
+def contrastive_pairs_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive training-pair mining: near-dup positives
+    (minhash banded pairs with jaccard >= 0.5, both directions) and
+    up to 3 deterministic negatives per anchor via md5-bucket
+    probing — (anchor_id, partner_id, label) triplet stream for
+    embedding-model fine-tuning, zero RNG anywhere.
+    operators/contrastive.contrastive_pairs: bucket reps are a tiny
+    map-side-combined aggregate broadcast to the anchors; collision
+    and already-positive probes are anti-joined away, never
+    silently resampled."""
+    from afg_data_pipeline_spark.operators.contrastive import (
+        contrastive_pairs,
+    )
+    from afg_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    positives = (
+        minhash_lsh_candidates(docs)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("doc_id_a").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+        )
+    )
+    return contrastive_pairs(
+        docs, positives, n_negatives=3, n_buckets=64
+    )

@@ -111,6 +111,7 @@ HEADLINE = [
     "kmeans_cluster_assign",
     "semantic_dedup_pairs",
     "adaptive_length_filter",
+    "incremental_near_dup",
 ]
 
 

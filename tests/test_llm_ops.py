@@ -914,3 +914,44 @@ class TestCrossCorpusNearDup:
         # boilerplate buckets capped away; genuine near-dup kept
         assert (101, 90) in got
         assert not any(n == 100 for (n, _d) in got)
+
+
+class TestContrastivePairs:
+    def test_structure_and_determinism(self, spark):
+        from afg_data_pipeline_spark.operators.contrastive import (
+            contrastive_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        positives = spark.createDataFrame(
+            [(1, 5), (2, 9)], "id_a long, id_b long"
+        )
+
+        def run():
+            return sorted(
+                (r.anchor_id, r.partner_id, r.label)
+                for r in contrastive_pairs(
+                    docs, positives, n_negatives=3, n_buckets=16
+                ).collect()
+            )
+
+        got = run()
+        assert got == run()  # deterministic across plan reruns
+        pos = {(a, p) for a, p, l in got if l == "pos"}
+        # both directions of each positive pair
+        assert pos == {(1, 5), (5, 1), (2, 9), (9, 2)}
+        negs = [(a, p) for a, p, l in got if l == "neg"]
+        assert negs
+        anchors = {a for a, _ in pos}
+        for a, p in negs:
+            assert a in anchors
+            assert (a, p) not in pos
+            assert p != a
+        # at most n_negatives per anchor
+        from collections import Counter
+
+        cnt = Counter(a for a, _ in negs)
+        assert all(v <= 3 for v in cnt.values())

@@ -57,8 +57,15 @@ sys.path.insert(0, "/root/repo")
 
 HEAVY = [  # cheap-first so partial sweeps still bank results
     "pack_token_stream",
+    "adaptive_length_filter",
+    "kmeans_cluster_assign",
     "duplicate_span_detect",
+    "duplicate_span_extract",
     "tfidf_doc_pairs",
+    "winnow_fingerprints",
+    "winnow_candidate_pairs",
+    "semantic_dedup_pairs",
+    "incremental_near_dup",
     "ngram_jaccard_dups",
     "near_dup_components",
     "near_dup_components_star",
