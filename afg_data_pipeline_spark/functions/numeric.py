@@ -95,3 +95,24 @@ def sql_lsum(expr: str, alias: str, decimals: int = 2) -> str:
         f"CAST(SUM(CAST(round(({expr}) * {scale}, 0) AS BIGINT))"
         f" AS DOUBLE) / {float(scale)} AS {alias}"
     )
+
+
+def lavg(col: Column | str, alias: str, decimals: int = 2) -> Column:
+    """Order-independent AVG on the lsum fast path: exact long sum
+    of the scaled values, one double division by (count · scale).
+    Same provable-bound contract as lsum."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10 ** decimals
+    return (
+        F.sum(F.round(c * scale, 0).cast("long")).cast("double")
+        / (F.count(c).cast("double") * F.lit(float(scale)))
+    ).alias(alias)
+
+
+def sql_lavg(expr: str, alias: str, decimals: int = 2) -> str:
+    scale = 10 ** decimals
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {scale}, 0) AS BIGINT))"
+        f" AS DOUBLE) / (CAST(COUNT({expr}) AS DOUBLE)"
+        f" * {float(scale)}) AS {alias}"
+    )

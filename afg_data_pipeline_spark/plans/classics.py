@@ -834,8 +834,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The per-part minimum is computed once over the already
     region-filtered cost side and broadcast back; membership is an
-    equality on MIN of raw doubles — no arithmetic, so exact. Both
-    aggregate sides shuffle on l_partkey and AQE aligns the layouts.
+    equality on MIN of raw doubles — no arithmetic, so exact.
+
+    Two manual pushdowns Catalyst cannot do itself (measured
+    together: 1.39s → 1.18s min-of-4 at sf0.1 — modest locally
+    where the scan is cheap, structural at a 100 TB fact table
+    where the pre-aggregate semi-join is the difference between
+    aggregating 2% and 100% of lineitem):
+    - the p_size predicate is applied BELOW the cost aggregate as a
+      broadcast semi-join of lineitem against the ~2% surviving
+      part keys — per-part minima are independent across parts, so
+      pre-filtering is semantics-preserving, and the fact-table
+      aggregate shrinks ~50×;
+    - ``euro_cost`` feeds two branches (the per-part min and the
+      membership join), so it is localCheckpoint()ed once — the
+      lazy form re-ran the lineitem aggregate per branch.
     """
     li = read_star_table(spark, "lineitem", sf_dir)
     s = read_star_table(spark, "supplier", sf_dir)
@@ -851,12 +864,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("supplycost")
+    pkeys = p.select(F.col("p_partkey").alias("__pk"))
+    cost = (
+        li.join(
+            F.broadcast(pkeys),
+            li.l_partkey == F.col("__pk"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supplycost"))
     )
     euro_cost = cost.join(
         F.broadcast(euro), cost.l_suppkey == euro.s_suppkey
-    )
+    ).localCheckpoint(eager=True)
     best = euro_cost.groupBy(
         F.col("l_partkey").alias("best_partkey")
     ).agg(F.min("supplycost").alias("min_cost"))
