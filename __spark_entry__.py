@@ -54,8 +54,6 @@ def _coverage_order(names: list[str]) -> list[str]:
     # components trio; the approx_quantiles canonicalizer crash fix),
     # so they must re-enter the driver window as if never checked.
     stale_before = {
-        "minhash_near_dup": 2,
-        "simhash_signatures": 2,
         "near_dup_components": 4,
         "approx_quantiles": 2,
         # Round-3 code changes after these queries' last driver
@@ -81,6 +79,15 @@ def _coverage_order(names: list[str]) -> list[str]:
         "ngram_jaccard_dups": 4,
         "near_dup_components_star": 4,
         "pagerank_centrality": 4,
+        # round-4 perf reworks (oracle-verified locally; pre-change
+        # driver rows don't certify current code):
+        "pricing_summary": 4,
+        "boilerplate_line_dedup": 4,
+        "q2_min_cost_supplier": 4,
+        "duplicate_span_detect": 4,
+        "tfidf_doc_pairs": 4,
+        "simhash_signatures": 4,
+        "minhash_near_dup": 4,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

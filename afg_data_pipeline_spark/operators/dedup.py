@@ -17,9 +17,12 @@ Scale design notes:
 - n-gram Jaccard: exact pairwise verification, restricted to
   candidate groups (same language here; same band in the LSH path).
 
-md5 is used as the hash family everywhere (deterministic,
-engine-portable so DuckDB oracles reproduce it exactly; seeded by
-prefixing `"<seed>|"`).
+md5 is the hash family wherever hash VALUES cross the oracle
+boundary (deterministic, engine-portable so DuckDB reproduces them
+exactly; seeded by prefixing `"<seed>|"`); purely internal grouping
+keys (duplicate_spans' gram keys) use xxhash64 — 8-byte shuffle
+keys, counts identical modulo a ~2^-64-per-pair collision that an
+oracle mismatch would surface as a red row.
 """
 
 from __future__ import annotations

@@ -943,3 +943,114 @@ def contrastive_pairs_q(
     return contrastive_pairs(
         docs, positives, n_negatives=3, n_buckets=64
     )
+
+
+def _keep_best_oracle() -> str:
+    """Compose: the registered connected-components oracle (cluster
+    membership) + the quality-score SQL twin + per-cluster argmax
+    (quality DESC, doc_id ASC)."""
+    from afg_data_pipeline_spark.plans.registry import REGISTRY
+
+    comps_sql = REGISTRY["near_dup_components"].oracle
+    return f"""
+        WITH comps AS (
+            SELECT doc_id, component FROM ({comps_sql}) c
+        ),
+        scored AS (
+            SELECT doc_id,
+                   0.4 * (CAST(len(list_filter(
+                              regexp_split_to_array(trim(text),
+                                                    '\\s+'),
+                              t -> list_contains(
+                                  ['the','a','of','and','is'], t)))
+                              AS DOUBLE)
+                          / CAST(len(regexp_split_to_array(
+                                trim(text), '\\s+')) AS DOUBLE))
+                   + 0.3 * least(1.0,
+                         CAST(len(regexp_split_to_array(trim(text),
+                             '\\s+')) AS DOUBLE) / 100.0)
+                   + 0.3 * (1.0 -
+                         CAST(len(regexp_extract_all(text,
+                              '[.,!?;:]')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)) AS quality
+            FROM documents
+        ),
+        members AS (
+            SELECT c.component, c.doc_id, s.quality
+            FROM comps c JOIN scored s USING (doc_id)
+        ),
+        ranked AS (
+            SELECT component, doc_id, quality,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY component
+                       ORDER BY quality DESC, doc_id ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY component)
+                       AS n_members
+            FROM members
+        )
+        SELECT component,
+               doc_id AS keep_id,
+               quality AS best_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    ops=("DEDUP", "A5"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: resolve near-dup clusters
+    (minhash pairs >= 0.5 → connected components) and keep the
+    HIGHEST-QUALITY member of each cluster (tie → smallest id) —
+    the production upgrade over keep-min-id, which throws away the
+    best copy whenever the earliest crawl was the worst one.
+    Output: (component, keep_id, best_quality, n_members).
+
+    Scale shape: the cluster membership table joins the per-doc
+    quality projection on doc id; the argmax is a per-component
+    window over cluster members only (duplicate clusters are tiny
+    by construction — the corpus-wide frame never sorts)."""
+    from pyspark.sql import Window
+
+    from afg_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from afg_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from afg_data_pipeline_spark.operators.text import quality_score
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_candidates(docs).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comps = connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    )
+    scored = docs.select(
+        F.col("doc_id"), quality_score("text").alias("quality")
+    )
+    members = comps.join(
+        scored, comps.vertex == scored.doc_id
+    ).select("component", "doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_id"),
+            F.col("quality").alias("best_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

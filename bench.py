@@ -112,6 +112,8 @@ HEADLINE = [
     "semantic_dedup_pairs",
     "adaptive_length_filter",
     "incremental_near_dup",
+    "contrastive_pairs",
+    "dedup_keep_best",
 ]
 
 

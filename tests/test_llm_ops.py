@@ -955,3 +955,44 @@ class TestContrastivePairs:
 
         cnt = Counter(a for a, _ in negs)
         assert all(v <= 3 for v in cnt.values())
+
+
+class TestDedupKeepBest:
+    def test_best_quality_wins_over_min_id(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+        import tempfile, os
+
+        # Build a tiny corpus where the LOWEST id in a near-dup
+        # cluster is the LOWEST quality copy: keep-best must pick
+        # the higher-quality one, unlike keep-min-id.
+        base = (
+            "the quick brown fox jumps over the lazy dog and runs "
+            "far away into the deep green forest tonight"
+        )
+        # one extra token each (bigram jaccard ~0.89, well over the
+        # 0.5 gate); the low-quality copy's extra token is pure
+        # punctuation, tanking the punct-density term.
+        low_q = base + " ...!!!???;;;:::,,,...!!!???;;;:::,,,"
+        high_q = base + " peacefully"
+        rows = [
+            (1, low_q, "en", "src1", len(low_q)),
+            (2, high_q, "en", "src1", len(high_q)),
+            (3, "totally unrelated words here about engines",
+             "en", "src1", 42),
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long",
+            ).write.parquet(os.path.join(d, "documents.parquet"))
+            out = {
+                r.component: (r.keep_id, r.n_members)
+                for r in REGISTRY["dedup_keep_best"]
+                .fn(spark, d)
+                .collect()
+            }
+        # docs 1,2 cluster; keeper is 2 (higher quality), not 1
+        assert any(
+            kid == 2 and n == 2 for kid, n in out.values()
+        ), out
