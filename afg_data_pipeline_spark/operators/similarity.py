@@ -59,12 +59,17 @@ def brute_force_topk(
     the bucketed variant or repartition the query side and let the
     corpus shuffle.
     """
+    # Norms computed ONCE per vector before the pair expansion —
+    # inside it each candidate row would re-run both 64-term norm
+    # folds (the dot is the only per-pair work left).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn("qn", norm_decimal("qv"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    ).withColumn("cn", norm_decimal("cv"))
     par = q.sparkSession.sparkContext.defaultParallelism
     pairs = (
         q.repartition(par)
@@ -72,7 +77,7 @@ def brute_force_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     cosine = dot_decimal("qv", "cv") / (
-        norm_decimal("qv") * norm_decimal("cv")
+        F.col("qn") * F.col("cn")
     )
     scored = pairs.select(
         "query_id", "neighbor_id", cosine.alias("cosine")
@@ -221,7 +226,7 @@ def lsh_bucketed_topk(
         "bucket",
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),
-    )
+    ).withColumn("qn", norm_decimal("qv"))
     ct = srp_tagged_decimal(
         corpus, id_col, vec_col, n_planes, n_tables, dim, seed
     ).select(
@@ -229,15 +234,16 @@ def lsh_bucketed_topk(
         "bucket",
         F.col("id").alias("neighbor_id"),
         F.col("v").alias("cv"),
-    )
+    ).withColumn("cn", norm_decimal("cv"))
     cands = (
         qt.join(ct, ["t", "bucket"])
         .drop("t", "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # norms per tagged row, not per candidate pair
     cosine = dot_decimal("qv", "cv") / (
-        norm_decimal("qv") * norm_decimal("cv")
+        F.col("qn") * F.col("cn")
     )
     scored = cands.select(
         "query_id", "neighbor_id", cosine.alias("cosine")
@@ -301,7 +307,11 @@ def lsh_near_dup_pairs(
     tagged = srp_tagged_decimal(
         df, id_col, vec_col, n_planes, n_tables, dim, seed
     )
-    # Materialize the tagged (t, bucket, id, v) table once: it
+    # Norm per tagged row BEFORE the checkpoint: T folds per
+    # vector once, instead of two folds per CANDIDATE PAIR in the
+    # cosine below.
+    tagged = tagged.withColumn("nrm", norm_decimal("v"))
+    # Materialize the tagged (t, bucket, id, v, nrm) table once: it
     # feeds three consumers (bucket counts, hot semi, cold anti).
     # localCheckpoint (not persist) for the reasons in
     # operators/dedup.minhash_lsh_candidates.
@@ -334,12 +344,14 @@ def lsh_near_dup_pairs(
             "bucket",
             F.col("id").alias("id_a"),
             F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
         )
         b = side.select(
             "t",
             "bucket",
             F.col("id").alias("id_b"),
             F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
         )
         keys = ["t", "bucket"]
         if salted:
@@ -354,7 +366,7 @@ def lsh_near_dup_pairs(
         return (
             a.join(b.hint("shuffle_hash"), keys)
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b", "va", "vb", "na", "nb")
         )
 
     cands = (
@@ -363,7 +375,7 @@ def lsh_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     cosine = dot_decimal("va", "vb") / (
-        norm_decimal("va") * norm_decimal("vb")
+        F.col("na") * F.col("nb")
     )
     return cands.select(
         "id_a", "id_b", cosine.alias("cosine")
@@ -464,27 +476,29 @@ def ivf_topk(
     (pytest pins recall against the exact kernel).
     """
     cents = seeded_centroids(corpus, id_col, vec_col, n_centroids)
+    # Norms once per vector, not per candidate pair (see
+    # brute_force_topk).
     corpus_cells = ivf_assign(
         corpus, cents, id_col, vec_col, n_probe=1
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         "centroid_id",
-    )
+    ).withColumn("cn", norm_decimal("cv"))
     query_cells = ivf_assign(
         queries, cents, id_col, vec_col, n_probe=n_probe
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         "centroid_id",
-    )
+    ).withColumn("qn", norm_decimal("qv"))
     cands = (
         query_cells.join(corpus_cells, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     cosine = dot_decimal("qv", "cv") / (
-        norm_decimal("qv") * norm_decimal("cv")
+        F.col("qn") * F.col("cn")
     )
     scored = cands.select(
         "query_id", "neighbor_id", cosine.alias("cosine")

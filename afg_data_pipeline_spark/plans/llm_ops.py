@@ -1841,17 +1841,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding_near_dup_lsh for corpora at scale"
         )
     par = spark.sparkContext.defaultParallelism
+    # norms once per vector, not per O(n²) pair
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    ).repartition(par)
+    ).withColumn("na", norm_decimal("va")).repartition(par)
     b = emb.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
+    ).withColumn("nb", norm_decimal("vb"))
     pairs = a.crossJoin(F.broadcast(b)).filter(
         F.col("id_a") < F.col("id_b")
     )
     cosine = dot_decimal("va", "vb") / (
-        norm_decimal("va") * norm_decimal("vb")
+        F.col("na") * F.col("nb")
     )
     return pairs.select(
         "id_a", "id_b", cosine.alias("cosine")
