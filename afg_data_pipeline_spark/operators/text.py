@@ -299,3 +299,114 @@ def chunk_documents(
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         chunk.alias("chunk_text"),
     ).withColumn("n_chunk_chars", F.length("chunk_text"))
+
+
+def content_defined_chunks(
+    docs,
+    k: int = 3,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Content-defined chunking (the LBFS/FastCDC idea applied at
+    token granularity): a chunk boundary falls BEFORE every token
+    position whose k-token window hashes to 0 mod ``divisor``, so
+    boundaries are a pure function of LOCAL content — insert or
+    delete a paragraph and every chunk outside it keeps its exact
+    identity, which fixed-size chunking cannot do. Chunks average
+    ``divisor`` tokens; corpus-wide identical chunks are then
+    found by digest, giving offset-robust BLOCK-level dedup — the
+    tier between whole-doc hashing and Lee-et-al span counting.
+
+    Output: (id, chunk_idx, chunk_digest, n_chunk_tokens) — one
+    row per chunk, chunk_idx 0-based in document order,
+    chunk_digest = md5 of the space-joined chunk tokens.
+
+    Portability: the boundary predicate decodes the first two hex
+    digits of md5(gram) (instr over the hex alphabet — the same
+    engine-portable trick as operators/contrastive; no xxhash in
+    DuckDB, no conv()) and tests % divisor == 0. Scale shape: one
+    gram stream (bounded explode, pre-repartitioned), a per-doc
+    cumulative-sum window for chunk ids, and a per-(doc, chunk)
+    ordered rebuild — shuffles on (id) only; chunk digests are
+    computed AFTER the rebuild on ~divisor-token strings.
+    """
+    from pyspark.sql import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).filter(F.size("t") >= 1)
+    toks = (
+        base.repartition(par)
+        .select(
+            "id",
+            F.size("t").alias("n"),
+            F.posexplode("t").alias("pos0", "tok"),
+            "t",
+        )
+        .select(
+            "id",
+            "n",
+            "t",
+            "tok",
+            (F.col("pos0") + 1).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            "tok",
+            F.when(
+                F.col("pos") + F.lit(k - 1) <= F.col("n"),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.expr(f"slice(t, pos, {k})")
+                    )
+                ),
+            ).alias("gh"),
+        )
+    )
+    hexv = (
+        "(instr('0123456789abcdef', substr(gh, 1, 1)) - 1) * 16"
+        " + instr('0123456789abcdef', substr(gh, 2, 1)) - 1"
+    )
+    flagged = toks.withColumn(
+        "boundary",
+        F.when(
+            F.col("gh").isNotNull()
+            & (F.expr(f"pmod({hexv}, {divisor})") == 0)
+            & (F.col("pos") > 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    chunked = flagged.withColumn(
+        "chunk_idx",
+        F.sum("boundary").over(
+            wdoc.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        chunked.groupBy("id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.expr(
+                    "array_join(transform("
+                    " array_sort(collect_list(struct(pos, tok))),"
+                    " x -> x.tok), ' ')"
+                )
+            ).alias("chunk_digest"),
+            F.count(F.lit(1)).alias("n_chunk_tokens"),
+        )
+        .select(
+            "id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            "chunk_digest",
+            F.col("n_chunk_tokens").cast("bigint").alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )

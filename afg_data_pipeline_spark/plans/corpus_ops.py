@@ -1054,3 +1054,77 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+@register(
+    "content_defined_chunks",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text),
+                                            '\\s+')) >= 1
+        ),
+        pos AS (
+            SELECT doc_id, t, len(t) AS n,
+                   unnest(generate_series(1, len(t))) AS pos
+            FROM tokd
+        ),
+        g AS (
+            SELECT doc_id, pos, t[pos] AS tok,
+                   CASE WHEN pos + 2 <= n THEN
+                       md5(array_to_string(
+                           list_slice(t, pos, pos + 2), ' '))
+                   END AS gh
+            FROM pos
+        ),
+        flagged AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN gh IS NOT NULL AND pos > 1 AND
+                        ((instr('0123456789abcdef',
+                                substr(gh, 1, 1)) - 1) * 16
+                         + instr('0123456789abcdef',
+                                 substr(gh, 2, 1)) - 1) % 8 = 0
+                        THEN 1 ELSE 0 END AS boundary
+            FROM g
+        ),
+        chunked AS (
+            SELECT doc_id, pos, tok,
+                   SUM(boundary) OVER (PARTITION BY doc_id
+                       ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                       AS chunk_idx
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               md5(string_agg(tok, ' ' ORDER BY pos))
+                   AS chunk_digest,
+               CAST(count(*) AS BIGINT) AS n_chunk_tokens
+        FROM chunked GROUP BY doc_id, chunk_idx
+    """,
+    ops=("DEDUP", "TEXT"),
+)
+def content_defined_chunks_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-defined chunking (LBFS/FastCDC at token
+    granularity): boundaries where the local 3-token window's
+    md5 ≡ 0 mod 8 — chunk identity is a pure function of local
+    content, so identical regions chunk identically at ANY offset
+    (the dedup property fixed-size chunking lacks; ~8-token
+    average chunks). Output: one row per chunk with its md5
+    digest — digest-equal chunks across the corpus are the
+    block-level dedup signal between whole-doc hashing and span
+    counting. operators/text.content_defined_chunks."""
+    from afg_data_pipeline_spark.operators.text import (
+        content_defined_chunks,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return content_defined_chunks(docs, k=3, divisor=8).select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "chunk_digest",
+        "n_chunk_tokens",
+    )

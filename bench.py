@@ -114,6 +114,7 @@ HEADLINE = [
     "incremental_near_dup",
     "contrastive_pairs",
     "dedup_keep_best",
+    "content_defined_chunks",
 ]
 
 

@@ -414,3 +414,51 @@ class TestTrigramLm:
             trigram_lm_nll(
                 _docs(spark, [(1, "a b c")]), l3=0.8, l2=0.3
             )
+
+
+class TestContentDefinedChunks:
+    def test_offset_robust_chunk_identity(self, spark):
+        """The CDC property: a shared region chunks identically
+        regardless of what precedes it — after an inserted prefix,
+        all interior chunk digests of the shared region must still
+        appear. Fixed-size chunking would shift every boundary."""
+        from afg_data_pipeline_spark.operators.text import (
+            content_defined_chunks,
+        )
+
+        import hashlib
+
+        shared = " ".join(
+            hashlib.md5(f"w{i}".encode()).hexdigest()[:6]
+            for i in range(120)
+        )
+        rows = [
+            (1, shared),
+            (2, "an inserted unrelated prefix of seven tokens " + shared),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = content_defined_chunks(df, k=3, divisor=8).collect()
+        d1 = {r.chunk_digest for r in out if r.id == 1}
+        d2 = {r.chunk_digest for r in out if r.id == 2}
+        # every chunk of doc 1 except possibly its first (whose
+        # start is the doc boundary, not a content boundary) must
+        # reappear verbatim in doc 2
+        first1 = min(
+            (r.chunk_idx, r.chunk_digest)
+            for r in out
+            if r.id == 1
+        )[1]
+        assert (d1 - {first1}) <= d2
+        assert len(d1) > 3  # the region actually chunked
+
+    def test_chunks_partition_the_document(self, spark):
+        from afg_data_pipeline_spark.operators.text import (
+            content_defined_chunks,
+        )
+
+        rows = [(1, "a b c d e f g h i j k l m n o p q r s t")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = content_defined_chunks(df, k=3, divisor=8).collect()
+        assert sum(r.n_chunk_tokens for r in out) == 20
+        idxs = sorted(r.chunk_idx for r in out)
+        assert idxs == list(range(len(idxs)))
