@@ -1128,3 +1128,117 @@ def content_defined_chunks_q(
         "chunk_digest",
         "n_chunk_tokens",
     )
+
+
+@register(
+    "chunk_dedup_profile",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text),
+                                            '\\s+')) >= 1
+        ),
+        pos AS (
+            SELECT doc_id, t, len(t) AS n,
+                   unnest(generate_series(1, len(t))) AS pos
+            FROM tokd
+        ),
+        g AS (
+            SELECT doc_id, pos, t[pos] AS tok,
+                   CASE WHEN pos + 2 <= n THEN
+                       md5(array_to_string(
+                           list_slice(t, pos, pos + 2), ' '))
+                   END AS gh
+            FROM pos
+        ),
+        flagged AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN gh IS NOT NULL AND pos > 1 AND
+                        ((instr('0123456789abcdef',
+                                substr(gh, 1, 1)) - 1) * 16
+                         + instr('0123456789abcdef',
+                                 substr(gh, 2, 1)) - 1) % 8 = 0
+                        THEN 1 ELSE 0 END AS boundary
+            FROM g
+        ),
+        chunked AS (
+            SELECT doc_id, pos, tok,
+                   SUM(boundary) OVER (PARTITION BY doc_id
+                       ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                       AS chunk_idx
+            FROM flagged
+        ),
+        chunks AS (
+            SELECT doc_id, chunk_idx,
+                   md5(string_agg(tok, ' ' ORDER BY pos))
+                       AS chunk_digest,
+                   count(*) AS n_chunk_tokens
+            FROM chunked GROUP BY doc_id, chunk_idx
+        ),
+        counted AS (
+            SELECT doc_id, n_chunk_tokens,
+                   count(*) OVER (PARTITION BY chunk_digest)
+                       AS c
+            FROM chunks
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               CAST(SUM(CASE WHEN c >= 2 THEN n_chunk_tokens
+                             ELSE 0 END) AS BIGINT)
+                   AS n_dup_tokens
+        FROM counted GROUP BY doc_id
+    """,
+    ops=("DEDUP", "TEXT"),
+)
+def chunk_dedup_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Block-level duplication profile over content-defined
+    chunks: per document, how many of its CDC chunks (and how
+    many tokens inside them) occur verbatim anywhere else in the
+    corpus — the offset-robust block tier of the dedup ladder
+    (whole-doc hash → CDC chunks → 5-gram spans). Corpus counts
+    via a COUNT window over the chunk digest (the duplicate_spans
+    pattern: single evaluation, one shuffle)."""
+    from pyspark.sql import Window
+
+    from afg_data_pipeline_spark.operators.text import (
+        content_defined_chunks,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    chunks = content_defined_chunks(docs, k=3, divisor=8)
+    return (
+        chunks.withColumn(
+            "c",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("chunk_digest")
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("c") >= 2, 1).otherwise(0)
+            ).alias("n_dup_chunks"),
+            F.sum(
+                F.when(
+                    F.col("c") >= 2, F.col("n_chunk_tokens")
+                ).otherwise(0)
+            ).alias("n_dup_tokens"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_dup_chunks")
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.col("n_dup_tokens")
+            .cast("bigint")
+            .alias("n_dup_tokens"),
+        )
+    )

@@ -292,3 +292,51 @@ class TestNewLlmOpShapes:
         # token->freq join must not be a cross product.
         plan = plan_of(REGISTRY["unigram_lm_score"].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan
+
+
+class TestRound4PlanShapes:
+    def test_contrastive_bucket_reps_broadcast(self, spark):
+        # The negative-sampling join must broadcast the tiny
+        # bucket-rep table, never shuffle the anchors against it.
+        plan = plan_of(REGISTRY["contrastive_pairs"].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_adaptive_length_band_join_broadcast(self, spark):
+        plan = plan_of(
+            REGISTRY["adaptive_length_filter"].fn(spark, SF_DIR)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_kmeans_data_path_has_no_join(self, spark):
+        # Distances are literal folds: the assignment path must not
+        # join or explode the data — the only exchange feeds the
+        # k-row aggregate / final projection.
+        df = REGISTRY["kmeans_cluster_assign"].fn(spark, SF_DIR)
+        plan = plan_of(df)
+        for op in ("Join", "CartesianProduct", "Generate"):
+            assert op not in plan, op
+
+    def test_semantic_dedup_blocks_on_cluster(self, spark):
+        # The pair join must be an equi-join (on cluster), never a
+        # cartesian expansion.
+        plan = plan_of(
+            REGISTRY["semantic_dedup_pairs"].fn(spark, SF_DIR)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_incremental_near_dup_no_cartesian(self, spark):
+        plan = plan_of(
+            REGISTRY["incremental_near_dup"].fn(spark, SF_DIR)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_winnow_window_frames_bounded(self, spark):
+        # Rule 2: the sliding min must be a PRECEDING frame — an
+        # unbounded-FOLLOWING frame is O(n²) per partition.
+        df = REGISTRY["winnow_fingerprints"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "unboundedfollowing" not in plan.lower()
