@@ -66,6 +66,10 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "winnow_candidate_pairs",
     "semantic_dedup_pairs",
     "incremental_near_dup",
+    "contrastive_pairs",
+    "dedup_keep_best",
+    "content_defined_chunks",
+    "chunk_dedup_profile",
     "ngram_jaccard_dups",
     "near_dup_components",
     "near_dup_components_star",
