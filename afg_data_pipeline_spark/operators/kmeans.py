@@ -84,6 +84,11 @@ def kmeans_assign(
         if first is None:
             raise ValueError("kmeans over an empty frame")
         dim = first[0]
+    # Defensive: a null or wrong-dimension vector would propagate
+    # null through element_at → null distances → null cluster,
+    # silently. Drop malformed rows instead (documented contract:
+    # every participating vector has exactly ``dim`` components).
+    df = df.filter(F.size(F.col(vec_col)) == dim)
     # Explicit 64-element array build (no HOF for the quantization
     # itself); the fold lambdas appear only in the oracle-checked
     # distance path.

@@ -1,0 +1,162 @@
+"""Streaming ingest with incremental near-dup detection against a
+PERSISTED signature store — the end-to-end form of the
+delta-vs-corpus contract in operators/dedup.cross_corpus_near_dup:
+instead of re-banding history per increment, the store accumulates
+each micro-batch's (id, band_key) and (id, shingles) tables as
+parquet partitioned by batch_id, and every new batch joins its few
+band rows against the store.
+
+Idempotence (same-checkpoint recovery, the streaming/sinks.py
+contract): all writes are dynamic partition overwrites keyed by
+batch_id, and the flag join reads ONLY store partitions with
+batch_id < current — so a replayed batch neither duplicates store
+rows nor flags itself against its own just-written signatures.
+
+Scale shape: the store grows linearly in corpus size but the
+per-batch work is (batch bands) ⋈ (store bands) — an equi-join on
+band_key where Spark broadcasts the small batch side; partition
+pruning on batch_id keeps replays from rescanning; a production
+deployment would additionally bucket the store by band-key prefix
+(io.write_parquet_sorted) to turn the probe into a pruned read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.operators.dedup import _minhash_band_table
+
+
+def incremental_dedup_sink(
+    store_dir: str,
+    flags_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 2,
+):
+    """foreachBatch function: flag each micro-batch's docs that
+    near-duplicate any PRIOR batch's docs (exact shingle Jaccard >=
+    ``threshold`` on banded collisions), then append the batch's
+    signatures to the store.
+
+    Writes:
+    - ``flags_dir``: (new_id, dup_of, jaccard, batch_id) parquet;
+    - ``store_dir``/bands: (id, band_key, batch_id);
+    - ``store_dir``/shingles: (id, shingles, batch_id).
+    """
+    bands_dir = os.path.join(store_dir, "bands")
+    shingles_dir = os.path.join(store_dir, "shingles")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base, long = _minhash_band_table(
+            batch_df, id_col, text_col, n_hashes, band_size, shingle_k
+        )
+        have_store = os.path.exists(bands_dir)
+        if have_store:
+            prior_bands = spark.read.parquet(bands_dir).filter(
+                F.col("batch_id") < batch_id
+            )
+            prior_sh = spark.read.parquet(shingles_dir).filter(
+                F.col("batch_id") < batch_id
+            )
+            pairs = (
+                long.select(
+                    F.col(id_col).alias("new_id"), "band_key"
+                )
+                .join(
+                    prior_bands.select(
+                        F.col("id").alias("dup_of"), "band_key"
+                    ),
+                    "band_key",
+                )
+                .select("new_id", "dup_of")
+                .dropDuplicates()
+            )
+            flagged = (
+                pairs.join(
+                    base.select(
+                        F.col(id_col).alias("new_id"),
+                        F.col("shingles").alias("sh_a"),
+                    ),
+                    "new_id",
+                )
+                .join(
+                    prior_sh.select(
+                        F.col("id").alias("dup_of"),
+                        F.col("shingles").alias("sh_b"),
+                    ),
+                    "dup_of",
+                )
+            )
+            inter = F.size(
+                F.array_intersect(F.col("sh_a"), F.col("sh_b"))
+            )
+            union = (
+                F.size(F.col("sh_a"))
+                + F.size(F.col("sh_b"))
+                - inter
+            )
+            (
+                flagged.select(
+                    "new_id",
+                    "dup_of",
+                    (
+                        inter.cast("double") / union.cast("double")
+                    ).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(flags_dir)
+            )
+        (
+            long.select(
+                F.col(id_col).alias("id"), "band_key"
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bands_dir)
+        )
+        (
+            base.select(
+                F.col(id_col).alias("id"), "shingles"
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(shingles_dir)
+        )
+
+    return write_batch
+
+
+def run_incremental_dedup(
+    stream_df: DataFrame,
+    store_dir: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+) -> None:
+    """Drain a document stream through the incremental-dedup sink
+    (availableNow: process the backlog, then stop)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            incremental_dedup_sink(store_dir, flags_dir, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

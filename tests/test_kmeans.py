@@ -136,3 +136,16 @@ class TestSemanticDedupPairs:
         assert all(
             r.id_a % 3 == r.id_b % 3 for r in rows
         )
+
+
+class TestMalformedVectors:
+    def test_wrong_dim_and_null_rows_dropped(self, spark):
+        vecs = _fixture()
+        rows = vecs + [(900, [1.0, 2.0]), (901, None)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = kmeans_assign(df, k=3, iterations=2, dim=8)
+        ids = {r.id for r in out.collect()}
+        assert 900 not in ids and 901 not in ids
+        assert ids == {v for v, _ in vecs}

@@ -344,3 +344,118 @@ class TestStreamingNearDup:
         # batch twin through the same stateless kernel agrees
         twin = with_simhash(batch_df).dropDuplicates(["simhash"])
         assert {r.simhash for r in twin.collect()} == batch_sigs
+
+
+class TestIncrementalDedupSink:
+    def test_cross_batch_flags_and_replay_idempotence(
+        self, spark, tmp_path
+    ):
+        """Two micro-batches: a doc in the later batch near-dups a
+        doc in the earlier one -> exactly that cross-batch pair is
+        flagged (within-batch pairs are out of contract). Then
+        crash-recovery replay (copied checkpoint, last
+        offsets/commit markers erased) must leave flags AND the
+        signature store byte-identical — every write is a dynamic
+        batch_id partition overwrite and the flag join reads only
+        batch_id < current."""
+        import shutil
+
+        from afg_data_pipeline_spark.streaming.incremental_dedup import (
+            run_incremental_dedup,
+        )
+
+        import glob
+        import os
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and runs "
+            "far away into the deep green forest tonight"
+        )
+        near = base.replace("tonight", "today")
+        src = tmp_path / "src"
+        src.mkdir()
+        # The file stream source lists PLAIN files (no recursion
+        # into nested parquet dirs): write each batch elsewhere and
+        # move its part file in, with mtimes forcing f1 -> batch 0.
+        for fname, rows, mtime in (
+            (
+                "f1.parquet",
+                [(1, base), (2, "unrelated words about spark engines")],
+                1_000_000_000,
+            ),
+            (
+                "f2.parquet",
+                [(101, near), (102, "other distinct filler tokens")],
+                1_000_000_600,
+            ),
+        ):
+            staging = str(tmp_path / ("stage_" + fname))
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.parquet(staging)
+            part = glob.glob(staging + "/part-*.parquet")[0]
+            dst = str(src / fname)
+            os.rename(part, dst)
+            os.utime(dst, (mtime, mtime))
+
+        store = str(tmp_path / "store")
+        flags = str(tmp_path / "flags")
+        ckpt = tmp_path / "ckpt"
+
+        def stream():
+            return (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+
+        run_incremental_dedup(
+            stream(), store, flags, str(ckpt), threshold=0.5
+        )
+        got = [
+            (r.new_id, r.dup_of, r.jaccard)
+            for r in spark.read.parquet(flags).collect()
+        ]
+        assert len(got) == 1
+        pair = {got[0][0], got[0][1]}
+        assert pair == {1, 101}
+        assert got[0][2] > 0.8
+        store_ids = sorted(
+            r.id
+            for r in spark.read.parquet(store + "/shingles").collect()
+        )
+        assert store_ids == [1, 2, 101, 102]
+
+        # crash-recovery replay of the LAST batch
+        ckpt2 = tmp_path / "ckpt_recover"
+        shutil.copytree(str(ckpt), str(ckpt2))
+        for log in ("commits", "offsets"):
+            entries = sorted(
+                (
+                    p
+                    for p in (ckpt2 / log).iterdir()
+                    if p.name.isdigit()
+                ),
+                key=lambda p: int(p.name),
+            )
+            entries[-1].unlink()
+            crc = entries[-1].parent / f".{entries[-1].name}.crc"
+            if crc.exists():
+                crc.unlink()
+        run_incremental_dedup(
+            stream(), store, flags, str(ckpt2), threshold=0.5
+        )
+        again = [
+            (r.new_id, r.dup_of, r.jaccard)
+            for r in spark.read.parquet(flags).collect()
+        ]
+        assert again == got
+        assert (
+            sorted(
+                r.id
+                for r in spark.read.parquet(
+                    store + "/shingles"
+                ).collect()
+            )
+            == store_ids
+        )
