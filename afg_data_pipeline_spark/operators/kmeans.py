@@ -191,13 +191,16 @@ def semantic_dedup_pairs(
     same contract every ANN query here uses), so the oracle
     reproduces every float bit-for-bit.
 
-    Scale: the within-cluster self-join shuffles on cluster id with
-    quantized vectors riding along; clusters are the blocking key
-    (same role as the LSH band / language block elsewhere). Skewed
-    (giant) clusters are the known cost of SemDeDup — callers raise
-    k; the join is AQE-skew-splittable since the pair fanout
-    happens after an equi-join on cluster, salted by the id range
-    via AQE.
+    Scale: the within-cluster self-join is SALTED (probe side
+    hash(id) % S, build side replicated across S salt values, join
+    key (cluster, salt)) — a plain equi-join on cluster runs ONE
+    task per cluster, so the Σ n_c² pair work would be capped at
+    k-way parallelism (measured at sf1, k=8 over 20k vectors:
+    52.9s plain → 16.5s salted; sf0.1: 4.0s → 3.4s). Same
+    pattern and S≤64 cap as
+    ngram_jaccard_pairs: build-side shuffle is multiplied by S, so
+    S tracks cores, not pair count. Giant clusters remain the
+    known cost of SemDeDup — callers raise k (the paper's regime).
     """
     from afg_data_pipeline_spark.operators.similarity import (
         dot_decimal,
@@ -222,20 +225,26 @@ def semantic_dedup_pairs(
         .join(assign, "id")
         .localCheckpoint(eager=True)
     )
+    par = min(
+        df.sparkSession.sparkContext.defaultParallelism, 64
+    )
     a = vecs.select(
         F.col("id").alias("id_a"),
         F.col("qv").alias("va"),
         F.col("nrm").alias("na"),
         "cluster",
-    )
+    ).withColumn("__salt", F.pmod(F.xxhash64("id_a"), F.lit(par)))
     b = vecs.select(
         F.col("id").alias("id_b"),
         F.col("qv").alias("vb"),
         F.col("nrm").alias("nb"),
         "cluster",
+    ).withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(par)])),
     )
     pairs = (
-        a.join(b, "cluster")
+        a.join(b.hint("shuffle_hash"), ["cluster", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
