@@ -1242,3 +1242,124 @@ def chunk_dedup_profile(
             .alias("n_dup_tokens"),
         )
     )
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Unrolled-CTE replica of bpe_train_merges (the PageRank
+    pattern): per round, pair counts via positional lead, the
+    argmax pair, and the left-to-right greedy merge as
+    islands + row-number parity."""
+
+    def explode_syms(src: str) -> str:
+        return f"""
+            SELECT word, freq, pos, arr[pos] AS sym,
+                   CASE WHEN pos < len(arr)
+                        THEN arr[pos + 1] END AS nxt
+            FROM (SELECT word, freq, arr,
+                         unnest(generate_series(1, len(arr)))
+                             AS pos
+                  FROM {src})"""
+
+    parts = [
+        """
+        s1 AS MATERIALIZED (
+            SELECT word, freq,
+                   regexp_split_to_array(word, '') AS arr
+            FROM (
+                SELECT word, count(*) AS freq FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        trim(text), '\\s+')) AS word
+                    FROM documents)
+                WHERE length(word) > 0
+                GROUP BY word)
+        )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""
+        p{r} AS MATERIALIZED (
+            SELECT sym AS l, nxt AS r,
+                   CAST(SUM(freq) AS BIGINT) AS n
+            FROM ({explode_syms(f's{r}')})
+            WHERE nxt IS NOT NULL
+            GROUP BY sym, nxt
+        ),
+        b{r} AS MATERIALIZED (
+            SELECT l, r, n FROM p{r}
+            ORDER BY n DESC, l ASC, r ASC LIMIT 1
+        )"""
+        )
+        if r < n_merges:
+            parts.append(
+                f"""
+        m{r} AS MATERIALIZED (
+            SELECT e.*, CASE WHEN e.sym = b.l AND e.nxt = b.r
+                             THEN 1 ELSE 0 END AS m
+            FROM ({explode_syms(f's{r}')}) e CROSS JOIN b{r} b
+        ),
+        i{r} AS MATERIALIZED (
+            SELECT *, SUM(new_island) OVER (
+                       PARTITION BY word ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island_id
+            FROM (
+                SELECT *, CASE WHEN m = 1 AND COALESCE(
+                               lag(m) OVER (PARTITION BY word
+                                            ORDER BY pos), 0) = 0
+                               THEN 1 ELSE 0 END AS new_island
+                FROM m{r})
+        ),
+        d{r} AS MATERIALIZED (
+            SELECT *, CASE WHEN m = 1 AND
+                        (row_number() OVER (
+                             PARTITION BY word, island_id
+                             ORDER BY pos) - 1) % 2 = 0
+                        THEN 1 ELSE 0 END AS do_merge
+            FROM i{r}
+        ),
+        s{r + 1} AS MATERIALIZED (
+            SELECT word, max(freq) AS freq,
+                   list(CASE WHEN do_merge = 1 THEN sym || nxt
+                             ELSE sym END ORDER BY pos) AS arr
+            FROM (
+                SELECT *, COALESCE(lag(do_merge) OVER (
+                              PARTITION BY word ORDER BY pos),
+                          0) AS consumed
+                FROM d{r})
+            WHERE consumed = 0
+            GROUP BY word
+        )"""
+            )
+    selects = [
+        f"SELECT {r} AS rank, l AS merge_left, r AS merge_right,"
+        f" n AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH" + ",".join(parts) + " " + " UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(3),
+    ops=("TEXT",),
+)
+def bpe_train_merges_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al.): the first
+    3 learned merges over the corpus word-frequency table —
+    (rank, merge_left, merge_right, pair_count), ties broken
+    (count DESC, left ASC, right ASC). The left-to-right greedy
+    non-overlapping merge is expressed relationally
+    (gaps-and-islands + row-number parity — no sequential UDF);
+    the only corpus-sized aggregate is the word-frequency table,
+    every round after that works on the vocabulary.
+    operators/bpe.bpe_train_merges; oracle unrolls the rounds as
+    MATERIALIZED CTEs (PageRank pattern)."""
+    from afg_data_pipeline_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return bpe_train_merges(docs, n_merges=3)

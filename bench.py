@@ -115,6 +115,8 @@ HEADLINE = [
     "contrastive_pairs",
     "dedup_keep_best",
     "content_defined_chunks",
+    "chunk_dedup_profile",
+    "bpe_train_merges",
 ]
 
 

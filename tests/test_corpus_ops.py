@@ -462,3 +462,75 @@ class TestContentDefinedChunks:
         assert sum(r.n_chunk_tokens for r in out) == 20
         idxs = sorted(r.chunk_idx for r in out)
         assert idxs == list(range(len(idxs)))
+
+
+class TestBpeTrainMerges:
+    def _replica(self, texts, n_merges):
+        from collections import Counter
+
+        freq = Counter(
+            w for t in texts for w in t.strip().split() if w
+        )
+        syms = {w: list(w) for w in freq}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            pairs: Counter = Counter()
+            for w, s in syms.items():
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += freq[w]
+            if not pairs:
+                break
+            best = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            (a, b), n = best
+            merges.append((rank, a, b, n))
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == a
+                        and s[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges
+
+    def test_matches_python_replica(self, spark):
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_train_merges,
+        )
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new",
+            "aaaa aaaa baaa",
+        ]
+        df = _docs(spark, list(enumerate(texts)))
+        got = sorted(
+            (r.rank, r.merge_left, r.merge_right, r.pair_count)
+            for r in bpe_train_merges(df, n_merges=4).collect()
+        )
+        assert got == self._replica(texts, 4)
+
+    def test_greedy_non_overlapping(self, spark):
+        # "aaaa" with merge (a,a): left-to-right gives [aa, aa] —
+        # the second round must then see the (aa, aa) pair.
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_train_merges,
+        )
+
+        df = _docs(spark, [(1, "aaaa aaaa aaaa")])
+        got = {
+            r.rank: (r.merge_left, r.merge_right, r.pair_count)
+            for r in bpe_train_merges(df, n_merges=2).collect()
+        }
+        # round 1: (a,a) appears 3 overlapping times per word x3
+        assert got[1] == ("a", "a", 9)
+        # after greedy merge each word is [aa, aa]
+        assert got[2] == ("aa", "aa", 3)
