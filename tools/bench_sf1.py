@@ -70,6 +70,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "dedup_keep_best",
     "content_defined_chunks",
     "chunk_dedup_profile",
+    "bpe_train_merges",
     "ngram_jaccard_dups",
     "near_dup_components",
     "near_dup_components_star",
