@@ -127,21 +127,13 @@ def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
     return rebuilt
 
 
-def bpe_train_merges(
+def _train(
     docs: DataFrame,
-    n_merges: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges from the corpus:
-    (rank, merge_left, merge_right, pair_count), rank 1-based in
-    merge order ("left"/"right" are SQL keywords — avoided).
-
-    The word-frequency table is the only corpus-sized aggregate;
-    every round after that works on the (tiny) vocabulary. Ties in
-    pair frequency break (left ASC, right ASC) — deterministic and
-    mirrored in the oracle.
-    """
+    n_merges: int,
+    text_col: str,
+) -> tuple[list[tuple], DataFrame]:
+    """(learned merges, final symbol table) — shared by the
+    train-only and encode entry points."""
     words = (
         docs.select(
             F.explode(
@@ -157,7 +149,7 @@ def bpe_train_merges(
         "freq",
         F.split(F.col("word"), "").alias("arr"),
     ).localCheckpoint(eager=True)
-    out = []
+    out: list[tuple] = []
     for rank in range(1, n_merges + 1):
         best = (
             _pair_counts(syms)
@@ -176,9 +168,70 @@ def bpe_train_merges(
         syms = _apply_merge(
             syms, b["left"], b["right"]
         ).localCheckpoint(eager=True)
+    return out, syms
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus:
+    (rank, merge_left, merge_right, pair_count), rank 1-based in
+    merge order ("left"/"right" are SQL keywords — avoided).
+
+    The word-frequency table is the only corpus-sized aggregate;
+    every round after that works on the (tiny) vocabulary. Ties in
+    pair frequency break (left ASC, right ASC) — deterministic and
+    mirrored in the oracle.
+    """
+    out, _syms = _train(docs, n_merges, text_col)
     spark = docs.sparkSession
     return spark.createDataFrame(
         out,
         "rank int, merge_left string, merge_right string, "
         "pair_count long",
+    )
+
+
+def bpe_encode_token_counts(
+    docs: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ENCODE half of the tokenizer story: train ``n_merges``
+    merges, then tokenize every document with them — per doc,
+    (id, n_words, n_char_tokens, n_bpe_tokens): whitespace words,
+    character-level token count (the pre-merge baseline), and the
+    subword count after the learned merges. n_bpe_tokens <
+    n_char_tokens exactly where merges fired — the compression the
+    tokenizer buys, measured on the corpus that trained it.
+
+    Scale shape: encoding is a broadcast join of the corpus word
+    stream against the (vocabulary-sized) word → subword-count
+    table — the same word table that trained the merges; no
+    per-document merge application ever runs.
+    """
+    _merges, syms = _train(docs, n_merges, text_col)
+    lens = syms.select(
+        "word", F.size("arr").alias("n_sub")
+    )
+    doc_words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    return (
+        doc_words.join(F.broadcast(lens), "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word"))
+            .cast("bigint")
+            .alias("n_char_tokens"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
     )

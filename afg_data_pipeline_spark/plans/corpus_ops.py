@@ -1244,11 +1244,13 @@ def chunk_dedup_profile(
     )
 
 
-def _bpe_oracle(n_merges: int = 3) -> str:
+def _bpe_oracle(n_merges: int = 3, through_final: bool = False) -> str:
     """Unrolled-CTE replica of bpe_train_merges (the PageRank
     pattern): per round, pair counts via positional lead, the
     argmax pair, and the left-to-right greedy merge as
-    islands + row-number parity."""
+    islands + row-number parity. With ``through_final`` the merge
+    application is emitted for EVERY round so s{n+1} (the fully
+    merged symbol table) exists for the encode oracle."""
 
     def explode_syms(src: str) -> str:
         return f"""
@@ -1289,7 +1291,7 @@ def _bpe_oracle(n_merges: int = 3) -> str:
             ORDER BY n DESC, l ASC, r ASC LIMIT 1
         )"""
         )
-        if r < n_merges:
+        if r < n_merges or through_final:
             parts.append(
                 f"""
         m{r} AS MATERIALIZED (
@@ -1329,6 +1331,8 @@ def _bpe_oracle(n_merges: int = 3) -> str:
             GROUP BY word
         )"""
             )
+    if through_final:
+        return "WITH" + ",".join(parts)
     selects = [
         f"SELECT {r} AS rank, l AS merge_left, r AS merge_right,"
         f" n AS pair_count FROM b{r}"
@@ -1363,3 +1367,53 @@ def bpe_train_merges_q(
 
     docs = read_star_table(spark, "documents", sf_dir)
     return bpe_train_merges(docs, n_merges=3)
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_bpe_oracle(3, through_final=True)
+    + """,
+        lens AS (
+            SELECT word, CAST(len(arr) AS BIGINT) AS n_sub
+            FROM s4
+        ),
+        dw AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           trim(text), '\\s+')) AS word
+                FROM documents)
+            WHERE length(word) > 0
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(word)) AS BIGINT)
+                   AS n_char_tokens,
+               CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN lens USING (word)
+        GROUP BY doc_id
+    """,
+    ops=("TEXT",),
+)
+def bpe_encode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ENCODE half of the tokenizer story: train 3 BPE merges,
+    tokenize every document with them, and report per-doc
+    (n_words, n_char_tokens, n_bpe_tokens) — the measured
+    compression the learned merges buy on the corpus that trained
+    them. Encoding is a broadcast join of the corpus word stream
+    against the vocabulary-sized word → subword-count table; no
+    per-document merge application runs.
+    operators/bpe.bpe_encode_token_counts."""
+    from afg_data_pipeline_spark.operators.bpe import (
+        bpe_encode_token_counts,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return bpe_encode_token_counts(docs, n_merges=3).select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_char_tokens",
+        "n_bpe_tokens",
+    )

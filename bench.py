@@ -117,6 +117,7 @@ HEADLINE = [
     "content_defined_chunks",
     "chunk_dedup_profile",
     "bpe_train_merges",
+    "bpe_encode_stats",
 ]
 
 

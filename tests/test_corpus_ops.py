@@ -534,3 +534,46 @@ class TestBpeTrainMerges:
         assert got[1] == ("a", "a", 9)
         # after greedy merge each word is [aa, aa]
         assert got[2] == ("aa", "aa", 3)
+
+    def test_encode_compression(self, spark):
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_encode_token_counts,
+            bpe_train_merges,
+        )
+
+        texts = ["low low lower lowest", "new newer newest"]
+        df = _docs(spark, list(enumerate(texts)))
+        got = {
+            r.id: (r.n_words, r.n_char_tokens, r.n_bpe_tokens)
+            for r in bpe_encode_token_counts(
+                df, n_merges=3
+            ).collect()
+        }
+        # every doc covered, words/chars exact, and merges strictly
+        # compress (the corpus has repeated 'lo'/'ow'-class pairs)
+        for i, t in enumerate(texts):
+            words = t.split()
+            assert got[i][0] == len(words)
+            assert got[i][1] == sum(len(w) for w in words)
+            assert got[i][2] < got[i][1]
+        # 3 merges => each word shrinks by at most 3 per merge site;
+        # replica check: apply the learned merges by hand
+        merges = [
+            (r.merge_left, r.merge_right)
+            for r in bpe_train_merges(df, n_merges=3)
+            .orderBy("rank")
+            .collect()
+        ]
+        def encode(w):
+            s = list(w)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i+1] == b:
+                        out.append(a + b); i += 2
+                    else:
+                        out.append(s[i]); i += 1
+                s = out
+            return len(s)
+        for i, t in enumerate(texts):
+            assert got[i][2] == sum(encode(w) for w in t.split())
