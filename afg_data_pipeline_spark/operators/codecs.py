@@ -13,14 +13,18 @@ implements them for real:
 - ``decode_bmp`` / ``encode_bmp``  — Windows BMP, BITMAPINFOHEADER,
   24/32-bit BI_RGB, bottom-up and top-down row order;
 - ``decode_ppm`` / ``encode_ppm``  — binary PPM (P6), maxval 255;
+- ``decode_png`` / ``encode_png``  — PNG, the first COMPRESSED
+  format decoded for real: DEFLATE is stdlib ``zlib`` and
+  defiltering is NumPy (8-bit gray/RGB/palette/alpha, all 5 filter
+  types; 16-bit and Adam7 interlacing raise);
 - ``resize_nearest`` / ``resize_area`` — real raster resizing;
 - ``audio_features`` / ``image_features`` — fixed-width feature
   vectors (the downstream contract of operators/multimodal.py).
 
-Compressed formats still raise ``NotImplementedError`` from the
-dispatcher in operators/multimodal.py — honestly, since the codec
-libraries genuinely are not installable here — but the decode path
-is no longer a stub for the formats pure NumPy can handle.
+The remaining honest boundary is the JPEG/MP3/H.264 class, whose
+codecs genuinely need libraries absent from this environment —
+those still raise ``NotImplementedError`` from the dispatcher in
+operators/multimodal.py.
 
 Everything here is driver/executor-agnostic plain Python over
 ``bytes`` — it runs inside Arrow-batched ``mapInPandas`` stages
@@ -35,6 +39,7 @@ training-data-pipeline extension, not to reference parity.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -378,3 +383,181 @@ def synth_bmp_for_text(text: str) -> bytes:
     g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
     b = ((xx + yy + seed) % 256).astype(np.uint8)
     return encode_bmp(np.stack([r, g, b], axis=2))
+
+
+# ---------------------------------------------------------------------------
+# PNG — the first COMPRESSED format the engine decodes for real:
+# DEFLATE is stdlib zlib, defiltering is numpy, nothing else is
+# needed. Supported: bit depth 8, color types 0 (gray), 2 (RGB),
+# 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlacing (Adam7
+# raises). Output is always (H, W, 3) uint8 — gray replicated,
+# alpha dropped, palette resolved.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(
+                -1, 3
+            )
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_id, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} unsupported (8 only)"
+        )
+    if ctype_id not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {ctype_id}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    ch = _PNG_CHANNELS[ctype_id]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = row[0]
+        line = np.frombuffer(
+            row[1:], dtype=np.uint8
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prior) & 0xFF
+        elif ftype == 1:  # Sub — per byte-lane cumulative sum
+            recon = line.copy()
+            for i in range(ch, stride):
+                recon[i] = (recon[i] + recon[i - ch]) & 0xFF
+        elif ftype == 3:  # Average
+            recon = line.copy()
+            for i in range(stride):
+                left = recon[i - ch] if i >= ch else 0
+                recon[i] = (
+                    recon[i] + ((left + prior[i]) >> 1)
+                ) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = line.copy()
+            for i in range(stride):
+                a = recon[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                recon[i] = (recon[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    px = out.reshape(height, width, ch)
+    if ctype_id == 2:
+        return px
+    if ctype_id == 6:
+        return px[:, :, :3].copy()
+    if ctype_id == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_id == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[px[:, :, 0]]
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(
+            ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+        )
+    )
+
+
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0
+) -> bytes:
+    """8-bit RGB PNG encoder. ``filter_type`` applies the same PNG
+    filter (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) to every row
+    — exposed so tests can exercise every defilter path of
+    ``decode_png`` against ground truth."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png expects (H, W, 3) uint8")
+    h, w, _ = px.shape
+    flat = px.reshape(h, w * 3).astype(np.int32)
+    ch = 3
+    lines = bytearray()
+    prior = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        recon = flat[y]
+        if filter_type == 0:
+            filt = recon
+        elif filter_type == 2:
+            filt = (recon - prior) & 0xFF
+        elif filter_type == 1:
+            filt = recon.copy()
+            filt[ch:] = (recon[ch:] - recon[:-ch]) & 0xFF
+        elif filter_type == 3:
+            filt = recon.copy()
+            for i in range(w * 3):
+                left = recon[i - ch] if i >= ch else 0
+                filt[i] = (
+                    recon[i] - ((left + prior[i]) >> 1)
+                ) & 0xFF
+        elif filter_type == 4:
+            filt = recon.copy()
+            for i in range(w * 3):
+                a = recon[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                filt[i] = (recon[i] - pred) & 0xFF
+        else:
+            raise ValueError(f"filter type {filter_type}")
+        lines.append(filter_type)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prior = recon
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )

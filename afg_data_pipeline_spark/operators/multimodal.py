@@ -55,6 +55,7 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
 _WAV_MIMES = frozenset({"audio/wav", "audio/x-wav"})
 _BMP_MIMES = frozenset({"image/bmp", "image/x-bmp"})
 _PPM_MIMES = frozenset({"image/ppm", "image/x-portable-pixmap"})
+_PNG_MIMES = frozenset({"image/png"})
 
 
 def decode_raster(data: bytes, fmt: str):
@@ -71,8 +72,13 @@ def decode_raster(data: bytes, fmt: str):
         return codecs.decode_ppm(data)
     if data[:2] == b"BM" or fmt in _BMP_MIMES:
         return codecs.decode_bmp(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n" or fmt in _PNG_MIMES:
+        # COMPRESSED format decoded for real: DEFLATE is stdlib
+        # zlib, defiltering is numpy (codecs.decode_png — 8-bit
+        # gray/RGB/palette/alpha, all 5 filter types).
+        return codecs.decode_png(data)
     raise NotImplementedError(
-        f"no raster codec for {fmt!r}: compressed image codec "
+        f"no raster codec for {fmt!r}: JPEG/TIFF-class codec "
         "libraries are not available in this environment"
     )
 
@@ -93,10 +99,10 @@ def decode_media(data: bytes, fmt: str) -> bytes:
         return data
     if fmt in _WAV_MIMES:
         return codecs.decode_wav(data)["samples"].tobytes()
-    if fmt in _BMP_MIMES or fmt in _PPM_MIMES:
+    if fmt in _BMP_MIMES or fmt in _PPM_MIMES or fmt in _PNG_MIMES:
         return decode_raster(data, fmt).tobytes()
     raise NotImplementedError(
-        f"no codec for {fmt!r}: compressed image/audio codec "
+        f"no codec for {fmt!r}: JPEG/MP3/H.264-class codec "
         "libraries are not available in this environment"
     )
 

@@ -195,3 +195,100 @@ class TestSynth:
         assert b1 == synth_bmp_for_text("hola")
         img = decode_bmp(b1)
         assert img.ndim == 3 and img.shape[2] == 3
+
+
+class TestPngCodec:
+    def _pixels(self, h=11, w=7):
+        import hashlib
+
+        import numpy as np
+
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                d = hashlib.md5(f"{y},{x}".encode()).digest()
+                px[y, x] = d[0], d[1], d[2]
+        return px
+
+    def test_all_five_filters_round_trip(self):
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        px = self._pixels()
+        for ft in range(5):
+            back = decode_png(encode_png(px, filter_type=ft))
+            assert (back == px).all(), f"filter {ft}"
+
+    def test_gray_rgba_palette_color_types(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from afg_data_pipeline_spark.operators.codecs import (
+            _PNG_SIG,
+            _png_chunk,
+            decode_png,
+        )
+
+        def build(ctype, raw_rows, extra=b""):
+            h = len(raw_rows)
+            w = len(raw_rows[0]) // {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[
+                ctype
+            ]
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            body = b"".join(b"\x00" + r for r in raw_rows)
+            return (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + extra
+                + _png_chunk(b"IDAT", zlib.compress(body))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        # grayscale 2x2 -> replicated channels
+        g = decode_png(build(0, [bytes([10, 20]), bytes([30, 40])]))
+        assert (g[:, :, 0] == [[10, 20], [30, 40]]).all()
+        assert (g[:, :, 0] == g[:, :, 1]).all()
+        # RGBA 1x2 -> alpha dropped
+        r = decode_png(
+            build(6, [bytes([1, 2, 3, 255, 4, 5, 6, 0])])
+        )
+        assert r.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+        # palette 1x2
+        plte = _png_chunk(
+            b"PLTE", bytes([255, 0, 0, 0, 255, 0])
+        )
+        p = decode_png(
+            build(3, [bytes([0, 1])], extra=plte)
+        )
+        assert p.tolist() == [[[255, 0, 0], [0, 255, 0]]]
+
+    def test_interlaced_and_16bit_raise(self):
+        import struct
+        import zlib
+
+        from afg_data_pipeline_spark.operators.codecs import (
+            _PNG_SIG,
+            _png_chunk,
+            decode_png,
+        )
+
+        import pytest
+
+        for depth, interlace in ((16, 0), (8, 1)):
+            ihdr = struct.pack(
+                ">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace
+            )
+            data = (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(
+                    b"IDAT", zlib.compress(b"\x00\x00\x00\x00")
+                )
+                + _png_chunk(b"IEND", b"")
+            )
+            with pytest.raises(NotImplementedError):
+                decode_png(data)

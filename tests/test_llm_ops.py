@@ -620,8 +620,22 @@ class TestRealCodecsOnSpark:
         img = np.zeros((2, 2, 3), dtype=np.uint8)
         rgb = decode_media(encode_bmp(img), "image/bmp")
         assert rgb == img.tobytes()
+        # PNG is now decoded FOR REAL (stdlib zlib + numpy
+        # defiltering); the remaining honest boundary is the
+        # JPEG/MP3 class.
+        from afg_data_pipeline_spark.operators.codecs import (
+            encode_png,
+        )
+
+        img2 = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(
+            2, 3, 3
+        )
+        assert (
+            decode_media(encode_png(img2), "image/png")
+            == img2.tobytes()
+        )
         with pytest.raises(NotImplementedError):
-            decode_media(b"\x89PNG", "image/png")
+            decode_media(b"\xff\xd8\xff\xe0jpegdata", "image/jpeg")
 
 
 class TestIVF:
