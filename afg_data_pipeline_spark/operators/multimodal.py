@@ -245,15 +245,26 @@ def attach_synth_wav(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def attach_synth_bmp(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic REAL BMP media column (md5-seeded gradient
-    pattern, operators/codecs.py) with true pixel dimensions in the
-    metadata struct — parsed from the container header the way a
-    real ingest would, without decoding pixels."""
+    """Deterministic REAL media column with true pixel dimensions
+    in the metadata struct — parsed from the container header the
+    way a real ingest would, without decoding pixels.
+
+    MIXED containers, same pixels: even doc_ids carry BMP, odd
+    doc_ids carry PNG of the IDENTICAL md5-seeded gradient
+    (operators/codecs.py), so every downstream decode exercises
+    both the uncompressed and the real zlib-compressed codec
+    through the magic-byte dispatch while producing byte-identical
+    RGB — feature values are container-independent by
+    construction."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from afg_data_pipeline_spark.operators.codecs import synth_bmp_for_text
+    from afg_data_pipeline_spark.operators.codecs import (
+        decode_bmp,
+        encode_png,
+        synth_bmp_for_text,
+    )
 
     out_schema = (
         "doc_id long, media binary, "
@@ -266,12 +277,19 @@ def attach_synth_bmp(df: DataFrame, text_col: str = "text") -> DataFrame:
         import struct as _struct
 
         for pdf in it:
-            media = [synth_bmp_for_text(t) for t in pdf[text_col]]
+            media = []
             metas = []
-            for m in media:
-                w, h = _struct.unpack_from("<ii", m, 18)
+            for did, t in zip(pdf["doc_id"], pdf[text_col]):
+                bmp = synth_bmp_for_text(t)
+                w, h = _struct.unpack_from("<ii", bmp, 18)
+                if int(did) % 2 == 1:
+                    media.append(encode_png(decode_bmp(bmp)))
+                    fmt = "image/png"
+                else:
+                    media.append(bmp)
+                    fmt = "image/bmp"
                 metas.append(
-                    {"format": "image/bmp", "width": w, "height": abs(h)}
+                    {"format": fmt, "width": w, "height": abs(h)}
                 )
             yield pd.DataFrame(
                 {

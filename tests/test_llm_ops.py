@@ -520,11 +520,13 @@ class TestMultimodal:
             assert joined == media_by_id[doc_id]
 
     def test_frame_sample_real_bmp_strips(self, spark):
-        # The REAL path: synth BMP -> decode -> 4 row-strip frames
-        # whose concatenation is exactly the decoded raster bytes.
-        from afg_data_pipeline_spark.operators.codecs import decode_bmp
+        # The REAL path: mixed BMP/PNG containers -> decode -> 4
+        # row-strip frames whose concatenation is exactly the
+        # decoded raster bytes (doc 1 is PNG, doc 2 is BMP — both
+        # decode through the magic-byte dispatch).
         from afg_data_pipeline_spark.operators.multimodal import (
             attach_synth_bmp,
+            decode_raster,
             frame_sample,
         )
 
@@ -534,7 +536,9 @@ class TestMultimodal:
         )
         media = attach_synth_bmp(docs)
         raster = {
-            r.doc_id: decode_bmp(bytes(r.media)).tobytes()
+            r.doc_id: decode_raster(
+                bytes(r.media), r.meta.format
+            ).tobytes()
             for r in media.collect()
         }
         out = frame_sample(media, n_frames=4).collect()
@@ -594,10 +598,17 @@ class TestRealCodecsOnSpark:
 
         docs = _docs_with_planted_dups(spark)
         media = attach_synth_bmp(docs)
-        # meta carries true container dims parsed from the header
+        # meta carries true container dims parsed from the header;
+        # containers are MIXED (even ids BMP, odd ids real PNG)
+        fmts = set()
         for r in media.collect():
-            assert r.meta.format == "image/bmp"
+            expected = (
+                "image/png" if r.doc_id % 2 == 1 else "image/bmp"
+            )
+            assert r.meta.format == expected
+            fmts.add(r.meta.format)
             assert r.meta.width >= 8 and r.meta.height >= 8
+        assert fmts == {"image/bmp", "image/png"}
         resized = image_resize(media, width=8, height=8)
         feats = image_feature_extract(resized).collect()
         assert len(feats) == 5
