@@ -206,3 +206,45 @@ def hash_split(
         )
         .otherwise("test"),
     )
+
+
+def hash_topk_per_group(
+    df,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "ksample",
+):
+    """EXACTLY-k deterministic sample per group: rank each group's
+    rows by md5(salt || id) and keep the k smallest — the
+    fixed-size counterpart of the fraction-threshold samplers
+    above (a fraction can't promise exact counts; audits, eval
+    slices, and per-domain caps need exactly k). md5 order is
+    uniform and independent of the id distribution, deterministic
+    across engines/retries, and NEW rows entering a group displace
+    old ones with probability k/n — the classic hash-reservoir
+    property, with no reservoir state.
+
+    Scale note: the rank is a per-group window — groups are the
+    sampling unit and k bounds what survives, but the SORT is over
+    each group's full membership. For groups beyond a task, the
+    same two-pass trick as everywhere else applies (per-partition
+    top-k then global top-k of k·P candidates); at the tested
+    group sizes the window is the simpler exact form.
+    """
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(
+            F.concat(
+                F.lit(f"{salt}:"), F.col(id_col).cast("string")
+            )
+        )
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

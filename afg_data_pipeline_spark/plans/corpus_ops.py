@@ -1417,3 +1417,41 @@ def bpe_encode_stats(
         "n_char_tokens",
         "n_bpe_tokens",
     )
+
+
+@register(
+    "per_group_sample_k",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('ksample:'
+                                    || CAST(doc_id AS VARCHAR))
+                   ) AS rn
+            FROM documents)
+        WHERE rn <= 10
+    """,
+    ops=("SAMPLE",),
+)
+def per_group_sample_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACTLY 10 documents per language, selected by deterministic
+    md5 order — the fixed-size sampler the fraction-threshold
+    family can't provide (audits, eval slices, per-domain caps
+    need exact counts). Uniform in the hash, reproducible on any
+    engine/retry, hash-reservoir displacement property for growing
+    corpora. operators/sampling.hash_topk_per_group."""
+    from afg_data_pipeline_spark.operators.sampling import (
+        hash_topk_per_group,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return hash_topk_per_group(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        "doc_id",
+        10,
+    )

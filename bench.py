@@ -118,6 +118,7 @@ HEADLINE = [
     "chunk_dedup_profile",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "per_group_sample_k",
 ]
 
 

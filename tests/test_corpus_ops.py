@@ -577,3 +577,60 @@ class TestBpeTrainMerges:
             return len(s)
         for i, t in enumerate(texts):
             assert got[i][2] == sum(encode(w) for w in t.split())
+
+
+class TestHashTopkPerGroup:
+    def test_exact_k_deterministic_and_reservoir_property(
+        self, spark
+    ):
+        import hashlib
+
+        from afg_data_pipeline_spark.operators.sampling import (
+            hash_topk_per_group,
+        )
+
+        rows = [
+            (i, "a" if i < 60 else "b") for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        got = hash_topk_per_group(df, "g", "doc_id", 5).collect()
+        by_g: dict = {}
+        for r in got:
+            by_g.setdefault(r.g, set()).add(r.doc_id)
+        assert len(by_g["a"]) == 5 and len(by_g["b"]) == 5
+        # replica: 5 smallest md5('ksample:'||id) per group
+        for g, ids in (
+            ("a", range(60)),
+            ("b", range(60, 80)),
+        ):
+            want = set(
+                sorted(
+                    ids,
+                    key=lambda i: hashlib.md5(
+                        f"ksample:{i}".encode()
+                    ).hexdigest(),
+                )[:5]
+            )
+            assert by_g[g] == want, g
+        # reservoir property: sampling the group's superset keeps
+        # any member of the old sample iff it survives the hash
+        # order against the new rows — subset consistency
+        small = {
+            r.doc_id
+            for r in hash_topk_per_group(
+                df.filter("doc_id < 30"), "g", "doc_id", 5
+            ).collect()
+        }
+        assert by_g["a"] & small == by_g["a"] & set(range(30))
+
+    def test_small_groups_returned_whole(self, spark):
+        from afg_data_pipeline_spark.operators.sampling import (
+            hash_topk_per_group,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x")], "doc_id long, g string"
+        )
+        assert (
+            hash_topk_per_group(df, "g", "doc_id", 10).count() == 2
+        )
