@@ -42,10 +42,18 @@ def grouped_percentile_disc(
     for q in qs:
         if not 0.0 < q < 1.0:
             raise ValueError(f"q must be in (0,1), got {q}")
-    counts = df.groupBy(
-        F.col(group_col).alias("g"),
-        F.col(value_col).alias("v"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    # Null values are EXCLUDED, matching SQL percentile semantics —
+    # and necessarily so: Spark windows sort nulls FIRST while
+    # DuckDB sorts them LAST, so a null reaching the cumulative
+    # ordering would silently shift every rank between engines.
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("g"),
+            F.col(value_col).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     w = (
         Window.partitionBy("g")
         .orderBy("v")

@@ -79,3 +79,14 @@ class TestAdaptiveBandFilter:
         assert got["a"] == (100, 10, 90, 81)
         # b: constant values -> band collapses, everything kept
         assert got["b"] == (4, 7, 7, 4)
+
+
+class TestNullHandling:
+    def test_nulls_excluded_like_sql_percentiles(self, spark):
+        rows = [("g", v) for v in [1, 2, 3, 4, None, None]]
+        df = spark.createDataFrame(rows, "g string, v long")
+        r = grouped_percentile_disc(
+            df, "g", "v", (0.5,)
+        ).collect()[0]
+        # n counts only non-null values; p50 over {1,2,3,4} = 2
+        assert (r.n, r.p50) == (4, 2)
