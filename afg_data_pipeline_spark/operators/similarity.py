@@ -510,3 +510,78 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def binarize_code(vec_col: str, dim: int):
+    """Pack the sign pattern of a ``dim``<=64-dimension embedding
+    into ONE BIGINT: bit j set iff component j > 0 — the
+    sign-random-projection binarization that shrinks a 256-byte
+    float vector to 8 bytes while Hamming distance tracks angular
+    distance (Charikar '02, the SRP-LSH bucketing above taken to
+    its limit). Bit 63 is the long's sign bit; shiftleft wraps it
+    to the negative two's-complement value, which xor/bit_count
+    handle exactly."""
+    if dim > 64:
+        raise ValueError("binarize_code packs at most 64 dims")
+    terms = [
+        F.when(
+            F.element_at(F.col(vec_col), j + 1) > 0,
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {j})"),
+        ).otherwise(F.lit(0))
+        for j in range(dim)
+    ]
+    code = terms[0]
+    for t in terms[1:]:
+        code = code + t
+    return code
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Binary-code ANN: top-k corpus neighbors per query by HAMMING
+    distance between sign-binarized codes — the memory-optimization
+    tier of similarity search (8 bytes/vector, xor + popcount per
+    candidate; E[hamming] = dim·θ/π for angle θ, so Hamming rank
+    approximates angular rank). Output: (query_id, neighbor_id,
+    hamming, rank); ties break on neighbor id.
+
+    Scale shape: the corpus side collapses to (id, code) — 16
+    bytes/row — so a billion-vector code table is ~16 GB: broadcast
+    at this size class or shuffled beyond it; the per-pair work is
+    one XOR + POPCNT in whole-stage codegen, ~two orders cheaper
+    than the 64-term float dot of the exact tier. The standard
+    funnel is hamming-topk (cheap, recall<1) then exact-cosine
+    re-rank of the survivors (brute_force_topk on the candidate
+    set)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        binarize_code(vec_col, dim).alias("qc"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        binarize_code(vec_col, dim).alias("cc"),
+    )
+    par = q.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        q.repartition(par)
+        .crossJoin(F.broadcast(c))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(qc ^ cc)").cast("int"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )

@@ -165,3 +165,49 @@ def semantic_dedup_pairs_q(
     return semantic_dedup_pairs(
         emb, k=_K, iterations=_ITERS, threshold=0.2
     )
+
+
+@register(
+    "hamming_topk",
+    oracle="""
+        WITH pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> CASE WHEN (q.embedding[i] > 0)
+                                  <> (c.embedding[i] > 0)
+                             THEN 1 ELSE 0 END)) AS INTEGER)
+                       AS hamming
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, hamming, rn AS rank
+        FROM (
+            SELECT query_id, neighbor_id, hamming,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY hamming ASC, neighbor_id ASC
+                   ) AS rn
+            FROM pairs)
+        WHERE rn <= 5
+    """,
+    ops=("ANN",),
+)
+def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-code ANN tier: top-5 neighbors per query (first 32
+    vectors) by Hamming distance between sign-binarized 64-bit
+    codes — 8 bytes/vector, one XOR + POPCNT per candidate in
+    whole-stage codegen, ~two orders cheaper than the exact float
+    dot; E[hamming] ∝ angular distance, so this is the cheap
+    funnel stage ahead of exact re-ranking.
+    operators/similarity.binary_hamming_topk / binarize_code. The
+    oracle counts per-dimension sign mismatches — the same integer
+    by definition, without assuming DuckDB bit intrinsics."""
+    from afg_data_pipeline_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    return binary_hamming_topk(
+        emb.filter(F.col("vec_id") < 32), emb, k=5, dim=64
+    )

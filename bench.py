@@ -119,6 +119,7 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_encode_stats",
     "per_group_sample_k",
+    "hamming_topk",
 ]
 
 

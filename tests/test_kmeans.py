@@ -149,3 +149,55 @@ class TestMalformedVectors:
         ids = {r.id for r in out.collect()}
         assert 900 not in ids and 901 not in ids
         assert ids == {v for v, _ in vecs}
+
+
+class TestBinaryHamming:
+    def test_codes_and_topk_match_replica(self, spark):
+        import hashlib
+
+        from afg_data_pipeline_spark.operators.similarity import (
+            binary_hamming_topk,
+        )
+
+        dim = 16
+        vecs = []
+        for i in range(20):
+            h = hashlib.md5(f"hv{i}".encode()).digest()
+            vecs.append(
+                (i, [(h[j % 16] / 255 - 0.5) * (1 + i % 3)
+                     for j in range(dim)])
+            )
+        # give vector 1 the same sign pattern as vector 0
+        vecs[1] = (1, [2.0 * x for x in vecs[0][1]])
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+
+        def signs(v):
+            return [x > 0 for x in v]
+
+        def ham(a, b):
+            return sum(
+                x != y for x, y in zip(signs(a), signs(b))
+            )
+
+        want = {}
+        for qid, qv in vecs[:4]:
+            scored = sorted(
+                (ham(qv, cv), cid)
+                for cid, cv in vecs
+                if cid != qid
+            )[:3]
+            want[qid] = scored
+        got = {}
+        out = binary_hamming_topk(
+            df.filter("vec_id < 4"), df, k=3, dim=dim
+        ).collect()
+        for r in out:
+            got.setdefault(r.query_id, []).append(
+                (r.hamming, r.neighbor_id)
+            )
+        for qid in want:
+            assert sorted(got[qid]) == want[qid], qid
+        # identical sign pattern -> hamming 0 neighbor
+        assert (0, 1) in got[0]
