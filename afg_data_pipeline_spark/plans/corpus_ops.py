@@ -1455,3 +1455,84 @@ def per_group_sample_k(
         "doc_id",
         10,
     )
+
+
+def _dedup_apply_oracle() -> str:
+    """Survivors = every doc except near-dup cluster members that
+    are not their cluster's keeper — composing the keep-best
+    oracle."""
+    from afg_data_pipeline_spark.plans.registry import REGISTRY
+
+    keep_best = REGISTRY["dedup_keep_best"].oracle
+    comps = REGISTRY["near_dup_components"].oracle
+    return f"""
+        WITH keepers AS (
+            SELECT keep_id FROM ({keep_best}) kb
+        ),
+        members AS (
+            SELECT doc_id FROM ({comps}) c
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM members)
+           OR d.doc_id IN (SELECT keep_id FROM keepers)
+    """
+
+
+@register(
+    "corpus_after_dedup",
+    oracle=_dedup_apply_oracle(),
+    ops=("DEDUP",),
+)
+def corpus_after_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The APPLIED form of the near-dup pipeline: the surviving
+    corpus after quality-aware dedup — docs outside any near-dup
+    cluster, plus each cluster's highest-quality keeper. This is
+    what downstream training actually consumes; detection queries
+    (pairs, components, keepers) are its audit trail.
+
+    Scale shape: two anti/semi joins of the corpus against the
+    (tiny) cluster-membership and keeper tables — doc-id shuffles
+    only, never text."""
+    from pyspark.sql import Window
+
+    from afg_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from afg_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from afg_data_pipeline_spark.operators.text import quality_score
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_candidates(docs).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comps = connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    ).localCheckpoint(eager=True)
+    scored = docs.select(
+        F.col("doc_id"), quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    keepers = (
+        comps.join(scored, comps.vertex == scored.doc_id)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("keep_id"))
+    )
+    members = comps.select(F.col("vertex").alias("doc_id"))
+    survivors = docs.join(
+        members, "doc_id", "left_anti"
+    ).unionByName(
+        docs.join(
+            keepers,
+            docs.doc_id == keepers.keep_id,
+            "left_semi",
+        )
+    )
+    return survivors.select("doc_id", "lang", "source")

@@ -120,6 +120,7 @@ HEADLINE = [
     "bpe_encode_stats",
     "per_group_sample_k",
     "hamming_topk",
+    "corpus_after_dedup",
 ]
 
 

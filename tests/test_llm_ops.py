@@ -1021,3 +1021,35 @@ class TestDedupKeepBest:
         assert any(
             kid == 2 and n == 2 for kid, n in out.values()
         ), out
+
+
+class TestCorpusAfterDedup:
+    def test_survivor_invariants(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        docs = REGISTRY["corpus_after_dedup"].fn(spark, sf)
+        survivors = {r.doc_id for r in docs.collect()}
+        comps = {
+            r.doc_id: r.component
+            for r in REGISTRY["near_dup_components"]
+            .fn(spark, sf)
+            .collect()
+        }
+        keepers = {
+            r.keep_id
+            for r in REGISTRY["dedup_keep_best"]
+            .fn(spark, sf)
+            .collect()
+        }
+        # every keeper survives; every non-keeper cluster member
+        # is dropped; exactly one survivor per cluster
+        assert keepers <= survivors
+        dropped = set(comps) - keepers
+        assert not (dropped & survivors)
+        from collections import Counter
+
+        per_cluster = Counter(
+            comps[d] for d in survivors if d in comps
+        )
+        assert all(v == 1 for v in per_cluster.values())
