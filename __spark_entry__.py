@@ -76,7 +76,6 @@ def _coverage_order(names: list[str]) -> list[str]:
         "train_val_test_split": 4,
         "bigram_lm_score": 4,
         "trigram_lm_score": 4,
-        "ngram_jaccard_dups": 4,
         "near_dup_components_star": 4,
         "pagerank_centrality": 4,
         # round-4 perf reworks (oracle-verified locally; pre-change
@@ -88,6 +87,15 @@ def _coverage_order(names: list[str]) -> list[str]:
         "tfidf_doc_pairs": 4,
         "simhash_signatures": 4,
         "minhash_near_dup": 4,
+        # round-5 code changes after the r4 rows (ADVICE fixes:
+        # ngram tier column in the output schema; winnow over-cap
+        # announcement; exact-rational percentile ranks; kmeans
+        # dim inference) — re-enter the window:
+        "ngram_jaccard_dups": 5,
+        "winnow_candidate_pairs": 5,
+        "adaptive_length_filter": 5,
+        "kmeans_cluster_assign": 5,
+        "semantic_dedup_pairs": 5,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

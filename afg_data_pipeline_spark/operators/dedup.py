@@ -247,7 +247,11 @@ def ngram_jaccard_pairs(
     to same-group pairs) — a high-probability-recall SUBSET of the
     exact output whose cost is bounded by band collisions instead
     of group size. Below the budget the output is exactly the full
-    pair set (oracle-checkable).
+    pair set (oracle-checkable). The active tier is part of the
+    OUTPUT SCHEMA (``tier``: 'exact' | 'lsh_subset'), so the
+    subset mode can never be mistaken for the exact contract — an
+    oracle run at a scale that crosses the budget red-rows on the
+    tier value itself, not on silently missing pairs.
     """
     import os
 
@@ -306,6 +310,7 @@ def ngram_jaccard_pairs(
                 F.col("doc_id_a").alias("id_a"),
                 F.col("doc_id_b").alias("id_b"),
                 "jaccard",
+                F.lit("lsh_subset").alias("tier"),
             )
         )
     side = (
@@ -356,6 +361,7 @@ def ngram_jaccard_pairs(
             "id_a",
             "id_b",
             jac.alias("jaccard"),
+            F.lit("exact").alias("tier"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -775,12 +781,22 @@ def winnow_candidate_pairs(
         docs, k=k, w=w, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
     if max_fp_docs is not None:
-        ok = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_fp_docs)
-            .select("fp")
+        cnts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
+        # The announcement the cap contract promises: an eager
+        # scalar probe over the checkpointed fingerprint table (one
+        # cheap aggregate job — the same count the semi-join filter
+        # needs anyway), so over-cap exclusions are never silent.
+        n_excluded = (
+            cnts.filter(F.col("__n") > max_fp_docs).count()
         )
+        if n_excluded:
+            print(
+                "winnow_candidate_pairs: excluded "
+                f"{n_excluded} fingerprints shared by more than "
+                f"{max_fp_docs} docs (boilerplate cap; pairs from "
+                "those fingerprints are not enumerated)"
+            )
+        ok = cnts.filter(F.col("__n") <= max_fp_docs).select("fp")
         fps = fps.join(ok, "fp", "left_semi")
     a = fps.select(F.col("id").alias("id_a"), "fp")
     b = fps.select(F.col("id").alias("id_b"), "fp")

@@ -80,9 +80,19 @@ def kmeans_assign(
     Raises on corpora with fewer than ``k`` vectors.
     """
     if dim is None:
-        first = df.select(F.size(vec_col)).first()
-        if first is None:
-            raise ValueError("kmeans over an empty frame")
+        # Infer from a NON-NULL vector: F.size(null) is null, and a
+        # null dim would surface as a bare TypeError in range(dim)
+        # below instead of a diagnosable error.
+        first = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col))
+            .first()
+        )
+        if first is None or first[0] is None or first[0] < 1:
+            raise ValueError(
+                f"kmeans: no non-null {vec_col!r} vector to infer "
+                "the dimension from; pass dim= explicitly"
+            )
         dim = first[0]
     # Defensive: a null or wrong-dimension vector would propagate
     # null through element_at → null distances → null cluster,

@@ -21,9 +21,21 @@ which need the agg_median double conventions.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from fractions import Fraction
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _q_colname(q: float) -> str:
+    """Column name for quantile q: p10 for 0.1, p12_5 for 0.125 —
+    non-integral percents get a distinct name instead of silently
+    colliding on the rounded percent (q=0.125 and q=0.13 used to
+    both produce ``p13``)."""
+    pct = q * 100
+    if abs(pct - round(pct)) < 1e-9:
+        return f"p{round(pct)}"
+    return "p" + ("%g" % pct).replace(".", "_")
 
 
 def grouped_percentile_disc(
@@ -36,12 +48,21 @@ def grouped_percentile_disc(
 
     p_q is percentile_disc: the smallest value v in the group with
     |{rows <= v}| >= ceil(q·n). qs entries are strictly between 0
-    and 1; column names use the percent as an integer (q=0.1 →
-    ``p10``).
+    and 1; column names use the percent (q=0.1 → ``p10``, q=0.125
+    → ``p12_5``). The rank ceil(q·n) is computed from the EXACT
+    rational of q's decimal literal (Fraction("0.125") = 1/8), not
+    a rounded integer percent — q=0.125 really selects
+    ceil(n/8), never ceil(0.13·n).
     """
     for q in qs:
         if not 0.0 < q < 1.0:
             raise ValueError(f"q must be in (0,1), got {q}")
+    names = [_q_colname(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"qs map to duplicate column names {names}; pass "
+            "distinct quantiles"
+        )
     # Null values are EXCLUDED, matching SQL percentile semantics —
     # and necessarily so: Spark windows sort nulls FIRST while
     # DuckDB sorts them LAST, so a null reaching the cumulative
@@ -64,13 +85,28 @@ def grouped_percentile_disc(
         "n", F.sum("c").over(wn)
     )
     aggs = [F.max("n").alias("n")]
-    for q in qs:
-        name = f"p{round(q * 100)}"
-        # ceil(q·n) in exact integer arithmetic: for q expressed
-        # as num/100, ceil(q·n) = (n·num + 99) div 100 — no double
-        # rounding anywhere near a rank boundary.
-        num = round(q * 100)
-        rank = F.expr(f"(n * {num} + 99) div 100")
+    for q, name in zip(qs, names):
+        # ceil(q·n) in exact integer arithmetic: q's decimal
+        # literal as an exact rational num/den gives
+        # ceil(q·n) = (n·num + den - 1) div den — no double
+        # rounding anywhere near a rank boundary, and non-percent
+        # quantiles (1/8, 0.333) select their true rank.
+        frac = Fraction(repr(q))
+        if frac.denominator > 10**6:
+            # A float with no short decimal literal (e.g. 1/3
+            # passed as 0.3333333333333333): keep the rank within
+            # 1e-6 of the requested quantile rather than carrying
+            # a 16-digit numerator into the rank product.
+            frac = frac.limit_denominator(10**6)
+        num, den = frac.numerator, frac.denominator
+        # DECIMAL(38,0) accumulation: n·num can exceed 2^63 for
+        # large groups × 6-digit numerators, and a bare BIGINT
+        # product wraps ANSI-off / hard-fails ANSI-on (CLAUDE.md
+        # rule 11). `div` on decimals returns BIGINT.
+        rank = F.expr(
+            f"(cast(n as decimal(38,0)) * {num} + {den - 1})"
+            f" div {den}"
+        )
         aggs.append(
             F.min(
                 F.when(F.col("cum") >= rank, F.col("v"))
@@ -79,9 +115,7 @@ def grouped_percentile_disc(
     return (
         cum.groupBy("g")
         .agg(*aggs)
-        .select(F.col("g").alias(group_col), "n", *[
-            f"p{round(q * 100)}" for q in qs
-        ])
+        .select(F.col("g").alias(group_col), "n", *names)
     )
 
 
@@ -105,8 +139,8 @@ def adaptive_band_filter(
     bands = grouped_percentile_disc(
         df, group_col, value_col, (lo_q, hi_q)
     )
-    lo_name = f"p{round(lo_q * 100)}"
-    hi_name = f"p{round(hi_q * 100)}"
+    lo_name = _q_colname(lo_q)
+    hi_name = _q_colname(hi_q)
     joined = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).join(

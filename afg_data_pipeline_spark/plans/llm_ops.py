@@ -204,7 +204,8 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                / CAST(len(a.toks) + len(b.toks)
                       - len(list_intersect(a.toks, b.toks))
-                      AS DOUBLE) AS jaccard
+                      AS DOUBLE) AS jaccard,
+               'exact' AS tier
         FROM side a JOIN side b ON a.g = b.g
         WHERE a.doc_id < b.doc_id
           AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -222,7 +223,10 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact tier the dominant job — measured 529.7s at sf1), the
     operator announces and switches to banded-MinHash candidates
     with the same exact-Jaccard verification (high-recall subset;
-    see operators/dedup.ngram_jaccard_pairs)."""
+    see operators/dedup.ngram_jaccard_pairs). The active tier is a
+    schema column (oracle pins 'exact'), so a budget-crossing run
+    red-rows on the tier value rather than on silently missing
+    pairs."""
     docs = read_star_table(spark, "documents", sf_dir)
     return ngram_jaccard_pairs(
         docs, group_col="lang", threshold=0.5, n=2
@@ -1329,8 +1333,14 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tokens²/10) per doc, and cost 2.06s → 1.16s at sf0.1); the
     corpus-wide occurrence count is a COUNT window partitioned by
     line (single evaluation of the line stream, one shuffle — the
-    duplicate_spans pattern; hot boilerplate lines are exactly the
-    skewed keys, AQE skew-split); the ordered rebuild is a per-doc
+    duplicate_spans pattern). Hot-key ceiling: AQE skew-split works
+    on JOIN shuffles, not window partitions, so a pathologically
+    hot line (one in >~1/num_tasks of all rows) serializes its rows
+    into one task. That's acceptable here because each row is a
+    ~10-token line and the count is the only thing computed —
+    worst-case one task counts the hottest line's rows; a corpus
+    where one line exceeds executor memory should pre-aggregate
+    with the groupBy+join form instead. The ordered rebuild is a per-doc
     sort of that doc's own line structs, never a global sort.
     All-lines-removed docs survive via the left join (empty text,
     full removed-count).

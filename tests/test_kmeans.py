@@ -150,6 +150,27 @@ class TestMalformedVectors:
         assert 900 not in ids and 901 not in ids
         assert ids == {v for v, _ in vecs}
 
+    def test_null_first_row_still_infers_dim(self, spark):
+        import pytest
+
+        vecs = _fixture()
+        # A null vector sorted first used to make F.size return
+        # null and range(dim) raise a bare TypeError.
+        rows = [(0, None)] + [(i + 1, v) for i, v in
+                              ((i, e) for i, (_, e) in
+                               enumerate(vecs))]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = kmeans_assign(df, k=3, iterations=1)
+        assert 0 not in {r.id for r in out.collect()}
+        # All-null corpus: a diagnosable error, not a TypeError.
+        empty = spark.createDataFrame(
+            [(1, None)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="non-null"):
+            kmeans_assign(empty, k=1, iterations=1)
+
 
 class TestBinaryHamming:
     def test_codes_and_topk_match_replica(self, spark):

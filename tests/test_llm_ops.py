@@ -848,14 +848,14 @@ class TestNgramJaccardTiering:
         }
         # 15 docs in one group = 105 pairs; budget of 10 forces
         # the banded tier.
-        fb = {
-            (r.id_a, r.id_b): r.jaccard
-            for r in ngram_jaccard_pairs(
-                docs, group_col="lang", threshold=0.5, max_pairs=10
-            ).collect()
-        }
+        fb_rows = ngram_jaccard_pairs(
+            docs, group_col="lang", threshold=0.5, max_pairs=10
+        ).collect()
+        fb = {(r.id_a, r.id_b): r.jaccard for r in fb_rows}
         out = capsys.readouterr().out
         assert "falling back to banded MinHash" in out
+        # The tier is part of the schema: subset mode is marked.
+        assert {r.tier for r in fb_rows} == {"lsh_subset"}
         # subset with identical jaccard values
         for pair, j in fb.items():
             assert exact[pair] == j
@@ -874,6 +874,7 @@ class TestNgramJaccardTiering:
         ).collect()
         assert "falling back" not in capsys.readouterr().out
         assert {(r.id_a, r.id_b) for r in out} >= {(1, 2), (1, 3)}
+        assert {r.tier for r in out} == {"exact"}
 
 
 class TestCrossCorpusNearDup:

@@ -81,6 +81,37 @@ class TestAdaptiveBandFilter:
         assert got["b"] == (4, 7, 7, 4)
 
 
+class TestFractionalQuantiles:
+    def test_non_percent_q_exact_rank_and_name(self, spark):
+        # q=0.125 over 16 values: exact rank ceil(16/8) = 2 -> 2.
+        # The old integer-percent rounding computed ceil(0.13*16)=3
+        # and named the column p13.
+        df = spark.createDataFrame(
+            [("g", v) for v in range(1, 17)], "g string, v long"
+        )
+        out = grouped_percentile_disc(df, "g", "v", (0.125,))
+        assert "p12_5" in out.columns
+        r = out.collect()[0]
+        assert r.p12_5 == 2 == _disc(range(1, 17), 0.125)
+
+    def test_duplicate_names_rejected(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([("g", 1)], "g string, v long")
+        with pytest.raises(ValueError, match="duplicate"):
+            grouped_percentile_disc(df, "g", "v", (0.1, 0.1))
+
+    def test_long_float_literal_q(self, spark):
+        # A q with no short decimal literal still selects within
+        # 1e-6 of the requested quantile (limit_denominator path).
+        df = spark.createDataFrame(
+            [("g", v) for v in range(1, 10)], "g string, v long"
+        )
+        out = grouped_percentile_disc(df, "g", "v", (1 / 3,))
+        r = out.collect()[0]
+        assert r[out.columns[-1]] == _disc(range(1, 10), 1 / 3)
+
+
 class TestNullHandling:
     def test_nulls_excluded_like_sql_percentiles(self, spark):
         rows = [("g", v) for v in [1, 2, 3, 4, None, None]]

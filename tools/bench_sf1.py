@@ -39,9 +39,14 @@ rather than hidden.)
 Usage: python tools/bench_sf1.py [outdir] [query ...]
 Env: SPARK_GRAFT_SF1_REPS (spark reps, default 2),
      SPARK_GRAFT_SF1_DUCK_REPS (duckdb reps, default 1 — the sf1
-     oracles run minutes, min-of-1 is the honest affordable point).
-Writes parquet under outdir (default /tmp/afg_sf1), prints one JSON
-row per query and a total row.
+     oracles run minutes, min-of-1 is the honest affordable point),
+     SPARK_GRAFT_SFN (target scale factor, default 1: shards =
+     10·sfn copies of sf0.1 — sfn=3 and sfn=10 exist to ratio-grade
+     the queries whose sf1 gap is scheduling-floor-dominated at a
+     scale where DuckDB itself does >=1s of work per query; round-4
+     verdict item 3).
+Writes parquet under outdir (default /tmp/afg_sf{sfn}), prints one
+JSON row per query and a total row.
 """
 
 from __future__ import annotations
@@ -78,7 +83,8 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "embedding_near_dup_lsh",
 ]
 
-N_SHARDS = 10
+SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
+N_SHARDS = round(10 * SFN)
 
 # Oracles whose DuckDB cost at sf1 is prohibitive BY CONSTRUCTION
 # of the sharded corpus: the deliberate ~10%-duplication structure
@@ -187,7 +193,8 @@ def _lsh_production_entry():
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/afg_sf1"
+    default_dir = "/tmp/afg_sf" + ("%g" % SFN)
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else default_dir
     only = set(sys.argv[2:]) or set(HEAVY)
     src_dir = "/root/testdata/sf0.1"
     os.makedirs(out_dir, exist_ok=True)
@@ -208,6 +215,7 @@ def main() -> None:
                     "run_start": time.strftime(
                         "%Y-%m-%dT%H:%M:%S", time.gmtime()
                     ),
+                    "sf": SFN,
                     "queries": sorted(only & set(HEAVY)),
                 }
             )
@@ -314,7 +322,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "sf": 1.0,
+                "sf": SFN,
                 "total_spark_s": round(tot_s, 2),
                 "total_duck_s": round(tot_d, 2),
                 "total_ratio": round(tot_s / tot_d, 2)
