@@ -561,3 +561,669 @@ def encode_png(
         + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential JFIF, decoded (and encoded, for fixtures)
+# entirely from the public ITU-T T.81 spec in numpy: Annex-K quant +
+# huffman tables, canonical huffman codec, zigzag, 8x8 DCT as an
+# orthonormal matrix product, 4:4:4 and 4:2:0 chroma layouts, restart
+# markers, 0xFF00 byte-stuffing. Progressive (SOF2), arithmetic
+# coding, 12-bit precision, and 16-bit quant tables raise
+# NotImplementedError — baseline is what a web crawl overwhelmingly
+# contains. Output is (H, W, 3) uint8 (gray replicated).
+# ---------------------------------------------------------------------------
+
+# Natural-order index of each zigzag position (T.81 Figure 5).
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1/K.2 quantization tables (natural order).
+_JPEG_QT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_JPEG_QT_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3-K.6 huffman table specs: (BITS counts per code length
+# 1..16, HUFFVAL symbol list).
+_JPEG_HT_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HT_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    list(
+        b"\x01\x02\x03\x00\x04\x11\x05\x12"
+        b"\x21\x31\x41\x06\x13\x51\x61\x07"
+        b"\x22\x71\x14\x32\x81\x91\xa1\x08"
+        b"\x23\x42\xb1\xc1\x15\x52\xd1\xf0"
+        b"\x24\x33\x62\x72\x82\x09\x0a\x16"
+        b"\x17\x18\x19\x1a\x25\x26\x27\x28"
+        b"\x29\x2a\x34\x35\x36\x37\x38\x39"
+        b"\x3a\x43\x44\x45\x46\x47\x48\x49"
+        b"\x4a\x53\x54\x55\x56\x57\x58\x59"
+        b"\x5a\x63\x64\x65\x66\x67\x68\x69"
+        b"\x6a\x73\x74\x75\x76\x77\x78\x79"
+        b"\x7a\x83\x84\x85\x86\x87\x88\x89"
+        b"\x8a\x92\x93\x94\x95\x96\x97\x98"
+        b"\x99\x9a\xa2\xa3\xa4\xa5\xa6\xa7"
+        b"\xa8\xa9\xaa\xb2\xb3\xb4\xb5\xb6"
+        b"\xb7\xb8\xb9\xba\xc2\xc3\xc4\xc5"
+        b"\xc6\xc7\xc8\xc9\xca\xd2\xd3\xd4"
+        b"\xd5\xd6\xd7\xd8\xd9\xda\xe1\xe2"
+        b"\xe3\xe4\xe5\xe6\xe7\xe8\xe9\xea"
+        b"\xf1\xf2\xf3\xf4\xf5\xf6\xf7\xf8"
+        b"\xf9\xfa"
+    ),
+)
+_JPEG_HT_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    list(
+        b"\x00\x01\x02\x03\x11\x04\x05\x21"
+        b"\x31\x06\x12\x41\x51\x07\x61\x71"
+        b"\x13\x22\x32\x81\x08\x14\x42\x91"
+        b"\xa1\xb1\xc1\x09\x23\x33\x52\xf0"
+        b"\x15\x62\x72\xd1\x0a\x16\x24\x34"
+        b"\xe1\x25\xf1\x17\x18\x19\x1a\x26"
+        b"\x27\x28\x29\x2a\x35\x36\x37\x38"
+        b"\x39\x3a\x43\x44\x45\x46\x47\x48"
+        b"\x49\x4a\x53\x54\x55\x56\x57\x58"
+        b"\x59\x5a\x63\x64\x65\x66\x67\x68"
+        b"\x69\x6a\x73\x74\x75\x76\x77\x78"
+        b"\x79\x7a\x82\x83\x84\x85\x86\x87"
+        b"\x88\x89\x8a\x92\x93\x94\x95\x96"
+        b"\x97\x98\x99\x9a\xa2\xa3\xa4\xa5"
+        b"\xa6\xa7\xa8\xa9\xaa\xb2\xb3\xb4"
+        b"\xb5\xb6\xb7\xb8\xb9\xba\xc2\xc3"
+        b"\xc4\xc5\xc6\xc7\xc8\xc9\xca\xd2"
+        b"\xd3\xd4\xd5\xd6\xd7\xd8\xd9\xda"
+        b"\xe2\xe3\xe4\xe5\xe6\xe7\xe8\xe9"
+        b"\xea\xf2\xf3\xf4\xf5\xf6\xf7\xf8"
+        b"\xf9\xfa"
+    ),
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix C: forward = C @ B @ C.T,
+    inverse = C.T @ coef @ C."""
+    c = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+            c[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+_JPEG_DCT = _jpeg_dct_matrix()
+
+
+def _jpeg_quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality->table scaling."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_encode_map(spec) -> dict:
+    """Canonical huffman: symbol -> (code, nbits)."""
+    bits, vals = spec
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits, vals) -> dict:
+    """Canonical huffman: (nbits, code) -> symbol."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (code & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: destuffs 0xFF00, stops cleanly at
+    markers, and exposes restart-marker resync."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    "hit restart marker mid-symbol (corrupt scan)"
+                )
+            else:
+                # EOI or another marker: the spec pads the final
+                # byte with 1-bits; supply them without consuming.
+                self._acc = (self._acc << 8) | 0xFF
+                self._n += 8
+                return
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def resync_restart(self, expect: int) -> None:
+        """Byte-align and consume the next RSTn marker."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            got = self.data[self.pos + 1] - 0xD0
+            if got != expect:
+                raise ValueError(
+                    f"restart marker out of order: RST{got}, "
+                    f"expected RST{expect}"
+                )
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+
+def _huff_decode_symbol(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG scan")
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 EXTEND: map `size` received bits to the signed value."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsample: bool = True,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder for (H, W, 3) uint8 RGB: Annex-K quant
+    tables scaled by ``quality``, standard Annex-K huffman tables,
+    4:2:0 (2x2-mean chroma) when ``subsample`` else 4:4:4, optional
+    DRI restart markers. Exists so tests and fixtures can exercise
+    ``decode_jpeg`` without any codec library in the environment."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (H, W, 3) uint8")
+    h, w, _ = px.shape
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.331264 * b + 128.0
+
+    qt_lum = _jpeg_quality_scale(_JPEG_QT_LUM, quality)
+    qt_chrom = _jpeg_quality_scale(_JPEG_QT_CHROM, quality)
+
+    def pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+        ph = (-plane.shape[0]) % mult
+        pw = (-plane.shape[1]) % mult
+        return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+    if subsample:
+        ype = pad_to(y, 16)
+        cbp = pad_to(cb, 2)
+        crp = pad_to(cr, 2)
+        # 2x2 mean downsample, then pad the chroma planes to the
+        # luma MCU grid (one 8x8 chroma block per 16x16 luma MCU).
+        cbd = pad_to(
+            cbp.reshape(
+                cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2
+            ).mean(axis=(1, 3)),
+            8,
+        )
+        crd = pad_to(
+            crp.reshape(
+                crp.shape[0] // 2, 2, crp.shape[1] // 2, 2
+            ).mean(axis=(1, 3)),
+            8,
+        )
+        comps = [  # (plane, h_samp, v_samp, qt, qt_id)
+            (ype, 2, 2, qt_lum, 0),
+            (cbd, 1, 1, qt_chrom, 1),
+            (crd, 1, 1, qt_chrom, 1),
+        ]
+        mcus_y = ype.shape[0] // 16
+        mcus_x = ype.shape[1] // 16
+    else:
+        comps = [
+            (pad_to(y, 8), 1, 1, qt_lum, 0),
+            (pad_to(cb, 8), 1, 1, qt_chrom, 1),
+            (pad_to(cr, 8), 1, 1, qt_chrom, 1),
+        ]
+        mcus_y = comps[0][0].shape[0] // 8
+        mcus_x = comps[0][0].shape[1] // 8
+
+    dc_maps = [
+        _huff_encode_map(_JPEG_HT_DC_LUM),
+        _huff_encode_map(_JPEG_HT_DC_CHROM),
+    ]
+    ac_maps = [
+        _huff_encode_map(_JPEG_HT_AC_LUM),
+        _huff_encode_map(_JPEG_HT_AC_CHROM),
+    ]
+    C = _JPEG_DCT
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    mcu_count = 0
+    rst_idx = 0
+
+    def encode_block(ci, block, qt):
+        nonlocal preds
+        coefs = C @ (block - 128.0) @ C.T
+        qz = np.round(
+            coefs.flatten()[_JPEG_ZIGZAG] / qt[_JPEG_ZIGZAG]
+        ).astype(np.int64)
+        tbl_i = 0 if ci == 0 else 1
+        dc_map, ac_map = dc_maps[tbl_i], ac_maps[tbl_i]
+        diff = int(qz[0]) - preds[ci]
+        preds[ci] = int(qz[0])
+        size = int(abs(diff)).bit_length()
+        code, nb = dc_map[size]
+        bw.write(code, nb)
+        if size:
+            bw.write(
+                diff if diff > 0 else diff + (1 << size) - 1, size
+            )
+        run = 0
+        for k in range(1, 64):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, nb = ac_map[0xF0]
+                bw.write(code, nb)
+                run -= 16
+            size = abs(v).bit_length()
+            code, nb = ac_map[(run << 4) | size]
+            bw.write(code, nb)
+            bw.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            code, nb = ac_map[0x00]  # EOB
+            bw.write(code, nb)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                bw.flush()
+                bw.buf.extend(bytes([0xFF, 0xD0 + rst_idx]))
+                rst_idx = (rst_idx + 1) % 8
+                preds = [0, 0, 0]
+            for ci, (plane, hs, vs, qt, _) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        encode_block(
+                            ci,
+                            plane[y0 : y0 + 8, x0 : x0 + 8],
+                            qt,
+                        )
+            mcu_count += 1
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+        b"\x00\x01\x00\x01\x00\x00"
+    )  # APP0
+    for tq, qt in ((0, qt_lum), (1, qt_chrom)):  # DQT (zigzag order)
+        out += struct.pack(">HHB", 0xFFDB, 67, tq)
+        out += bytes(int(v) for v in qt[_JPEG_ZIGZAG])
+    # SOF0
+    out += struct.pack(">HHBHHB", 0xFFC0, 17, 8, h, w, 3)
+    for cid, (_, hs, vs, _, qid) in zip((1, 2, 3), comps):
+        out += bytes([cid, (hs << 4) | vs, qid])
+    # DHT x4
+    for tc, th, (bits, vals) in (
+        (0, 0, _JPEG_HT_DC_LUM),
+        (1, 0, _JPEG_HT_AC_LUM),
+        (0, 1, _JPEG_HT_DC_CHROM),
+        (1, 1, _JPEG_HT_AC_CHROM),
+    ):
+        out += struct.pack(
+            ">HHB", 0xFFC4, 19 + len(vals), (tc << 4) | th
+        )
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
+    # SOS: Y uses tables 0/0, chroma 1/1
+    out += struct.pack(">HHB", 0xFFDA, 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JFIF decoder -> (H, W, 3) uint8 RGB.
+
+    Pure stdlib ``struct`` + numpy: marker parse, canonical huffman
+    decode with byte destuffing and restart markers, dequantize,
+    orthonormal IDCT, per-component clip, nearest-neighbor chroma
+    upsampling (deterministic — fancy interpolating upsamplers are
+    decoder-specific), BT.601 full-range YCbCr->RGB. Progressive
+    (SOF2) and arithmetic-coded streams raise NotImplementedError.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit JPEG quant table"
+                    )
+                qtables[tq] = np.frombuffer(
+                    body[i : i + 64], dtype=np.uint8
+                ).astype(np.int64)
+                i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                i += 1
+                bits = list(body[i : i + 16])
+                i += 16
+                n = sum(bits)
+                vals = list(body[i : i + n])
+                i += n
+                htables[(tc, th)] = _huff_decode_map(bits, vals)
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline
+            if body[0] != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {body[0]} (8 only)"
+                )
+            fh, fw = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append(
+                    (cid, hv >> 4, hv & 15, body[8 + 3 * c])
+                )
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/extended/arithmetic JPEG (baseline "
+                "sequential only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 15))
+            return _jpeg_decode_scan(
+                data, pos, frame, scan, qtables, htables,
+                restart_interval,
+            )
+        # else: APPn/COM — skipped
+    raise ValueError("JPEG missing SOS")
+
+
+def _jpeg_decode_scan(
+    data, pos, frame, scan, qtables, htables, restart_interval
+):
+    fh, fw, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    planes = []
+    meta = []  # (hs, vs, qt, dc_tbl, ac_tbl)
+    for cs, td, ta in scan:
+        hs, vs, tq = by_id[cs]
+        planes.append(
+            np.zeros(
+                (mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.uint8
+            )
+        )
+        meta.append(
+            (
+                hs,
+                vs,
+                qtables[tq],
+                htables[(0, td)],
+                htables[(1, ta)],
+            )
+        )
+    reader = _JpegBitReader(data, pos)
+    C = _JPEG_DCT
+    preds = [0] * len(scan)
+    rst_idx = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                reader.resync_restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                preds = [0] * len(scan)
+            for ci, (hs, vs, qt, dc_tbl, ac_tbl) in enumerate(meta):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _huff_decode_symbol(reader, dc_tbl)
+                        diff = _extend(reader.receive(size), size)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode_symbol(
+                                reader, ac_tbl
+                            )
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC index overrun"
+                                )
+                            zz[k] = _extend(
+                                reader.receive(size), size
+                            )
+                            k += 1
+                        # Dequantize (both in zigzag), scatter to
+                        # natural order, IDCT, level shift.
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[_JPEG_ZIGZAG] = zz * qt
+                        block = C.T @ nat.reshape(8, 8) @ C
+                        out8 = np.clip(
+                            np.round(block + 128.0), 0, 255
+                        ).astype(np.uint8)
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][
+                            y0 : y0 + 8, x0 : x0 + 8
+                        ] = out8
+            mcu_count += 1
+    # Upsample each component to the full-resolution grid
+    # (nearest-neighbor replication) and crop to (fh, fw).
+    full = []
+    for ci, (hs, vs, *_rest) in enumerate(meta):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(p[:fh, :fw].astype(np.float64))
+    if len(full) == 1:
+        gray = full[0].astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise NotImplementedError(
+            f"{len(full)}-component JPEG (1 or 3 only)"
+        )
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = (
+        y
+        - 0.344136 * (cb - 128.0)
+        - 0.714136 * (cr - 128.0)
+    )
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+def synth_jpeg_for_text(text: str, quality: int = 90) -> bytes:
+    """Deterministic baseline-JPEG fixture derived from text: a
+    smooth gradient + md5-seeded pattern, 4:2:0, sized like
+    synth_bmp_for_text. Smoothness keeps quality-90 quantization
+    noise visually (not bitwise) small; determinism is what the
+    pipeline tests pin."""
+    import hashlib
+
+    seed = hashlib.md5(text.encode("utf-8")).digest()
+    w = seed[0] % 24 + 16
+    h = seed[1] % 24 + 16
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    r = (xx * 255) // max(w - 1, 1)
+    g = (yy * 255) // max(h - 1, 1)
+    b = (seed[2] + 4 * ((xx + yy) // 4)) % 256
+    px = np.stack([r, g, b], axis=2).astype(np.uint8)
+    return encode_jpeg(px, quality=quality, subsample=True)

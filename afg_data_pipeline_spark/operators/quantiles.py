@@ -27,6 +27,32 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _rank_expr(q: float):
+    """ceil(q·n) as an exact-integer Column over a column ``n``.
+
+    q's decimal literal as an exact rational num/den gives
+    ceil(q·n) = (n·num + den - 1) div den — no double rounding
+    anywhere near a rank boundary. DECIMAL(38,0) accumulation:
+    n·num can exceed 2^63 for large groups × 6-digit numerators,
+    and a bare BIGINT product wraps ANSI-off / hard-fails ANSI-on
+    (CLAUDE.md rule 11); `div` on decimals returns BIGINT.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0,1), got {q}")
+    frac = Fraction(repr(q))
+    if frac.denominator > 10**6:
+        # A float with no short decimal literal (e.g. 1/3 passed
+        # as 0.3333333333333333): keep the rank within 1e-6 of the
+        # requested quantile rather than carrying a 16-digit
+        # numerator into the rank product.
+        frac = frac.limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    return F.expr(
+        f"(cast(n as decimal(38,0)) * {num} + {den - 1})"
+        f" div {den}"
+    )
+
+
 def _q_colname(q: float) -> str:
     """Column name for quantile q: p10 for 0.1, p12_5 for 0.125 —
     non-integral percents get a distinct name instead of silently
@@ -86,30 +112,9 @@ def grouped_percentile_disc(
     )
     aggs = [F.max("n").alias("n")]
     for q, name in zip(qs, names):
-        # ceil(q·n) in exact integer arithmetic: q's decimal
-        # literal as an exact rational num/den gives
-        # ceil(q·n) = (n·num + den - 1) div den — no double
-        # rounding anywhere near a rank boundary, and non-percent
-        # quantiles (1/8, 0.333) select their true rank.
-        frac = Fraction(repr(q))
-        if frac.denominator > 10**6:
-            # A float with no short decimal literal (e.g. 1/3
-            # passed as 0.3333333333333333): keep the rank within
-            # 1e-6 of the requested quantile rather than carrying
-            # a 16-digit numerator into the rank product.
-            frac = frac.limit_denominator(10**6)
-        num, den = frac.numerator, frac.denominator
-        # DECIMAL(38,0) accumulation: n·num can exceed 2^63 for
-        # large groups × 6-digit numerators, and a bare BIGINT
-        # product wraps ANSI-off / hard-fails ANSI-on (CLAUDE.md
-        # rule 11). `div` on decimals returns BIGINT.
-        rank = F.expr(
-            f"(cast(n as decimal(38,0)) * {num} + {den - 1})"
-            f" div {den}"
-        )
         aggs.append(
             F.min(
-                F.when(F.col("cum") >= rank, F.col("v"))
+                F.when(F.col("cum") >= _rank_expr(q), F.col("v"))
             ).alias(name)
         )
     return (
@@ -132,44 +137,60 @@ def adaptive_band_filter(
     misfire across languages; adaptive ones track each group's own
     distribution).
 
-    Output: (group, n_docs, lo, hi, n_kept). The band join is a
-    broadcast of the tiny percentile table back onto the data —
-    one extra scan, no row-level window anywhere.
+    Output: (group, n_docs, lo, hi, n_kept).
+
+    SINGLE corpus scan, ZERO joins: n_kept is derived from the same
+    compressed (group, value, count) table the percentiles come
+    from — the kept-row count is Σ count over values inside the
+    band — so the corpus is never re-scanned. (The previous form
+    broadcast the band table back onto the raw corpus: a second
+    full scan whose only product was a count the compressed table
+    already determines. At 100 TB that's the difference between one
+    pass and two.) The band bounds ride along as window columns
+    over the g-partitioned compressed frame, so the final
+    per-group aggregate needs no extra exchange: one corpus
+    shuffle to (g, v), one compressed shuffle to g, done.
     """
-    bands = grouped_percentile_disc(
-        df, group_col, value_col, (lo_q, hi_q)
-    )
-    lo_name = _q_colname(lo_q)
-    hi_name = _q_colname(hi_q)
-    joined = df.select(
-        F.col(group_col).alias("g"), F.col(value_col).alias("v")
-    ).join(
-        F.broadcast(
-            bands.select(
-                F.col(group_col).alias("g"),
-                F.col("n").alias("n_docs"),
-                F.col(lo_name).alias("lo"),
-                F.col(hi_name).alias("hi"),
-            )
-        ),
-        "g",
-    )
-    return (
-        joined.groupBy("g", "n_docs", "lo", "hi")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("v") >= F.col("lo"))
-                    & (F.col("v") <= F.col("hi")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_kept")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("g"),
+            F.col(value_col).alias("v"),
         )
-        .select(
-            F.col("g").alias(group_col),
-            "n_docs",
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wn = Window.partitionBy("g")
+    w = (
+        wn.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    banded = (
+        counts.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(wn))
+        .withColumn(
             "lo",
-            "hi",
-            "n_kept",
+            F.min(
+                F.when(F.col("cum") >= _rank_expr(lo_q), F.col("v"))
+            ).over(wn),
         )
+        .withColumn(
+            "hi",
+            F.min(
+                F.when(F.col("cum") >= _rank_expr(hi_q), F.col("v"))
+            ).over(wn),
+        )
+    )
+    return banded.groupBy("g").agg(
+        F.max("n").alias("n_docs"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum(
+            F.when(
+                (F.col("v") >= F.col("lo"))
+                & (F.col("v") <= F.col("hi")),
+                F.col("c"),
+            ).otherwise(F.lit(0))
+        ).alias("n_kept"),
+    ).select(
+        F.col("g").alias(group_col), "n_docs", "lo", "hi", "n_kept"
     )

@@ -141,14 +141,21 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
             F.col("id").alias("__shard")
         )
         dim = len(emb.select("embedding").first()[0])
+        # Rotation amount mod dim: shard counts above the vector
+        # length (sfn >= 6.4 -> >64 shards) must wrap, not feed
+        # slice() a negative length. Wrapped shards repeat an
+        # earlier shard's rotation — acceptable: rotation only
+        # needs to decorrelate copies, and k and k+dim copies of
+        # DIFFERENT base ids still differ.
+        rot = f"(__shard % {dim})"
         rotated = F.when(
-            F.col("__shard") == 0, F.col("embedding")
+            F.expr(rot) == 0, F.col("embedding")
         ).otherwise(
             F.concat(
                 F.expr(
-                    f"slice(embedding, __shard + 1, {dim} - __shard)"
+                    f"slice(embedding, {rot} + 1, {dim} - {rot})"
                 ),
-                F.expr("slice(embedding, 1, __shard)"),
+                F.expr(f"slice(embedding, 1, {rot})"),
             )
         )
         big = (
