@@ -3,11 +3,13 @@
 North-star requirement: treat image/audio/video as opaque `binary`
 columns with typed metadata and run decode / feature-extract /
 resize / frame-sample as Arrow-batched pandas stages over
-mapInPandas. The image/audio codec libraries are NOT in this
-container, so the codec call itself is stubbed (NotImplementedError
-for real decoding, a deterministic fake for tests) — but everything
-Spark-side is real and tested: the schema contract, the mapInPandas
-batch shape, partition-size control, and the metadata struct.
+mapInPandas. No codec library ships in this container, so
+operators/codecs.py implements the codecs themselves in pure
+NumPy — WAV/BMP/PPM, PNG (zlib + defiltering), baseline JPEG
+(T.81 huffman + IDCT) — and only the MP3/H.264/progressive-JPEG
+class still raises NotImplementedError. Everything Spark-side is
+real and tested: the schema contract, the mapInPandas batch shape,
+partition-size control, and the metadata struct.
 
 At scale the rules this module encodes:
 - media bytes ride in their own column; all filtering/joining
@@ -56,6 +58,7 @@ _WAV_MIMES = frozenset({"audio/wav", "audio/x-wav"})
 _BMP_MIMES = frozenset({"image/bmp", "image/x-bmp"})
 _PPM_MIMES = frozenset({"image/ppm", "image/x-portable-pixmap"})
 _PNG_MIMES = frozenset({"image/png"})
+_JPEG_MIMES = frozenset({"image/jpeg", "image/jpg"})
 
 
 def decode_raster(data: bytes, fmt: str):
@@ -77,8 +80,15 @@ def decode_raster(data: bytes, fmt: str):
         # zlib, defiltering is numpy (codecs.decode_png — 8-bit
         # gray/RGB/palette/alpha, all 5 filter types).
         return codecs.decode_png(data)
+    if data[:2] == b"\xff\xd8" or fmt in _JPEG_MIMES:
+        # Baseline JFIF decoded for real from the T.81 spec in
+        # numpy (codecs.decode_jpeg — Annex-K tables, huffman,
+        # IDCT, 4:4:4/4:2:0, restart markers). Progressive /
+        # arithmetic streams raise NotImplementedError from the
+        # codec itself.
+        return codecs.decode_jpeg(data)
     raise NotImplementedError(
-        f"no raster codec for {fmt!r}: JPEG/TIFF-class codec "
+        f"no raster codec for {fmt!r}: TIFF/WebP-class codec "
         "libraries are not available in this environment"
     )
 
@@ -86,12 +96,14 @@ def decode_raster(data: bytes, fmt: str):
 def decode_media(data: bytes, fmt: str) -> bytes:
     """Container decode: bytes -> raw sample/pixel bytes.
 
-    Uncompressed containers are decoded FOR REAL by the pure-NumPy
-    codecs in operators/codecs.py (RIFF/WAVE PCM -> little-endian
-    float64 sample bytes; BMP/PPM -> packed RGB bytes via the shared
-    decode_raster dispatch). Compressed codecs (JPEG/PNG/MP3/H.264)
-    genuinely need libraries absent from this environment and raise
-    NotImplementedError.
+    Decoded FOR REAL by the pure-NumPy codecs in
+    operators/codecs.py: RIFF/WAVE PCM -> little-endian float64
+    sample bytes; BMP/PPM (uncompressed), PNG (stdlib zlib +
+    numpy defiltering) and baseline JPEG (T.81 huffman + IDCT in
+    numpy) -> packed RGB bytes via the shared decode_raster
+    dispatch. The remaining compressed-codec boundary (MP3, H.264,
+    progressive JPEG) genuinely needs libraries absent from this
+    environment and raises NotImplementedError.
     """
     from afg_data_pipeline_spark.operators import codecs
 
@@ -99,10 +111,15 @@ def decode_media(data: bytes, fmt: str) -> bytes:
         return data
     if fmt in _WAV_MIMES:
         return codecs.decode_wav(data)["samples"].tobytes()
-    if fmt in _BMP_MIMES or fmt in _PPM_MIMES or fmt in _PNG_MIMES:
+    if (
+        fmt in _BMP_MIMES
+        or fmt in _PPM_MIMES
+        or fmt in _PNG_MIMES
+        or fmt in _JPEG_MIMES
+    ):
         return decode_raster(data, fmt).tobytes()
     raise NotImplementedError(
-        f"no codec for {fmt!r}: JPEG/MP3/H.264-class codec "
+        f"no codec for {fmt!r}: MP3/H.264-class codec "
         "libraries are not available in this environment"
     )
 
@@ -290,6 +307,71 @@ def attach_synth_bmp(df: DataFrame, text_col: str = "text") -> DataFrame:
                     fmt = "image/bmp"
                 metas.append(
                     {"format": fmt, "width": w, "height": abs(h)}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media": media,
+                    "meta": metas,
+                }
+            )
+
+    return src.mapInPandas(batches, schema=out_schema)
+
+
+def attach_synth_jpeg(
+    df: DataFrame, text_col: str = "text", quality: int = 90
+) -> DataFrame:
+    """Deterministic REAL baseline-JPEG media column (4:2:0,
+    Annex-K tables at ``quality`` — operators/codecs.py). The
+    metadata dims are parsed from the SOF0 header the way a real
+    ingest sniffs a crawl: marker walk, no pixel decode.
+
+    Unlike attach_synth_bmp's BMP/PNG mix (lossless twins), JPEG
+    is lossy — downstream features measure the DECODED pixels, so
+    this column exercises the full entropy-coded path:
+    quantization, huffman, chroma subsampling, upsampling."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from afg_data_pipeline_spark.operators.codecs import (
+        synth_jpeg_for_text,
+    )
+
+    out_schema = (
+        "doc_id long, media binary, "
+        "meta struct<format:string, width:int, height:int>"
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select("doc_id", text_col).repartition(par)
+
+    def _sof0_dims(data: bytes) -> tuple[int, int]:
+        import struct as _struct
+
+        pos = 2
+        while pos + 4 <= len(data):
+            marker = data[pos + 1]
+            (seglen,) = _struct.unpack(">H", data[pos + 2 : pos + 4])
+            if marker in (0xC0, 0xC1):
+                h, w = _struct.unpack(
+                    ">HH", data[pos + 5 : pos + 9]
+                )
+                return w, h
+            pos += 2 + seglen
+        raise ValueError("JPEG missing SOF0")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            media = [
+                synth_jpeg_for_text(t, quality=quality)
+                for t in pdf[text_col]
+            ]
+            metas = []
+            for data in media:
+                w, h = _sof0_dims(data)
+                metas.append(
+                    {"format": "image/jpeg", "width": w, "height": h}
                 )
             yield pd.DataFrame(
                 {

@@ -1698,6 +1698,42 @@ def multimodal_image_pipeline(
 
 
 @register(
+    "multimodal_jpeg_pipeline",
+    oracle=None,  # real JPEG codec; DuckDB cannot decode JPEG bytes
+    ops=("MULTIMODAL",),
+)
+def multimodal_jpeg_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL lossy-compressed image path: synthesize deterministic
+    baseline-JPEG bytes (4:2:0, Annex-K quality 90) and decode +
+    featurize them — the full T.81 pipeline (huffman entropy
+    decode, dequantize, IDCT, chroma upsample, YCbCr->RGB) runs in
+    numpy inside the Arrow-batched executor stage
+    (operators/codecs.decode_jpeg via the decode_raster magic-byte
+    dispatch). Deterministic end-to-end, so the output is pinned
+    by a python-replica frame-diff in tests
+    (test_multimodal_golden.py); the driver records rows-only."""
+    from afg_data_pipeline_spark.operators.multimodal import (
+        attach_synth_jpeg,
+        image_feature_extract,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    feat = image_feature_extract(attach_synth_jpeg(docs))
+    return feat.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("feature", 4).alias("mean_r"),
+        F.element_at("feature", 5).alias("mean_g"),
+        F.element_at("feature", 6).alias("mean_b"),
+        F.element_at("feature", 7).alias("luma_mean"),
+        F.element_at("feature", 8).alias("luma_std"),
+    )
+
+
+@register(
     "dedup_keep_canonical",
     oracle="""
         SELECT d.doc_id, d.lang, d.source, d.n_chars

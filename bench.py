@@ -140,6 +140,8 @@ HEADLINE = [
     "per_group_sample_k",
     "hamming_topk",
     "corpus_after_dedup",
+    # --- round-5 additions (append-only) ---
+    "multimodal_jpeg_pipeline",
 ]
 
 

@@ -292,3 +292,225 @@ class TestPngCodec:
             )
             with pytest.raises(NotImplementedError):
                 decode_png(data)
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_quantization_replica(px, quality, subsample):
+    """Independent reference for what baseline JPEG round-trip must
+    produce: the QUANTIZATION-DOMAIN ground truth computed directly
+    in the pixel domain — RGB->YCbCr, (optional) 2x2-mean chroma
+    downsample, per-block DCT -> quantize -> dequantize -> IDCT,
+    upsample, YCbCr->RGB — with NO huffman coding, NO bitstream, NO
+    marker segments anywhere. decode_jpeg(encode_jpeg(px)) must
+    equal this array BIT-EXACTLY, which proves the entire entropy
+    layer (canonical huffman tables, DPCM, run-length, byte
+    stuffing, restart markers, marker parse) is lossless."""
+    from afg_data_pipeline_spark.operators.codecs import (
+        _JPEG_DCT as C,
+        _JPEG_QT_CHROM,
+        _JPEG_QT_LUM,
+        _JPEG_ZIGZAG as ZZ,
+        _jpeg_quality_scale,
+    )
+
+    px = np.asarray(px, dtype=np.float64)
+    h, w, _ = px.shape
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qlum = _jpeg_quality_scale(_JPEG_QT_LUM, quality)
+    qch = _jpeg_quality_scale(_JPEG_QT_CHROM, quality)
+
+    def pad_to(p, m):
+        return np.pad(
+            p,
+            ((0, (-p.shape[0]) % m), (0, (-p.shape[1]) % m)),
+            mode="edge",
+        )
+
+    def rt_plane(plane, qt):
+        H, W = plane.shape
+        out = np.zeros((H, W))
+        for y0 in range(0, H, 8):
+            for x0 in range(0, W, 8):
+                blk = plane[y0 : y0 + 8, x0 : x0 + 8]
+                coefs = C @ (blk - 128.0) @ C.T
+                qz = np.round(coefs.flatten()[ZZ] / qt[ZZ]).astype(
+                    np.int64
+                )
+                nat = np.zeros(64)
+                nat[ZZ] = qz * qt[ZZ]
+                rec = C.T @ nat.reshape(8, 8) @ C
+                out[y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                    np.round(rec + 128.0), 0, 255
+                )
+        return out
+
+    if subsample:
+        yr = rt_plane(pad_to(y, 16), qlum)[:h, :w]
+        cbd = pad_to(
+            pad_to(cb, 2)
+            .reshape(-1, 2, (pad_to(cb, 2).shape[1]) // 2, 2)
+            .mean(axis=(1, 3)),
+            8,
+        )
+        crd = pad_to(
+            pad_to(cr, 2)
+            .reshape(-1, 2, (pad_to(cr, 2).shape[1]) // 2, 2)
+            .mean(axis=(1, 3)),
+            8,
+        )
+        cbu = np.repeat(
+            np.repeat(rt_plane(cbd, qch), 2, 0), 2, 1
+        )[:h, :w]
+        cru = np.repeat(
+            np.repeat(rt_plane(crd, qch), 2, 0), 2, 1
+        )[:h, :w]
+    else:
+        yr = rt_plane(pad_to(y, 8), qlum)[:h, :w]
+        cbu = rt_plane(pad_to(cb, 8), qch)[:h, :w]
+        cru = rt_plane(pad_to(cr, 8), qch)[:h, :w]
+    rr = yr + 1.402 * (cru - 128.0)
+    gg = (
+        yr
+        - 0.344136 * (cbu - 128.0)
+        - 0.714136 * (cru - 128.0)
+    )
+    bb = yr + 1.772 * (cbu - 128.0)
+    return np.clip(
+        np.round(np.stack([rr, gg, bb], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+class TestJpegCodec:
+    def _images(self):
+        rng = np.random.RandomState(42)
+        xx, yy = np.meshgrid(np.arange(31), np.arange(24))
+        grad = np.stack(
+            [
+                (xx * 255) // 30,
+                (yy * 255) // 23,
+                ((xx + yy) * 4) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        noise = rng.randint(0, 256, (17, 9, 3), dtype=np.uint8)
+        return {"gradient_31x24": grad, "noise_17x9": noise}
+
+    @pytest.mark.parametrize("quality", [50, 75, 95])
+    @pytest.mark.parametrize("subsample", [True, False])
+    def test_entropy_layer_lossless_vs_replica(
+        self, quality, subsample
+    ):
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for name, px in self._images().items():
+            got = decode_jpeg(
+                encode_jpeg(px, quality=quality, subsample=subsample)
+            )
+            want = _jpeg_quantization_replica(px, quality, subsample)
+            assert got.dtype == np.uint8 and got.shape == px.shape
+            assert np.array_equal(got, want), (
+                name,
+                quality,
+                subsample,
+            )
+
+    def test_restart_markers_bit_identical(self):
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = self._images()["gradient_31x24"]
+        base = decode_jpeg(encode_jpeg(px, restart_interval=0))
+        for ri in (1, 2, 5):
+            with_rst = decode_jpeg(
+                encode_jpeg(px, restart_interval=ri)
+            )
+            assert np.array_equal(base, with_rst), ri
+
+    def test_constant_gray_is_exact(self):
+        # All-128: every level-shifted block is zero -> zero coefs
+        # -> exact reconstruction regardless of quality/layout.
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = np.full((20, 13, 3), 128, dtype=np.uint8)
+        for ss in (True, False):
+            out = decode_jpeg(
+                encode_jpeg(px, quality=50, subsample=ss)
+            )
+            assert np.array_equal(out, px)
+
+    def test_lossy_but_close_on_smooth_content(self):
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        px = self._images()["gradient_31x24"]
+        out = decode_jpeg(encode_jpeg(px, quality=95, subsample=False))
+        mae = float(np.mean(np.abs(out.astype(int) - px.astype(int))))
+        assert mae < 3.0, mae
+
+    def test_golden_fixture_bit_exact(self):
+        """Frozen artifact check: a committed baseline JPEG decodes
+        bit-exactly to its committed golden pixel array (the golden
+        was generated by the quantization replica above, NOT by
+        decode_jpeg — see tests/fixtures/make_jpeg_golden.py)."""
+        import os
+
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_jpeg,
+        )
+
+        path = os.path.join(
+            os.path.dirname(__file__), "fixtures", "jpeg_golden.npz"
+        )
+        blob = np.load(path)
+        got = decode_jpeg(blob["jpeg"].tobytes())
+        assert np.array_equal(got, blob["pixels"])
+
+    def test_rejects_and_raises(self):
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"\x00\x01garbage")
+        # Progressive: flip SOF0 (0xC0) to SOF2 (0xC2).
+        px = np.full((8, 8, 3), 99, dtype=np.uint8)
+        data = bytearray(encode_jpeg(px, subsample=False))
+        idx = bytes(data).find(b"\xff\xc0")
+        data[idx + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(data))
+        with pytest.raises(ValueError, match="quality"):
+            encode_jpeg(px, quality=0)
+        with pytest.raises(ValueError, match="expects"):
+            encode_jpeg(np.zeros((4, 4), dtype=np.uint8))
+
+    def test_synth_jpeg_deterministic_and_decodable(self):
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_jpeg,
+            synth_jpeg_for_text,
+        )
+
+        a = synth_jpeg_for_text("hello world")
+        b = synth_jpeg_for_text("hello world")
+        c = synth_jpeg_for_text("other doc")
+        assert a == b and a != c
+        img = decode_jpeg(a)
+        assert img.ndim == 3 and img.shape[2] == 3

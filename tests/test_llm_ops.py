@@ -645,8 +645,20 @@ class TestRealCodecsOnSpark:
             decode_media(encode_png(img2), "image/png")
             == img2.tobytes()
         )
+        # Baseline JPEG is decoded FOR REAL since round 5 (T.81 in
+        # numpy); constant-gray survives quantization exactly.
+        from afg_data_pipeline_spark.operators.codecs import (
+            encode_jpeg,
+        )
+
+        img3 = np.full((8, 8, 3), 128, dtype=np.uint8)
+        assert (
+            decode_media(encode_jpeg(img3), "image/jpeg")
+            == img3.tobytes()
+        )
+        # The remaining honest boundary: the MP3/H.264 class.
         with pytest.raises(NotImplementedError):
-            decode_media(b"\xff\xd8\xff\xe0jpegdata", "image/jpeg")
+            decode_media(b"ID3mp3data", "audio/mpeg")
 
 
 class TestIVF:
