@@ -180,11 +180,30 @@ def kmeans_assign(
     return with_cluster(cents).select("id", "cluster", "dist_q")
 
 
+def auto_k(n: int, cap: int = 4096) -> int:
+    """Production cluster count for SemDeDup at corpus size n:
+    k ≈ √n balances the two costs that scale with k — the Σ n_c²
+    pair work (shrinks as k grows: expected n²/k for balanced
+    clusters, so k=√n gives ~n^1.5 pair work) against the O(k·d)
+    driver-literal centroid model and the per-iteration k×d
+    aggregate (grows with k). Capped (default 4096) because the
+    join-free data path inlines centroids as plan literals —
+    beyond a few thousand centroids the assignment expression
+    itself becomes the bottleneck and an IVF-style coarse quantizer
+    join is the right tool instead. Clamped below by 2 (k=1 is no
+    blocking at all)."""
+    import math
+
+    if n <= 0:
+        raise ValueError(f"auto_k needs n >= 1, got {n}")
+    return max(2, min(int(math.isqrt(n)), cap, n))
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | str = "auto",
     iterations: int = 3,
     threshold: float = 0.9,
 ) -> DataFrame:
@@ -209,14 +228,24 @@ def semantic_dedup_pairs(
     52.9s plain → 16.5s salted; sf0.1: 4.0s → 3.4s). Same
     pattern and S≤64 cap as
     ngram_jaccard_pairs: build-side shuffle is multiplied by S, so
-    S tracks cores, not pair count. Giant clusters remain the
-    known cost of SemDeDup — callers raise k (the paper's regime).
+    S tracks cores, not pair count.
+
+    ``k`` defaults to ``"auto"``: k = min(√n, 4096) (see auto_k) —
+    the SemDeDup regime where cluster count tracks corpus size so
+    Σ n_c² stays ~n^1.5 instead of degrading toward n²/k for a
+    fixed small k. The registered oracle query pins k=8 explicitly
+    (a fixed k keeps the unrolled SQL replica tractable); AUTO is
+    the production default for direct operator callers.
     """
     from afg_data_pipeline_spark.operators.similarity import (
         dot_decimal,
         norm_decimal,
     )
 
+    if k == "auto":
+        k = auto_k(df.count())
+    elif not isinstance(k, int):
+        raise ValueError(f"k must be an int or 'auto', got {k!r}")
     assign = kmeans_assign(
         df, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
     ).select(F.col("id"), "cluster")

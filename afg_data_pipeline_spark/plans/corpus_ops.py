@@ -1536,3 +1536,95 @@ def corpus_after_dedup(
         )
     )
     return survivors.select("doc_id", "lang", "source")
+
+
+@register(
+    "dsir_importance_scores",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang,
+                   substr(md5(t[pos] || ' ' || t[pos + 1]), 1, 2)
+                       AS bucket
+            FROM (SELECT doc_id, lang, t,
+                         unnest(generate_series(1, len(t) - 1))
+                             AS pos
+                  FROM tokd
+                  WHERE len(t) >= 2)
+        ),
+        doc_counts AS (
+            SELECT doc_id, bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM grams GROUP BY doc_id, bucket
+        ),
+        spine AS (
+            SELECT lower(lpad(to_hex(i), 2, '0')) AS bucket
+            FROM generate_series(0, 255) AS s(i)
+        ),
+        raw_dist AS (
+            SELECT s.bucket,
+                   COALESCE(r.rc, 0) AS rc
+            FROM spine s LEFT JOIN (
+                SELECT bucket, CAST(SUM(c) AS BIGINT) AS rc
+                FROM doc_counts GROUP BY bucket
+            ) r USING (bucket)
+        ),
+        tgt_dist AS (
+            SELECT s.bucket,
+                   COALESCE(g.tc, 0) AS tc
+            FROM spine s LEFT JOIN (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS tc
+                FROM grams WHERE lang = 'en' GROUP BY bucket
+            ) g USING (bucket)
+        ),
+        rt AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt FROM raw_dist),
+        tt AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt FROM tgt_dist),
+        lr AS (
+            SELECT r.bucket,
+                   CAST(round((
+                       ln(CAST(g.tc + 1 AS DOUBLE)
+                          / CAST(tt.tt + 256 AS DOUBLE))
+                       - ln(CAST(r.rc + 1 AS DOUBLE)
+                            / CAST(rt.rt + 256 AS DOUBLE))
+                   ) * 1e9) AS BIGINT) AS lrq
+            FROM raw_dist r
+            JOIN tgt_dist g USING (bucket)
+            CROSS JOIN rt CROSS JOIN tt
+        ),
+        scored AS (
+            SELECT dc.doc_id,
+                   CAST(SUM(dc.c) AS BIGINT) AS n_grams,
+                   SUM(CAST(dc.c AS HUGEINT) * lr.lrq) AS sq
+            FROM doc_counts dc JOIN lr USING (bucket)
+            GROUP BY dc.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_grams, 0) AS n_grams,
+               CAST(COALESCE(s.sq, 0) AS DOUBLE) / 1e9 AS score
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    ops=("SAMPLE", "TEXT"),
+)
+def dsir_importance_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR (Xie et al. 2023): hashed-bigram importance of every
+    document against the English subset as the target domain —
+    the model-free data-selection score a 100 TB pretraining
+    pipeline computes before sampling. Buckets are md5-prefix
+    strings (identical in both engines), ln-derived per-bucket
+    log-ratios are snapped to the 1e-9 integer grid before any
+    count multiplies them (CLAUDE.md rule 1c), and the per-doc sum
+    is exact decimal/HUGEINT (rule 11). See operators/dsir.py for
+    the scale shape."""
+    from afg_data_pipeline_spark.operators.dsir import dsir_scores
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    # Subset-target mode: the target (lang='en') is a predicate
+    # over the raw corpus, so the corpus is tokenized and shuffled
+    # ONCE (the flag rides the groupBy key; see operators/dsir.py).
+    return dsir_scores(docs, target_cond=F.col("lang") == "en")

@@ -142,6 +142,7 @@ HEADLINE = [
     "corpus_after_dedup",
     # --- round-5 additions (append-only) ---
     "multimodal_jpeg_pipeline",
+    "dsir_importance_scores",
 ]
 
 

@@ -172,6 +172,42 @@ class TestMalformedVectors:
             kmeans_assign(empty, k=1, iterations=1)
 
 
+class TestAutoK:
+    def test_k_grows_with_n_and_is_capped(self):
+        from afg_data_pipeline_spark.operators.kmeans import auto_k
+
+        ks = [auto_k(n) for n in (10, 100, 10_000, 1_000_000)]
+        assert ks == sorted(ks)  # monotone in n
+        assert ks[1] == 10 and ks[2] == 100 and ks[3] == 1000
+        assert auto_k(4) == 2  # floor: k=1 is no blocking
+        assert auto_k(10**10) == 4096  # literal-model ceiling
+        assert auto_k(3) == 2 <= 3  # never exceeds n
+        import pytest
+
+        with pytest.raises(ValueError, match="n >= 1"):
+            auto_k(0)
+
+    def test_semantic_dedup_auto_mode(self, spark):
+        from afg_data_pipeline_spark.operators.kmeans import (
+            semantic_dedup_pairs,
+        )
+
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        # n=len(vecs): auto picks k=isqrt(n) >= 2; the planted
+        # near-dup pair must still surface (same cluster — the
+        # pair is near-identical, so any assignment co-locates it).
+        out = semantic_dedup_pairs(df, threshold=0.9, iterations=1)
+        pairs = {(r.id_a, r.id_b) for r in out.collect()}
+        import pytest
+
+        with pytest.raises(ValueError, match="int or 'auto'"):
+            semantic_dedup_pairs(df, k=0.5)
+        assert all(a < b for a, b in pairs)
+
+
 class TestBinaryHamming:
     def test_codes_and_topk_match_replica(self, spark):
         import hashlib

@@ -302,12 +302,22 @@ class TestRound4PlanShapes:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
 
-    def test_adaptive_length_band_join_broadcast(self, spark):
+    def test_adaptive_length_single_scan_no_join(self, spark):
+        # Round-5 shape: n_kept comes from the compressed
+        # (group, value, count) table via window-band columns — ONE
+        # corpus scan, ZERO joins (the round-4 form broadcast the
+        # band table back onto a second full scan).
         plan = plan_of(
             REGISTRY["adaptive_length_filter"].fn(spark, SF_DIR)
         )
-        assert "BroadcastHashJoin" in plan
+        assert "Join" not in plan
         assert "CartesianProduct" not in plan
+        import re
+
+        scan_ids = set(
+            re.findall(r"\((\d+)\) Scan parquet", plan)
+        )
+        assert len(scan_ids) == 1, plan[:500]
 
     def test_kmeans_data_path_has_no_join(self, spark):
         # Distances are literal folds: the assignment path must not
