@@ -211,3 +211,93 @@ def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_hamming_topk(
         emb.filter(F.col("vec_id") < 32), emb, k=5, dim=64
     )
+
+
+@register(
+    "ann_pq_topk",
+    oracle="""
+        WITH jsp AS (SELECT unnest(generate_series(0, 7)) AS j),
+        isp AS (SELECT unnest(generate_series(1, 8)) AS i),
+        seeds AS (
+            SELECT embedding,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        cent AS (
+            SELECT jsp.j, s.c, isp.i,
+                   CAST(round(CAST(s.embedding[jsp.j * 8 + isp.i]
+                              AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS cv
+            FROM seeds s CROSS JOIN jsp CROSS JOIN isp
+        ),
+        vecq AS (
+            SELECT e.vec_id, jsp.j, isp.i,
+                   CAST(round(CAST(e.embedding[jsp.j * 8 + isp.i]
+                              AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS qv
+            FROM embeddings e CROSS JOIN jsp CROSS JOIN isp
+        ),
+        dists AS (
+            SELECT v.vec_id, v.j, c.c,
+                   CAST(SUM((v.qv - c.cv) * (v.qv - c.cv))
+                        AS BIGINT) AS d
+            FROM vecq v JOIN cent c ON v.j = c.j AND v.i = c.i
+            GROUP BY v.vec_id, v.j, c.c
+        ),
+        codes AS (
+            SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, j
+                           ORDER BY d ASC, c ASC) AS rn
+                FROM dists) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT qd.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   CAST(SUM(qd.d) AS BIGINT) AS adc
+            FROM codes x
+            JOIN dists qd ON qd.j = x.j AND qd.c = x.c
+            WHERE qd.vec_id < 32 AND qd.vec_id <> x.vec_id
+            GROUP BY qd.vec_id, x.vec_id
+        )
+        SELECT query_id, neighbor_id, adc, rn AS rank
+        FROM (
+            SELECT query_id, neighbor_id, adc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC) AS rn
+            FROM adc)
+        WHERE rn <= 5
+    """,
+    ops=("ANN",),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN tier (Jégou et al. 2011): top-5
+    neighbors per query (first 32 vectors) by Asymmetric Distance
+    Computation over m=8 subspaces × k=16 seeded codebooks — the
+    memory tier between the 8-byte Hamming codes and full vectors
+    (4 bits/code × 8 codes ≈ 4 bytes/vector), with per-candidate
+    cost of 8 table lookups + adds. Codebooks are driver literals
+    (iterations=0 seeds = the 16 lowest-id vectors, deterministic
+    and SQL-replicable; the production iterations>0 Lloyd knob is
+    python-replica-pinned in tests). All distances are exact
+    integers on the 1e-6 grid, so the oracle — which re-derives
+    seeds, codes, and ADC sums relationally, reusing one `dists`
+    CTE as both the encode argmin and the query LUT — matches bit
+    for bit. operators/pq.py."""
+    from afg_data_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_train,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    books = pq_train(emb, m=8, k=16, dim=64, iterations=0)
+    # Self-query mode: the corpus distance relation is computed
+    # once and the query LUT is a filter of it.
+    return pq_adc_topk(
+        None,
+        emb,
+        books,
+        topk=5,
+        query_filter=F.col("id") < 32,
+    )

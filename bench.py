@@ -143,6 +143,7 @@ HEADLINE = [
     # --- round-5 additions (append-only) ---
     "multimodal_jpeg_pipeline",
     "dsir_importance_scores",
+    "ann_pq_topk",
 ]
 
 
