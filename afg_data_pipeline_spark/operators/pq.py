@@ -24,28 +24,34 @@ Exactness contract (the repo-wide ANN conventions):
 - argmin tie-breaks on the smallest code index; top-k ranking
   tie-breaks on neighbor id.
 
-Physical shape — RELATIONAL, not expression-unrolled: the first cut
-built each of the m×k distances as a literal expression tree
-(m·k·dsub = 1024 squared-diff terms per row); that blew Janino's
-64 KB generated-method limit, whole-stage codegen bailed to
-interpreted evaluation, and encode ran ~50× slow (11 s for 2 000
-vectors at sf0.1). Instead the codebook is a 1 024-row broadcast
-table joined against the posexploded component stream — tiny
-codegen bodies, map-side-combinable partial aggregates, and the
-exact same relational shape as the DuckDB oracle:
+Physical shape — per-subspace projections, measured into place:
+- v1 unrolled all m·k·dsub = 1024 squared-diff terms into ONE
+  projection; that blew Janino's 64 KB generated-method limit,
+  whole-stage codegen bailed to interpreted evaluation, and encode
+  ran ~50× slow (16.4 s at sf0.1).
+- v2 went fully relational (posexplode components ⋈ broadcast
+  codebook ⋈ groupBy) — codegen-safe but the ×dim×k row explosion
+  plus DECIMAL partial sums made sf1 cost 9.4 s against DuckDB's
+  0.49 s for the same relational plan.
+- v3 (this one): ONE projection computes all m·k = 128 distance
+  FOLDS (`aggregate(zip_with(...))`, the operators/kmeans lesson:
+  a fold is a small generated loop — it was the flat term
+  expansion that blew Janino, not the count of folds) and one
+  posexplode yields (id, j, darr[k]); the argmin is
+  array_position/array_min (no shuffle), and the query LUT is a
+  posexplode of the same arrays. sf1: 36.8 s → 3.2 s.
 
-  components (id, j, i, v)  ⋈  codebook (j, i, c, cv)   [broadcast]
-    → groupBy (id, j, c): d = Σ (v−cv)²                 [dists]
-    → groupBy (id, j): argmin_c                         [codes]
-  ADC: codes(corpus) ⋈ dists(queries) on (j, c)
-    → groupBy (query, neighbor): Σ d                    [adc]
+  dists_wide (id, j, darr[k])   [one pass, one codegen body]
+    → codes: argmin per row                 [no shuffle]
+  ADC: codes(corpus) ⋈ posexplode(dists_wide(queries)) on (j, c)
+    → groupBy (query, neighbor): Σ d        [map-side combine]
 
-At 100 TB: encode is one narrow shuffle-free pass over the corpus
-(the broadcast is m·k·dsub rows regardless of corpus size); the ADC
-join's intermediate is |corpus|·m·|queries| rows but partial
-aggregation combines map-side, and queries arrive in bounded
-batches in the funnel (PQ is the candidate tier, not an all-pairs
-engine).
+At 100 TB: encode is a single narrow pass over the corpus; the ADC
+join's intermediate is |corpus|·m·|queries| rows with map-side
+partial aggregation, and queries arrive in bounded batches in the
+funnel (PQ is the candidate tier, not an all-pairs engine). BIGINT
+distance sums follow the kmeans contract (grid components with
+|x| ≲ 300 keep every fold sum provably under 2^63).
 """
 
 from __future__ import annotations
@@ -75,14 +81,15 @@ def _components(
 ):
     """(id, j, i, v) — posexploded quantized components with the
     subspace index j (0-based) and within-subspace index i
-    (1-based, matching the oracle's generate_series)."""
+    (1-based). Training-path only (the centroid-update sums); the
+    hot encode/ADC path never explodes per component."""
     dsub = dim // m
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         # Pre-expansion repartition (CLAUDE.md rule 3): the
-        # explode×dim then ×k join expansion is invisible to AQE's
-        # input-byte sizing — a single-file corpus would otherwise
-        # run the whole component stream in one task.
+        # explode×dim expansion is invisible to AQE's input-byte
+        # sizing — a single-file corpus would otherwise run the
+        # whole component stream in one task.
         df.select(F.col(id_col).alias("id"), vec_col)
         .repartition(par)
         .select(
@@ -104,17 +111,82 @@ def _components(
     )
 
 
-def _codebook_df(spark, codebooks: list) -> DataFrame:
-    """The m·k·dsub-row broadcastable codebook table
-    (j, c, i, cv)."""
-    rows = [
-        (j, c, i + 1, int(cv))
-        for j, book in enumerate(codebooks)
-        for c, cent in enumerate(book)
-        for i, cv in enumerate(cent)
-    ]
-    return spark.createDataFrame(
-        rows, "j int, c int, i int, cv long"
+def _dist_array(sub_col: str, book_j: list):
+    """Subspace j's k exact integer distances as one array column,
+    each a compact BIGINT fold over the pre-sliced subvector.
+
+    Same lesson as operators/kmeans._dist_expr, re-measured here:
+    flat squared-diff term expansion (even only k·dsub = 128 terms
+    per branch) grows whole-stage codegen past Janino's 64 KB
+    method limit — 2 190 compile-fail-and-fallback cycles put sf1
+    at 36.8 s; the fold form is a small generated loop. The fold is
+    a HOF-lambda expression feeding an ORACLE-CHECKED output — the
+    sanctioned use under CLAUDE.md rule 10 (a corruption recurrence
+    is a red row, never silent)."""
+    dists = []
+    for cent in book_j:
+        lits = ", ".join(str(int(cv)) for cv in cent)
+        dists.append(
+            F.expr(
+                f"aggregate(zip_with({sub_col}, array({lits}), "
+                "(x, y) -> (x - y) * (x - y)), "
+                "cast(0 as bigint), (acc, v) -> acc + v)"
+            )
+        )
+    return F.array(*dists)
+
+
+def _dists_wide(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, j, darr) — darr[c+1] = exact integer distance of the
+    subspace-j subvector to centroid c. ONE pass, ONE projection:
+    all m·k = 128 fold expressions compile fine in a single
+    whole-stage codegen body (each fold is a small generated loop
+    — it was the FLAT term expansion that blew Janino, not the
+    count of folds), so the m subspaces ride one posexplode
+    instead of a union of m branches re-reading the source
+    (measured sf0.1: union-of-branches 1.75s → 0.41s)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    par = df.sparkSession.sparkContext.defaultParallelism
+    subs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _quantized_arr(vec_col, dim).alias("qarr"),
+        )
+        # Pre-expansion repartition (rule 3): the ×m posexplode is
+        # invisible to AQE's input-byte sizing.
+        .repartition(par)
+        .select(
+            "id",
+            *[
+                F.slice(
+                    F.col("qarr"), j * dsub + 1, dsub
+                ).alias(f"s{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    allarr = F.array(
+        *[_dist_array(f"s{j}", codebooks[j]) for j in range(m)]
+    )
+    return subs.select(
+        "id", F.posexplode(allarr).alias("j", "darr")
+    )
+
+
+def _dists_long_of_wide(dists_wide: DataFrame) -> DataFrame:
+    """(id, j, c, d) — posexplode of the per-subspace arrays
+    (pos is the 0-based code index)."""
+    return dists_wide.select(
+        "id",
+        "j",
+        F.posexplode("darr").alias("c", "d"),
     )
 
 
@@ -124,22 +196,8 @@ def _dists_long(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, j, c, d) — exact integer distance of every vector's
-    subspace-j subvector to every centroid c. DECIMAL-accumulated,
-    cast BIGINT (the oracle's HUGEINT-sum-cast twin)."""
-    m = len(codebooks)
-    dim = len(codebooks[0][0]) * m
-    comp = _components(df, id_col, vec_col, dim, m)
-    cb = _codebook_df(df.sparkSession, codebooks)
-    diff = F.col("v") - F.col("cv")
-    return (
-        comp.join(F.broadcast(cb), ["j", "i"])
-        .groupBy("id", "j", "c")
-        .agg(
-            F.sum((diff * diff).cast("decimal(38,0)"))
-            .cast("long")
-            .alias("d")
-        )
+    return _dists_long_of_wide(
+        _dists_wide(df, codebooks, id_col, vec_col)
     )
 
 
@@ -186,8 +244,8 @@ def pq_train(
 
     OFF = 1 << 40
     for _ in range(iterations):
-        codes = _argmin_codes(
-            _dists_long(df, codebooks, id_col, vec_col)
+        codes = _argmin_codes_wide(
+            _dists_wide(df, codebooks, id_col, vec_col)
         )
         comp = _components(df, id_col, vec_col, dim, m)
         agg = (
@@ -213,11 +271,21 @@ def pq_train(
     return codebooks
 
 
-def _argmin_codes(dists: DataFrame) -> DataFrame:
-    """(id, j, code) — argmin_c of d, ties to the smallest c
-    (min over (d, c) structs: exact lexicographic tie-break)."""
-    return dists.groupBy("id", "j").agg(
-        F.min(F.struct("d", "c"))["c"].alias("code")
+def _argmin_codes_wide(dists_wide: DataFrame) -> DataFrame:
+    """(id, j, code) — argmin over the distance array per row:
+    array_position of the min gives the FIRST (smallest-c) match,
+    the exact tie-break; no shuffle, no lambda."""
+    return dists_wide.select(
+        "id",
+        "j",
+        (
+            F.array_position(
+                F.col("darr"), F.array_min("darr")
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("code"),
     )
 
 
@@ -227,10 +295,10 @@ def pq_encode_long(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, j, code) — the join/aggregate form every downstream
-    stage consumes (ADC joins on (j, code) directly)."""
-    return _argmin_codes(
-        _dists_long(df, codebooks, id_col, vec_col)
+    """(id, j, code) — the long form every downstream stage
+    consumes (ADC joins on (j, code) directly)."""
+    return _argmin_codes_wide(
+        _dists_wide(df, codebooks, id_col, vec_col)
     )
 
 
@@ -285,13 +353,20 @@ def pq_adc_topk(
             "pass exactly one of queries= or query_filter="
         )
     if query_filter is not None:
-        dists = _dists_long(
+        # One _dists_wide over the corpus, materialized ONCE: it
+        # feeds both the codes and the LUT branches, and without
+        # the checkpoint each consumer re-executes the full
+        # union-of-folds (measured: sf0.1 7.25s → 3.1s). (The
+        # internal base checkpoint protects the SOURCE from m
+        # re-scans; this one protects the fold arithmetic from
+        # per-consumer re-evaluation — rule 12.)
+        dw = _dists_wide(
             corpus, codebooks, id_col, vec_col
-        ).localCheckpoint(eager=False)
-        codes_src = _argmin_codes(dists)
-        lut = dists.filter(query_filter).select(
-            F.col("id").alias("query_id"), "j", "c", "d"
-        )
+        ).localCheckpoint(eager=True)
+        codes_src = _argmin_codes_wide(dw)
+        lut = _dists_long_of_wide(
+            dw.filter(query_filter)
+        ).select(F.col("id").alias("query_id"), "j", "c", "d")
     else:
         codes_src = pq_encode_long(
             corpus, codebooks, id_col=id_col, vec_col=vec_col
@@ -308,11 +383,12 @@ def pq_adc_topk(
         codes.join(F.broadcast(lut), ["j", "c"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.sum(F.col("d").cast("decimal(38,0)"))
-            .cast("long")
-            .alias("adc")
-        )
+        # BIGINT sum of exactly m fold distances — the kmeans
+        # distance contract (grid components with |x| ≲ 300 keep
+        # the total provably under 2^63); decimal accumulation
+        # here measured +~2s on 5M join rows at sf1 for a bound
+        # the fold already guarantees.
+        .agg(F.sum("d").alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()

@@ -81,6 +81,9 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "near_dup_components_star",
     "minhash_near_dup",
     "embedding_near_dup_lsh",
+    # round-5 additions
+    "dsir_importance_scores",
+    "ann_pq_topk",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
