@@ -585,3 +585,61 @@ def binary_hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def exact_rerank_topk(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-cosine re-rank of a candidate pair set — the LAST
+    stage of every ANN funnel: ``candidates`` is (query_id,
+    neighbor_id) from any cheap tier (Hamming codes, PQ/ADC, SRP
+    buckets), and only those pairs pay the full-precision fold.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank over the
+    CANDIDATE set per query (cosine desc, neighbor asc ties).
+
+    Scale shape: norms are per-vector columns computed before the
+    joins (rule 12); the two id-joins shuffle candidate IDS plus
+    one vector per matched row — the corpus never self-joins here,
+    so cost is |candidates|, not |corpus|² (the whole point of the
+    funnel)."""
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("nrm", norm_decimal("v"))
+    joined = (
+        candidates.select("query_id", "neighbor_id")
+        .join(
+            vecs.select(
+                F.col("vid").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+    )
+    cosine = dot_decimal("qv", "cv") / (
+        F.col("qn") * F.col("cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            "query_id", "neighbor_id", cosine.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -301,3 +301,83 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk=5,
         query_filter=F.col("id") < 32,
     )
+
+
+@register(
+    "ann_funnel_topk",
+    oracle="""
+        WITH ham AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> CASE WHEN (q.embedding[i] > 0)
+                                  <> (c.embedding[i] > 0)
+                             THEN 1 ELSE 0 END)) AS INTEGER)
+                       AS hamming
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY hamming ASC, neighbor_id ASC
+                       ) AS rn
+                FROM ham) WHERE rn <= 50
+        ),
+        vecs AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT k.query_id, k.neighbor_id,
+                   list_aggregate(list_transform(
+                       generate_series(1, len(q.embedding)),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE)),
+                       'sum') / (q.nrm * c.nrm) AS cosine
+            FROM cand k
+            JOIN vecs q ON q.vec_id = k.query_id
+            JOIN vecs c ON c.vec_id = k.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, rn AS rank
+        FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    ops=("ANN",),
+)
+def ann_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN FUNNEL as one runnable pipeline: 8-byte Hamming
+    codes generate 50 candidates per query (XOR+POPCNT per pair —
+    two orders cheaper than a float dot), then ONLY those 50 pay
+    the exact-cosine re-rank (operators/similarity.
+    exact_rerank_topk) for the final top-5. This is the composition
+    the per-tier queries (hamming_topk, ann_pq_topk,
+    embedding_near_dup_lsh, ann_cosine_topk) exist to feed: at
+    100 TB the exact tier touches |queries|·50 pairs instead of
+    |queries|·|corpus|. Bit-exact oracle: the Hamming CTE is
+    hamming_topk's (rn <= 50) and the re-rank CTE is
+    ann_cosine_topk's sequential-fold cosine restricted to the
+    candidate set."""
+    from afg_data_pipeline_spark.operators.similarity import (
+        binary_hamming_topk,
+        exact_rerank_topk,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    cand = binary_hamming_topk(
+        emb.filter(F.col("vec_id") < 32), emb, k=50, dim=64
+    )
+    return exact_rerank_topk(cand, emb, k=5)

@@ -144,6 +144,7 @@ HEADLINE = [
     "multimodal_jpeg_pipeline",
     "dsir_importance_scores",
     "ann_pq_topk",
+    "ann_funnel_topk",
 ]
 
 

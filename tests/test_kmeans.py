@@ -258,3 +258,50 @@ class TestBinaryHamming:
             assert sorted(got[qid]) == want[qid], qid
         # identical sign pattern -> hamming 0 neighbor
         assert (0, 1) in got[0]
+
+
+class TestFunnelRerank:
+    def test_funnel_equals_exact_on_candidates(self, spark):
+        """exact_rerank_topk over Hamming candidates returns
+        exactly the brute-force cosine ranking RESTRICTED to the
+        candidate set (same fold, same tie-breaks); with a
+        candidate budget covering the corpus it equals brute force
+        outright."""
+        from afg_data_pipeline_spark.operators.similarity import (
+            binary_hamming_topk,
+            brute_force_topk,
+            exact_rerank_topk,
+        )
+
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        queries = df.filter("vec_id < 5")
+        # candidate budget = full corpus -> funnel == brute force
+        cand_all = binary_hamming_topk(
+            queries, df, k=len(vecs), dim=8
+        )
+        funnel = sorted(
+            tuple(r)
+            for r in exact_rerank_topk(cand_all, df, k=3).collect()
+        )
+        brute = sorted(
+            tuple(r)
+            for r in brute_force_topk(queries, df, k=3).collect()
+        )
+        assert funnel == brute
+        # tight budget: output is a ranking of a candidate SUBSET
+        cand5 = binary_hamming_topk(queries, df, k=5, dim=8)
+        cand_pairs = {
+            (r.query_id, r.neighbor_id) for r in cand5.collect()
+        }
+        out = exact_rerank_topk(cand5, df, k=3).collect()
+        assert all(
+            (r.query_id, r.neighbor_id) in cand_pairs for r in out
+        )
+        for qid in range(5):
+            ranks = sorted(
+                r.rank for r in out if r.query_id == qid
+            )
+            assert ranks == [1, 2, 3]
