@@ -895,3 +895,135 @@ def cross_corpus_near_dup(
             "jaccard"
         ),
     )
+
+
+def lsh_tune(
+    threshold: float,
+    n_hashes_budget: int = 128,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+) -> dict:
+    """Pick (n_hashes, band_size) for banded MinHash at a Jaccard
+    ``threshold`` — the S-curve arithmetic from Leskovec/Rajaraman/
+    Ullman, "Mining of Massive Datasets" ch. 3: with b bands of r
+    rows, P(candidate | jaccard=s) = 1 − (1 − s^r)^b, and the
+    curve's inflection sits near (1/b)^(1/r). The tuner scans every
+    (b, r) with b·r ≤ ``n_hashes_budget`` and minimizes the
+    weighted false-positive + false-negative AREA of the curve
+    against the ideal step at ``threshold`` (the textbook integral
+    criterion, evaluated on a 1e-3 grid — driver-side arithmetic,
+    no data touched).
+
+    Returns {"n_hashes", "band_size", "n_bands", "inflection",
+    "fp_area", "fn_area"} — feed the first two straight into
+    minhash_lsh_candidates / minhash_near_dup_pairs. Weights skew
+    the choice: fn_weight ≫ fp_weight for recall-critical dedup
+    (missed dups poison training), fp_weight ≫ fn_weight when the
+    verify stage is the bottleneck."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(
+            f"threshold must be in (0,1), got {threshold}"
+        )
+    best = None
+    grid = [i / 1000.0 for i in range(1, 1000)]
+    for r in range(1, n_hashes_budget + 1):
+        for b in range(1, n_hashes_budget // r + 1):
+            fp = fn = 0.0
+            for s in grid:
+                p = 1.0 - (1.0 - s**r) ** b
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            fp /= 1000.0
+            fn /= 1000.0
+            cost = fp_weight * fp + fn_weight * fn
+            key = (cost, b * r, b)  # prefer fewer hashes on ties
+            if best is None or key < best[0]:
+                best = (
+                    key,
+                    {
+                        "n_hashes": b * r,
+                        "band_size": r,
+                        "n_bands": b,
+                        "inflection": (1.0 / b) ** (1.0 / r),
+                        "fp_area": fp,
+                        "fn_area": fn,
+                    },
+                )
+    return best[1]
+
+
+def contamination_report(
+    train: DataFrame,
+    evals: DataFrame,
+    eval_set_col: str = "eval_set",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-eval-set contamination report — the leaderboard-integrity
+    direction of decontaminate(): for EACH benchmark in ``evals``
+    ((eval_set, id, text) rows), how many of its examples share at
+    least one word n-gram with the training corpus.
+
+    Output: (eval_set, n_docs, n_contaminated, contamination_rate)
+    with rate = n_contaminated / n_docs (one int/int IEEE division
+    — bit-identical across engines).
+
+    Scale shape: the train side reduces to its DISTINCT n-gram
+    vocabulary before the join (size = corpus vocabulary,
+    independent of duplication), the eval side to distinct
+    (eval_set, id, gram); contaminated ids come from a semi-join on
+    the gram — documents never shuffle, and adding eval sets adds
+    only their own gram rows."""
+    tgrams = (
+        train.select(tokens(text_col).alias("__t"))
+        .select(
+            F.explode(
+                F.array_distinct(shingle_expr("__t", n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    egrams = evals.select(
+        F.col(eval_set_col).alias("eval_set"),
+        F.col(id_col).alias("id"),
+        tokens(text_col).alias("__t"),
+    ).select(
+        "eval_set",
+        "id",
+        F.explode(
+            F.array_distinct(shingle_expr("__t", n))
+        ).alias("gram"),
+    )
+    contaminated = (
+        egrams.join(tgrams, "gram", "left_semi")
+        .select("eval_set", "id")
+        .distinct()
+    )
+    totals = evals.select(
+        F.col(eval_set_col).alias("eval_set"),
+        F.col(id_col).alias("id"),
+    ).groupBy("eval_set").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    hits = contaminated.groupBy("eval_set").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        totals.join(hits, "eval_set", "left")
+        .select(
+            "eval_set",
+            "n_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+            (
+                F.coalesce(
+                    F.col("n_contaminated"), F.lit(0)
+                ).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("contamination_rate"),
+        )
+    )

@@ -2166,3 +2166,85 @@ def lang_confusion_matrix(
             / F.col("t").cast("double")
         ).alias("share"),
     )
+
+
+@register(
+    "contamination_report",
+    oracle="""
+        WITH train AS (
+            SELECT text FROM documents
+            WHERE source NOT IN ('src0', 'src1')
+        ),
+        evals AS (
+            SELECT source AS eval_set, doc_id, text
+            FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        tgrams AS (
+            SELECT DISTINCT gram FROM (
+                SELECT unnest(list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                    AS gram
+                FROM (SELECT regexp_split_to_array(trim(text),
+                                                   '\\s+') AS t
+                      FROM train)
+                WHERE len(t) >= 3)
+        ),
+        egrams AS (
+            SELECT DISTINCT eval_set, doc_id, gram FROM (
+                SELECT eval_set, doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' '
+                                || t[i+2]))) AS gram
+                FROM (SELECT eval_set, doc_id,
+                             regexp_split_to_array(trim(text),
+                                                   '\\s+') AS t
+                      FROM evals)
+                WHERE len(t) >= 3)
+        ),
+        contaminated AS (
+            SELECT DISTINCT e.eval_set, e.doc_id
+            FROM egrams e SEMI JOIN tgrams t ON e.gram = t.gram
+        ),
+        totals AS (
+            SELECT eval_set, CAST(count(*) AS BIGINT) AS n_docs
+            FROM evals GROUP BY eval_set
+        ),
+        hits AS (
+            SELECT eval_set,
+                   CAST(count(*) AS BIGINT) AS n_contaminated
+            FROM contaminated GROUP BY eval_set
+        )
+        SELECT t.eval_set, t.n_docs,
+               COALESCE(h.n_contaminated, 0) AS n_contaminated,
+               CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+               / CAST(t.n_docs AS DOUBLE) AS contamination_rate
+        FROM totals t LEFT JOIN hits h USING (eval_set)
+    """,
+    ops=("DEDUP", "TEXT"),
+)
+def contamination_report_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-benchmark contamination audit: treating src0/src1 as two
+    held-out eval sets and the rest of the corpus as training data,
+    report what fraction of each eval set's examples share at least
+    one word 3-gram with training (the leaderboard-integrity
+    direction of eval_decontamination — published recipes use
+    13-grams; the synthetic corpus is tiny). Train reduces to its
+    distinct gram vocabulary, eval ids arrive via a gram semi-join
+    — documents never shuffle.
+    operators/dedup.contamination_report."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    evals = docs.filter(
+        F.col("source").isin("src0", "src1")
+    ).select(
+        F.col("source").alias("eval_set"), "doc_id", "text"
+    )
+    return contamination_report(train, evals)

@@ -145,6 +145,7 @@ HEADLINE = [
     "dsir_importance_scores",
     "ann_pq_topk",
     "ann_funnel_topk",
+    "contamination_report",
 ]
 
 

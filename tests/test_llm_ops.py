@@ -1066,3 +1066,88 @@ class TestCorpusAfterDedup:
             comps[d] for d in survivors if d in comps
         )
         assert all(v == 1 for v in per_cluster.values())
+
+
+class TestLshTune:
+    def test_inflection_tracks_threshold_and_budget(self):
+        from afg_data_pipeline_spark.operators.dedup import lsh_tune
+
+        prev = 0.0
+        for t in (0.3, 0.5, 0.7, 0.9):
+            r = lsh_tune(t, n_hashes_budget=64)
+            assert r["n_hashes"] == r["band_size"] * r["n_bands"]
+            assert r["n_hashes"] <= 64
+            # the S-curve inflection lands near the threshold and
+            # moves monotonically with it
+            assert abs(r["inflection"] - t) < 0.15, (t, r)
+            assert r["inflection"] > prev
+            prev = r["inflection"]
+
+    def test_candidate_probability_at_threshold(self):
+        from afg_data_pipeline_spark.operators.dedup import lsh_tune
+
+        r = lsh_tune(0.8, n_hashes_budget=128)
+        b, rr = r["n_bands"], r["band_size"]
+        # The balanced-area optimum puts the inflection near the
+        # threshold: pairs clearly above it are near-certain
+        # candidates, pairs clearly below near-never.
+        p_above = 1 - (1 - 0.9**rr) ** b
+        p_low = 1 - (1 - 0.4**rr) ** b
+        assert p_above > 0.9
+        assert p_low < 0.01
+
+    def test_weights_skew_the_choice(self):
+        from afg_data_pipeline_spark.operators.dedup import lsh_tune
+
+        recall = lsh_tune(0.7, 64, fn_weight=10.0)
+        precision = lsh_tune(0.7, 64, fp_weight=10.0)
+        # recall-weighted tuning accepts more false positives
+        # (inflection below the precision-weighted one)
+        assert recall["inflection"] < precision["inflection"]
+        assert recall["fn_area"] < precision["fn_area"]
+
+    def test_rejects_bad_threshold(self):
+        import pytest
+
+        from afg_data_pipeline_spark.operators.dedup import lsh_tune
+
+        with pytest.raises(ValueError, match="threshold"):
+            lsh_tune(1.5)
+
+
+class TestContaminationReport:
+    def test_planted_leak_per_set(self, spark):
+        from afg_data_pipeline_spark.operators.dedup import (
+            contamination_report,
+        )
+
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "totally different training content here"),
+            ],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [
+                # setA: one leaked (shares 'alpha beta gamma'),
+                # one clean
+                ("setA", 10, "alpha beta gamma question prompt"),
+                ("setA", 11, "clean evaluation example nothing shared"),
+                # setB: fully clean
+                ("setB", 20, "unrelated benchmark item words"),
+                # a 2-token doc: no 3-grams, never contaminated
+                ("setB", 21, "tiny doc"),
+            ],
+            "eval_set string, doc_id long, text string",
+        )
+        got = {
+            r.eval_set: (
+                r.n_docs,
+                r.n_contaminated,
+                r.contamination_rate,
+            )
+            for r in contamination_report(train, evals).collect()
+        }
+        assert got["setA"] == (2, 1, 0.5)
+        assert got["setB"] == (2, 0, 0.0)
