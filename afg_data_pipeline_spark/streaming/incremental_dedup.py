@@ -160,3 +160,86 @@ def run_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def purge_ids_from_store(
+    spark,
+    store_dir: str,
+    ids,
+    id_col: str = "doc_id",
+) -> dict:
+    """Deletion propagation (the GDPR/right-to-erasure path): remove
+    every trace of ``ids`` from the persisted signature store so
+    future batches can no longer match against deleted documents.
+
+    ``ids`` is a list of ids or a single-column DataFrame (pass a
+    DataFrame at scale — the purge set then anti-joins instead of
+    riding an IN-list literal).
+
+    Touches ONLY affected partitions: the store is partitioned by
+    batch_id, so the rewrite reads the partition column, finds the
+    batches containing purged ids (a semi-join + distinct over the
+    pruned column), dynamically overwrites just those, and removes
+    outright any partition whose every row was purged (dynamic
+    overwrite cannot express an empty partition). Unaffected
+    partitions keep their files byte-identical — at a 100 TB store
+    the erasure cost is proportional to the deleted documents'
+    batches, not the store.
+
+    Returns {"bands": n_removed, "shingles": n_removed}.
+    """
+    import shutil
+
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(ids, _DF):
+        purge = ids.select(
+            F.col(ids.columns[0]).alias("id")
+        ).distinct()
+    else:
+        purge = spark.createDataFrame(
+            [(int(i),) for i in ids], "id long"
+        )
+    from pyspark.errors import AnalysisException
+
+    removed = {}
+    for sub in ("bands", "shingles"):
+        path = os.path.join(store_dir, sub)
+        if not os.path.exists(path):
+            removed[sub] = 0
+            continue
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            # Every partition already purged: the directory exists
+            # but holds no readable parquet — nothing left to do.
+            removed[sub] = 0
+            continue
+        hit = df.join(purge, "id", "left_semi")
+        affected = [
+            r.batch_id
+            for r in hit.select("batch_id").distinct().collect()
+        ]
+        removed[sub] = hit.count()
+        if not affected:
+            continue
+        keep = df.filter(
+            F.col("batch_id").isin(affected)
+        ).join(purge, "id", "left_anti")
+        kept_batches = {
+            r.batch_id
+            for r in keep.select("batch_id").distinct().collect()
+        }
+        if kept_batches:
+            (
+                keep.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+        for empty in set(affected) - kept_batches:
+            shutil.rmtree(
+                os.path.join(path, f"batch_id={empty}"),
+                ignore_errors=True,
+            )
+    return removed

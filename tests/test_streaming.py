@@ -459,3 +459,123 @@ class TestIncrementalDedupSink:
             )
             == store_ids
         )
+
+
+class TestStorePurge:
+    def test_purge_removes_only_targets_and_future_matches(
+        self, spark, tmp_path
+    ):
+        """Erase doc 1 from a built store: its rows disappear from
+        bands AND shingles, unaffected partitions keep their files
+        untouched (mtime-identical), and a subsequent increment that
+        near-dups the purged doc is no longer flagged against it."""
+        import glob
+        import os
+
+        from afg_data_pipeline_spark.streaming.incremental_dedup import (
+            incremental_dedup_sink,
+            purge_ids_from_store,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and runs "
+            "far away into the deep green forest tonight"
+        )
+        store = str(tmp_path / "store")
+        flags = str(tmp_path / "flags")
+        sink = incremental_dedup_sink(store, flags, threshold=0.5)
+        # two direct batches (the sink function is foreachBatch's
+        # body — driving it directly pins the store format without
+        # a stream harness)
+        sink(
+            spark.createDataFrame(
+                [(1, base), (2, "unrelated words about engines")],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+        sink(
+            spark.createDataFrame(
+                [(50, "other filler tokens entirely")],
+                "doc_id long, text string",
+            ),
+            1,
+        )
+        b1_files = {
+            p: os.path.getmtime(p)
+            for p in glob.glob(
+                store + "/bands/batch_id=1/*.parquet"
+            )
+        }
+        assert b1_files
+        removed = purge_ids_from_store(spark, store, [1])
+        assert removed["bands"] > 0 and removed["shingles"] > 0
+        ids_left = {
+            r.id
+            for r in spark.read.parquet(store + "/bands").collect()
+        }
+        assert 1 not in ids_left and {2, 50} <= ids_left
+        assert {
+            r.id
+            for r in spark.read.parquet(
+                store + "/shingles"
+            ).collect()
+        } == {2, 50}
+        # unaffected partition untouched on disk
+        assert b1_files == {
+            p: os.path.getmtime(p)
+            for p in glob.glob(
+                store + "/bands/batch_id=1/*.parquet"
+            )
+        }
+        # a new near-dup of the purged doc is NOT flagged: drive
+        # the sink for one more batch and inspect its flags.
+        sink(
+            spark.createDataFrame(
+                [(900, base.replace("tonight", "today"))],
+                "doc_id long, text string",
+            ),
+            2,
+        )
+        import pyspark.sql.functions as F
+        from pyspark.errors import AnalysisException
+
+        try:
+            flagged = (
+                spark.read.parquet(flags)
+                .filter(F.col("batch_id") == 2)
+                .collect()
+            )
+        except AnalysisException:
+            flagged = []  # no batch ever flagged anything
+        assert not [r for r in flagged if r.dup_of == 1], flagged
+
+    def test_purge_all_rows_of_a_batch_drops_partition(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from afg_data_pipeline_spark.streaming.incremental_dedup import (
+            incremental_dedup_sink,
+            purge_ids_from_store,
+        )
+
+        store = str(tmp_path / "store")
+        sink = incremental_dedup_sink(
+            store, str(tmp_path / "flags")
+        )
+        sink(
+            spark.createDataFrame(
+                [(7, "only doc in this batch right here")],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+        purge_ids_from_store(spark, store, [7])
+        assert not os.path.exists(
+            store + "/bands/batch_id=0"
+        ) or not os.listdir(store + "/bands/batch_id=0")
+        # an empty store still reads (other partitions absent)
+        assert (
+            purge_ids_from_store(spark, store, [7])["bands"] == 0
+        )
