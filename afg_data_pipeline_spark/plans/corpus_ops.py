@@ -1538,9 +1538,7 @@ def corpus_after_dedup(
     return survivors.select("doc_id", "lang", "source")
 
 
-@register(
-    "dsir_importance_scores",
-    oracle="""
+_DSIR_CTE = """
         WITH tokd AS (
             SELECT doc_id, lang,
                    regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1602,7 +1600,13 @@ def corpus_after_dedup(
             FROM doc_counts dc JOIN lr USING (bucket)
             GROUP BY dc.doc_id
         )
-        SELECT d.doc_id,
+        """
+
+
+@register(
+    "dsir_importance_scores",
+    oracle=_DSIR_CTE
+    + """SELECT d.doc_id,
                COALESCE(s.n_grams, 0) AS n_grams,
                CAST(COALESCE(s.sq, 0) AS DOUBLE) / 1e9 AS score
         FROM documents d LEFT JOIN scored s USING (doc_id)
@@ -1628,3 +1632,39 @@ def dsir_importance_scores(
     # over the raw corpus, so the corpus is tokenized and shuffled
     # ONCE (the flag rides the groupBy key; see operators/dsir.py).
     return dsir_scores(docs, target_cond=F.col("lang") == "en")
+
+
+@register(
+    "dsir_selected_corpus",
+    oracle=_DSIR_CTE
+    + """
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(s.sq AS DOUBLE) / 1e9 AS score
+        FROM documents d JOIN scored s USING (doc_id)
+        WHERE s.sq > 0
+    """,
+    ops=("SAMPLE", "TEXT"),
+)
+def dsir_selected_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The APPLIED form of DSIR (the corpus_after_dedup pattern):
+    keep exactly the documents whose importance score is positive
+    — i.e. whose hashed-bigram profile is MORE likely under the
+    target domain than under the raw corpus. score > 0 is the
+    natural model-free selection boundary (log-likelihood ratio
+    favors the target); the threshold is a constant, so selection
+    is a filter — no global rank, no per-corpus sort, and the
+    integer score sum makes the survivor SET bit-identical across
+    engines (a float boundary would straddle). Output carries the
+    score so downstream mixture/weighted sampling can resample
+    survivors (operators/sampling)."""
+    from afg_data_pipeline_spark.operators.dsir import dsir_scores
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    scores = dsir_scores(
+        docs, target_cond=F.col("lang") == "en"
+    ).filter(F.col("score") > 0)
+    return docs.join(
+        scores.select("doc_id", "score"), "doc_id"
+    ).select("doc_id", "lang", "source", "score")

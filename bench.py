@@ -146,6 +146,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_funnel_topk",
     "contamination_report",
+    "dsir_selected_corpus",
 ]
 
 
