@@ -355,11 +355,10 @@ def pq_adc_topk(
     if query_filter is not None:
         # One _dists_wide over the corpus, materialized ONCE: it
         # feeds both the codes and the LUT branches, and without
-        # the checkpoint each consumer re-executes the full
-        # union-of-folds (measured: sf0.1 7.25s → 3.1s). (The
-        # internal base checkpoint protects the SOURCE from m
-        # re-scans; this one protects the fold arithmetic from
-        # per-consumer re-evaluation — rule 12.)
+        # the checkpoint each consumer re-executes the scan + all
+        # 128 fold expressions (rule 12; measured sf0.1
+        # 7.25s → 3.1s on the union-era plan, kept for the same
+        # reason on the single-projection plan).
         dw = _dists_wide(
             corpus, codebooks, id_col, vec_col
         ).localCheckpoint(eager=True)

@@ -83,6 +83,9 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "embedding_near_dup_lsh",
     # round-5 additions
     "dsir_importance_scores",
+    "dsir_selected_corpus",
+    "contamination_report",
+    "ann_funnel_topk",
     "ann_pq_topk",
 ]
 
