@@ -378,6 +378,7 @@ def ann_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_star_table(spark, "embeddings", sf_dir)
     cand = binary_hamming_topk(
-        emb.filter(F.col("vec_id") < 32), emb, k=50, dim=64
+        emb.filter(F.col("vec_id") < 32), emb, k=50, dim=64,
+        radius_cut=True,
     )
     return exact_rerank_topk(cand, emb, k=5)

@@ -305,3 +305,30 @@ class TestFunnelRerank:
                 r.rank for r in out if r.query_id == qid
             )
             assert ranks == [1, 2, 3]
+
+
+class TestHammingRadiusCut:
+    def test_radius_cut_is_result_identical(self, spark):
+        from afg_data_pipeline_spark.operators.similarity import (
+            binary_hamming_topk,
+        )
+
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        q = df.filter("vec_id < 6")
+        for k in (3, 50):  # k=50 > corpus: dim-fallback path
+            plain = sorted(
+                tuple(r)
+                for r in binary_hamming_topk(
+                    q, df, k=k, dim=8, radius_cut=False
+                ).collect()
+            )
+            cut = sorted(
+                tuple(r)
+                for r in binary_hamming_topk(
+                    q, df, k=k, dim=8, radius_cut=True
+                ).collect()
+            )
+            assert plain == cut, k
