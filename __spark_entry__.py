@@ -96,6 +96,9 @@ def _coverage_order(names: list[str]) -> list[str]:
         "adaptive_length_filter": 5,
         "kmeans_cluster_assign": 5,
         "semantic_dedup_pairs": 5,
+        # binary_hamming_topk gained the radius_cut branch late in
+        # round 5 (default path unchanged, but re-certify):
+        "hamming_topk": 5,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

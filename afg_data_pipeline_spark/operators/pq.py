@@ -397,3 +397,76 @@ def pq_adc_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC architecture): a coarse inverted
+    index prunes the candidate set to the query's ``n_probe``
+    nearest cells, and ONLY those candidates pay the (already
+    cheap) PQ/ADC distance — candidate count ~ n·n_probe/n_centroids
+    and per-candidate cost m lookups, the standard memory+compute
+    sweet spot of billion-scale ANN.
+
+    Output: (query_id, neighbor_id, adc, rank) — ADC ranking over
+    the probed candidates (ties on neighbor id); recall < 1 by
+    design twice over (cell pruning AND code quantization), so the
+    oracle pins the exact composed semantics and pytest pins recall
+    against the exact kernel.
+
+    Composition of audited pieces: coarse cells are
+    operators/similarity.seeded_centroids + ivf_assign (the
+    ann_ivf_topk contract), codes/LUT are this module's relational
+    PQ. The ADC join simply gains the candidate-pair semi-
+    restriction — the map-side-combinable aggregate shape is
+    unchanged."""
+    from afg_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(corpus, id_col, vec_col, n_centroids)
+    corpus_cells = ivf_assign(
+        corpus, cents, id_col, vec_col, n_probe=1
+    ).select(F.col(id_col).alias("neighbor_id"), "centroid_id")
+    q_cells = ivf_assign(
+        queries, cents, id_col, vec_col, n_probe=n_probe
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    cand = (
+        q_cells.join(corpus_cells, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    codes = pq_encode_long(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("id").alias("neighbor_id"),
+        "j",
+        F.col("code").alias("c"),
+    )
+    lut = _dists_long(
+        queries, codebooks, id_col, vec_col
+    ).select(F.col("id").alias("query_id"), "j", "c", "d")
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "j", "c"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -382,3 +382,129 @@ def ann_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         radius_cut=True,
     )
     return exact_rerank_topk(cand, emb, k=5)
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle="""
+        WITH coarse AS (
+            SELECT vec_id AS centroid_id, embedding AS centroid
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+            LIMIT 16
+        ),
+        coarse_d AS (
+            SELECT e.vec_id, c.centroid_id,
+                   list_aggregate(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(c.centroid[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(c.centroid[i] AS DOUBLE))),
+                       'sum') AS d2
+            FROM embeddings e CROSS JOIN coarse c
+        ),
+        ranked AS (
+            SELECT vec_id, centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY d2 ASC, centroid_id ASC
+                   ) AS probe_rank
+            FROM coarse_d
+        ),
+        corpus_cells AS (
+            SELECT vec_id AS neighbor_id, centroid_id
+            FROM ranked WHERE probe_rank = 1
+        ),
+        query_cells AS (
+            SELECT vec_id AS query_id, centroid_id
+            FROM ranked WHERE probe_rank <= 4 AND vec_id < 32
+        ),
+        cand AS (
+            SELECT DISTINCT q.query_id, c.neighbor_id
+            FROM query_cells q
+            JOIN corpus_cells c USING (centroid_id)
+            WHERE q.query_id <> c.neighbor_id
+        ),
+        jsp AS (SELECT unnest(generate_series(0, 7)) AS j),
+        isp AS (SELECT unnest(generate_series(1, 8)) AS i),
+        seeds AS (
+            SELECT embedding,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        pq_cent AS (
+            SELECT jsp.j, s.c, isp.i,
+                   CAST(round(CAST(s.embedding[jsp.j * 8 + isp.i]
+                              AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS cv
+            FROM seeds s CROSS JOIN jsp CROSS JOIN isp
+        ),
+        vecq AS (
+            SELECT e.vec_id, jsp.j, isp.i,
+                   CAST(round(CAST(e.embedding[jsp.j * 8 + isp.i]
+                              AS DOUBLE) * 1000000.0) AS BIGINT)
+                       AS qv
+            FROM embeddings e CROSS JOIN jsp CROSS JOIN isp
+        ),
+        pq_d AS (
+            SELECT v.vec_id, v.j, c.c,
+                   CAST(SUM((v.qv - c.cv) * (v.qv - c.cv))
+                        AS BIGINT) AS d
+            FROM vecq v JOIN pq_cent c ON v.j = c.j AND v.i = c.i
+            GROUP BY v.vec_id, v.j, c.c
+        ),
+        codes AS (
+            SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, j
+                           ORDER BY d ASC, c ASC) AS rn
+                FROM pq_d) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT cd.query_id, cd.neighbor_id,
+                   CAST(SUM(qd.d) AS BIGINT) AS adc
+            FROM cand cd
+            JOIN codes x ON x.vec_id = cd.neighbor_id
+            JOIN pq_d qd ON qd.vec_id = cd.query_id
+                        AND qd.j = x.j AND qd.c = x.c
+            GROUP BY cd.query_id, cd.neighbor_id
+        )
+        SELECT query_id, neighbor_id, adc, rn AS rank
+        FROM (
+            SELECT query_id, neighbor_id, adc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC) AS rn
+            FROM adc)
+        WHERE rn <= 5
+    """,
+    ops=("ANN",),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC architecture) as one oracle-exact
+    query: the coarse inverted index (ann_ivf_topk's seeded 16-cell
+    contract, 4 probes) prunes candidates to ~n·n_probe/n_centroids,
+    and only those pay the PQ/ADC distance (ann_pq_topk's m=8×k=16
+    integer codebooks). Double-approximate by design — cell pruning
+    AND code quantization — with the composed semantics pinned
+    bit-exactly by the oracle (the coarse CTEs are ann_ivf_topk's,
+    the PQ CTEs ann_pq_topk's, the ADC join gains the candidate
+    restriction) and recall pinned in pytest.
+    operators/pq.ivfpq_topk."""
+    from afg_data_pipeline_spark.operators.pq import (
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    books = pq_train(emb, m=8, k=16, dim=64, iterations=0)
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 32),
+        emb,
+        books,
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+    )

@@ -147,6 +147,7 @@ HEADLINE = [
     "ann_funnel_topk",
     "contamination_report",
     "dsir_selected_corpus",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -260,3 +260,66 @@ class TestPq:
             pq_train(df, m=3, k=4, dim=self.DIM)
         with pytest.raises(ValueError, match="at least k"):
             pq_train(df, m=4, k=1000, dim=self.DIM)
+
+
+class TestIvfPq:
+    def test_cell_restriction_and_recall(self, spark):
+        from afg_data_pipeline_spark.operators.pq import (
+            ivfpq_topk,
+            pq_train,
+        )
+        from afg_data_pipeline_spark.operators.similarity import (
+            ivf_assign,
+            seeded_centroids,
+        )
+
+        df = self._df_cls(spark)
+        books = pq_train(
+            df, m=self.M, k=self.K, dim=self.DIM, iterations=0
+        )
+        queries = df.filter(df.vec_id < 6)
+        out = ivfpq_topk(
+            queries, df, books, k=3, n_centroids=8, n_probe=3
+        ).collect()
+        # (a) every returned neighbor shares a probed cell
+        cents = seeded_centroids(df, "vec_id", "embedding", 8)
+        corpus_cell = {
+            r.vec_id: r.centroid_id
+            for r in ivf_assign(
+                df, cents, "vec_id", "embedding", n_probe=1
+            ).collect()
+        }
+        probed = {}
+        for r in ivf_assign(
+            queries, cents, "vec_id", "embedding", n_probe=3
+        ).collect():
+            probed.setdefault(r.vec_id, set()).add(r.centroid_id)
+        for r in out:
+            assert (
+                corpus_cell[r.neighbor_id] in probed[r.query_id]
+            ), r
+        # (b) deterministic
+        again = ivfpq_topk(
+            queries, df, books, k=3, n_centroids=8, n_probe=3
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(
+            map(tuple, again)
+        )
+        # (c) blob recall: probing 3 of 8 cells on well-separated
+        # blobs still finds a same-blob neighbor at rank 1 for
+        # most queries (double-approximation tolerated: >= 4/6)
+        rank1 = {
+            r.query_id: r.neighbor_id for r in out if r.rank == 1
+        }
+        hits = sum(
+            1 for q, n in rank1.items() if n % 4 == q % 4
+        )
+        assert hits >= 4, (hits, rank1)
+
+    def _df_cls(self, spark):
+        return spark.createDataFrame(
+            _vectors(dim=self.DIM),
+            "vec_id long, embedding array<double>",
+        )
+
+    M, K, DIM = 4, 8, 16

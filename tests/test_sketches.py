@@ -114,3 +114,45 @@ class TestStratifiedSampling:
         assert fraction_threshold(0.5).startswith("80000000")
         with _pytest.raises(ValueError):
             fraction_threshold(1.5)
+
+
+class TestSketchGolden:
+    """Exact-value regression pins for the two rows-only sketch
+    queries (the driver's weaker check): the sketches are
+    deterministic, so their registered-query outputs at sf0.001
+    are frozen literals here — any silent change to the sketch
+    path, canonicalization, or input handling becomes a red test
+    instead of an unnoticed rows-only drift. (Accuracy vs exact
+    answers is pinned separately above; this pins the VALUES.)"""
+
+    def test_approx_distinct_counts_golden(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        row = REGISTRY["approx_distinct_counts"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(row) == 1
+        assert (row[0].approx_orders, row[0].approx_parts) == (
+            1467,
+            199,
+        )
+
+    def test_approx_quantiles_golden(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        got = {
+            r.l_returnflag: (
+                r.price_p25,
+                r.price_p50,
+                r.price_p75,
+                r.approx_median_qty,
+            )
+            for r in REGISTRY["approx_quantiles"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+        assert got == {
+            "A": (25120.63, 51424.94, 78674.66, 25.0),
+            "N": (27908.59, 54089.68, 79167.65, 26.0),
+            "R": (27041.83, 52709.74, 81356.76, 25.0),
+        }
