@@ -218,33 +218,33 @@ def hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH jsp AS (SELECT unnest(generate_series(0, 7)) AS j),
         isp AS (SELECT unnest(generate_series(1, 8)) AS i),
-        seeds AS (
+        seeds AS MATERIALIZED (
             SELECT embedding,
                    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
             FROM embeddings ORDER BY vec_id LIMIT 16
         ),
-        cent AS (
+        cent AS MATERIALIZED (
             SELECT jsp.j, s.c, isp.i,
                    CAST(round(CAST(s.embedding[jsp.j * 8 + isp.i]
                               AS DOUBLE) * 1000000.0) AS BIGINT)
                        AS cv
             FROM seeds s CROSS JOIN jsp CROSS JOIN isp
         ),
-        vecq AS (
+        vecq AS MATERIALIZED (
             SELECT e.vec_id, jsp.j, isp.i,
                    CAST(round(CAST(e.embedding[jsp.j * 8 + isp.i]
                               AS DOUBLE) * 1000000.0) AS BIGINT)
                        AS qv
             FROM embeddings e CROSS JOIN jsp CROSS JOIN isp
         ),
-        dists AS (
+        dists AS MATERIALIZED (
             SELECT v.vec_id, v.j, c.c,
                    CAST(SUM((v.qv - c.cv) * (v.qv - c.cv))
                         AS BIGINT) AS d
             FROM vecq v JOIN cent c ON v.j = c.j AND v.i = c.i
             GROUP BY v.vec_id, v.j, c.c
         ),
-        codes AS (
+        codes AS MATERIALIZED (
             SELECT vec_id, j, c FROM (
                 SELECT vec_id, j, c,
                        ROW_NUMBER() OVER (
@@ -306,7 +306,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_funnel_topk",
     oracle="""
-        WITH ham AS (
+        WITH ham AS MATERIALIZED (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    CAST(list_sum(list_transform(
                        generate_series(1, 64),
@@ -317,7 +317,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings q CROSS JOIN embeddings c
             WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id
         ),
-        cand AS (
+        cand AS MATERIALIZED (
             SELECT query_id, neighbor_id FROM (
                 SELECT query_id, neighbor_id,
                        ROW_NUMBER() OVER (
@@ -326,7 +326,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ) AS rn
                 FROM ham) WHERE rn <= 50
         ),
-        vecs AS (
+        vecs AS MATERIALIZED (
             SELECT vec_id, embedding,
                    sqrt(list_aggregate(list_transform(
                        generate_series(1, len(embedding)),
@@ -335,7 +335,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        'sum')) AS nrm
             FROM embeddings
         ),
-        scored AS (
+        scored AS MATERIALIZED (
             SELECT k.query_id, k.neighbor_id,
                    list_aggregate(list_transform(
                        generate_series(1, len(q.embedding)),
@@ -387,13 +387,13 @@ def ann_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivfpq_topk",
     oracle="""
-        WITH coarse AS (
+        WITH coarse AS MATERIALIZED (
             SELECT vec_id AS centroid_id, embedding AS centroid
             FROM embeddings
             ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
             LIMIT 16
         ),
-        coarse_d AS (
+        coarse_d AS MATERIALIZED (
             SELECT e.vec_id, c.centroid_id,
                    list_aggregate(list_transform(
                        generate_series(1, len(e.embedding)),
@@ -404,7 +404,7 @@ def ann_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        'sum') AS d2
             FROM embeddings e CROSS JOIN coarse c
         ),
-        ranked AS (
+        ranked AS MATERIALIZED (
             SELECT vec_id, centroid_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY vec_id
@@ -412,15 +412,15 @@ def ann_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS probe_rank
             FROM coarse_d
         ),
-        corpus_cells AS (
+        corpus_cells AS MATERIALIZED (
             SELECT vec_id AS neighbor_id, centroid_id
             FROM ranked WHERE probe_rank = 1
         ),
-        query_cells AS (
+        query_cells AS MATERIALIZED (
             SELECT vec_id AS query_id, centroid_id
             FROM ranked WHERE probe_rank <= 4 AND vec_id < 32
         ),
-        cand AS (
+        cand AS MATERIALIZED (
             SELECT DISTINCT q.query_id, c.neighbor_id
             FROM query_cells q
             JOIN corpus_cells c USING (centroid_id)
@@ -428,33 +428,33 @@ def ann_funnel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         jsp AS (SELECT unnest(generate_series(0, 7)) AS j),
         isp AS (SELECT unnest(generate_series(1, 8)) AS i),
-        seeds AS (
+        seeds AS MATERIALIZED (
             SELECT embedding,
                    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
             FROM embeddings ORDER BY vec_id LIMIT 16
         ),
-        pq_cent AS (
+        pq_cent AS MATERIALIZED (
             SELECT jsp.j, s.c, isp.i,
                    CAST(round(CAST(s.embedding[jsp.j * 8 + isp.i]
                               AS DOUBLE) * 1000000.0) AS BIGINT)
                        AS cv
             FROM seeds s CROSS JOIN jsp CROSS JOIN isp
         ),
-        vecq AS (
+        vecq AS MATERIALIZED (
             SELECT e.vec_id, jsp.j, isp.i,
                    CAST(round(CAST(e.embedding[jsp.j * 8 + isp.i]
                               AS DOUBLE) * 1000000.0) AS BIGINT)
                        AS qv
             FROM embeddings e CROSS JOIN jsp CROSS JOIN isp
         ),
-        pq_d AS (
+        pq_d AS MATERIALIZED (
             SELECT v.vec_id, v.j, c.c,
                    CAST(SUM((v.qv - c.cv) * (v.qv - c.cv))
                         AS BIGINT) AS d
             FROM vecq v JOIN pq_cent c ON v.j = c.j AND v.i = c.i
             GROUP BY v.vec_id, v.j, c.c
         ),
-        codes AS (
+        codes AS MATERIALIZED (
             SELECT vec_id, j, c FROM (
                 SELECT vec_id, j, c,
                        ROW_NUMBER() OVER (

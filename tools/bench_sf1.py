@@ -87,6 +87,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "contamination_report",
     "ann_funnel_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
