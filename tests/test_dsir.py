@@ -142,3 +142,35 @@ class TestDsir:
             for r in dsir_scores(raw, target).collect()
         }[5]
         assert (row.n_grams, row.score) == (0, 0.0)
+
+
+class TestDsirEdges:
+    def test_empty_target_cond_is_defined(self, spark):
+        # No target docs: tc=0 everywhere, Laplace keeps every
+        # bucket probability positive — scores are finite and the
+        # frame is complete.
+        from pyspark.sql import functions as F
+
+        raw = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        out = dsir_scores(
+            raw, target_cond=F.lit(False)
+        ).collect()
+        assert {r.doc_id for r in out} == {1, 2}
+        assert all(
+            r.score == r.score for r in out
+        )  # no NaN
+
+    def test_all_short_docs(self, spark):
+        raw = spark.createDataFrame(
+            [(1, "one"), (2, "two")], "doc_id long, text string"
+        )
+        out = dsir_scores(
+            raw, target_cond=raw.doc_id == 1
+        ).collect()
+        assert {(r.doc_id, r.n_grams, r.score) for r in out} == {
+            (1, 0, 0.0),
+            (2, 0, 0.0),
+        }

@@ -1151,3 +1151,24 @@ class TestContaminationReport:
         }
         assert got["setA"] == (2, 1, 0.5)
         assert got["setB"] == (2, 0, 0.0)
+
+
+class TestContaminationEdges:
+    def test_empty_train_reports_all_clean(self, spark):
+        from afg_data_pipeline_spark.operators.dedup import (
+            contamination_report,
+        )
+
+        train = spark.createDataFrame(
+            [], "doc_id long, text string"
+        )
+        evals = spark.createDataFrame(
+            [("setA", 1, "some benchmark example words here")],
+            "eval_set string, doc_id long, text string",
+        )
+        got = contamination_report(train, evals).collect()
+        assert [
+            (r.eval_set, r.n_docs, r.n_contaminated,
+             r.contamination_rate)
+            for r in got
+        ] == [("setA", 1, 0, 0.0)]
