@@ -470,38 +470,43 @@ def duplicate_spans(
     2.64s → window+md5 1.90s → window+xxhash64 1.76s). The k-fold slide is expressed as
     explode(sequence) + slice (no HOF lambdas, CLAUDE.md rule 10),
     with the pre-explosion side repartitioned because AQE can't
-    see row expansion in input shuffle bytes (rule 3).
+    see row expansion in input shuffle bytes (rule 3). The window
+    is skew-gated (operators/corpuscount): a sampled probe routes
+    pathologically hot gram hashes off the window, bit-identically.
     """
-    from pyspark.sql import Window
+    from afg_data_pipeline_spark.operators.corpuscount import (
+        corpus_key_count,
+    )
 
     par = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
-    ).withColumn("n_pos", F.size("t") - F.lit(k - 1))
-    grams = (
-        base.filter(F.col("n_pos") >= 1)
-        .repartition(par)
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_pos"))
-            ).alias("i"),
-            "t",
+
+    def _grams(d: DataFrame) -> DataFrame:
+        base = d.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+        ).withColumn("n_pos", F.size("t") - F.lit(k - 1))
+        return (
+            base.filter(F.col("n_pos") >= 1)
+            .repartition(par)
+            .select(
+                "id",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("n_pos"))
+                ).alias("i"),
+                "t",
+            )
+            .select(
+                "id",
+                F.xxhash64(
+                    F.concat_ws(
+                        " ", F.expr(f"slice(t, i, {k})")
+                    )
+                ).alias("gh"),
+            )
         )
-        .select(
-            "id",
-            F.xxhash64(
-                F.concat_ws(
-                    " ", F.expr(f"slice(t, i, {k})")
-                )
-            ).alias("gh"),
-        )
-    )
+
     per_doc = (
-        grams.withColumn(
-            "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
-        )
+        corpus_key_count(docs, _grams, "gh", out_col="c")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -597,38 +602,46 @@ def duplicate_span_extract(
 
     Scale shape: same single-evaluation gram stream as
     ``duplicate_spans`` (explode + slice, xxhash64 keys, window
-    count partitioned by hash), then per-document lag/cumsum
+    count partitioned by hash, skew-gated via
+    operators/corpuscount), then per-document lag/cumsum
     windows — thousands of small per-doc windows, never a
     corpus-wide sort. Two shuffles total (by gram hash, by doc).
     All-integer output: bit-exact against the SQL replica.
     """
     from pyspark.sql import Window
 
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
-    ).withColumn("n_pos", F.size("t") - F.lit(k - 1))
-    grams = (
-        base.filter(F.col("n_pos") >= 1)
-        .repartition(par)
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_pos"))
-            ).alias("pos"),
-            "t",
-        )
-        .select(
-            "id",
-            "pos",
-            F.xxhash64(
-                F.concat_ws(" ", F.expr(f"slice(t, pos, {k})"))
-            ).alias("gh"),
-        )
+    from afg_data_pipeline_spark.operators.corpuscount import (
+        corpus_key_count,
     )
-    dup_pos = grams.withColumn(
-        "c", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+
+    def _grams(d: DataFrame) -> DataFrame:
+        base = d.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+        ).withColumn("n_pos", F.size("t") - F.lit(k - 1))
+        return (
+            base.filter(F.col("n_pos") >= 1)
+            .repartition(par)
+            .select(
+                "id",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("n_pos"))
+                ).alias("pos"),
+                "t",
+            )
+            .select(
+                "id",
+                "pos",
+                F.xxhash64(
+                    F.concat_ws(" ", F.expr(f"slice(t, pos, {k})"))
+                ).alias("gh"),
+            )
+        )
+
+    dup_pos = corpus_key_count(
+        docs, _grams, "gh", out_col="c"
     ).filter(F.col("c") >= 2)
     wdoc = Window.partitionBy("id").orderBy("pos")
     islands = (

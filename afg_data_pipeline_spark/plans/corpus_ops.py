@@ -1203,21 +1203,23 @@ def chunk_dedup_profile(
     corpus — the offset-robust block tier of the dedup ladder
     (whole-doc hash → CDC chunks → 5-gram spans). Corpus counts
     via a COUNT window over the chunk digest (the duplicate_spans
-    pattern: single evaluation, one shuffle)."""
-    from pyspark.sql import Window
-
+    pattern: single evaluation, one shuffle), skew-gated via
+    operators/corpuscount (a ubiquitous boilerplate chunk routes
+    through a broadcast-joined groupBy, bit-identically)."""
+    from afg_data_pipeline_spark.operators.corpuscount import (
+        corpus_key_count,
+    )
     from afg_data_pipeline_spark.operators.text import (
         content_defined_chunks,
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    chunks = content_defined_chunks(docs, k=3, divisor=8)
     return (
-        chunks.withColumn(
-            "c",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("chunk_digest")
-            ),
+        corpus_key_count(
+            docs,
+            lambda d: content_defined_chunks(d, k=3, divisor=8),
+            "chunk_digest",
+            out_col="c",
         )
         .groupBy("id")
         .agg(

@@ -1333,42 +1333,47 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tokens²/10) per doc, and cost 2.06s → 1.16s at sf0.1); the
     corpus-wide occurrence count is a COUNT window partitioned by
     line (single evaluation of the line stream, one shuffle — the
-    duplicate_spans pattern). Hot-key ceiling: AQE skew-split works
-    on JOIN shuffles, not window partitions, so a pathologically
-    hot line (one in >~1/num_tasks of all rows) serializes its rows
-    into one task. That's acceptable here because each row is a
-    ~10-token line and the count is the only thing computed —
-    worst-case one task counts the hottest line's rows; a corpus
-    where one line exceeds executor memory should pre-aggregate
-    with the groupBy+join form instead. The ordered rebuild is a per-doc
+    duplicate_spans pattern), SKEW-GATED via
+    operators/corpuscount.corpus_key_count: a sampled probe detects
+    pathologically hot lines (empty/"---" boilerplate at crawl
+    scale — AQE cannot split window partitions) and routes only
+    those keys through a map-side-combinable groupBy + broadcast
+    join, bit-identically. The ordered rebuild is a per-doc
     sort of that doc's own line structs, never a global sort.
     All-lines-removed docs survive via the left join (empty text,
     full removed-count).
     """
-    from pyspark.sql import Window
+    from afg_data_pipeline_spark.operators.corpuscount import (
+        corpus_key_count,
+    )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    toked = docs.select(
-        "doc_id",
-        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
-    )
-    linearr = toked.select(
-        "doc_id",
-        "t",
-        F.expr(
-            "transform(sequence(1,"
-            " cast(ceil(size(t) / 10.0) as int)),"
-            " i -> concat_ws(' ', slice(t, (i-1)*10 + 1, 10)))"
-        ).alias("ls"),
-    )
-    lines = linearr.select(
-        "doc_id",
-        F.posexplode("ls").alias("pos0", "line"),
-    ).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "line"
-    )
-    kept = lines.withColumn(
-        "cnt", F.count(F.lit(1)).over(Window.partitionBy("line"))
+
+    def _tok(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+        )
+
+    def _lines(d: DataFrame) -> DataFrame:
+        linearr = _tok(d).select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1,"
+                " cast(ceil(size(t) / 10.0) as int)),"
+                " i -> concat_ws(' ', slice(t, (i-1)*10 + 1, 10)))"
+            ).alias("ls"),
+        )
+        return linearr.select(
+            "doc_id",
+            F.posexplode("ls").alias("pos0", "line"),
+        ).select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"), "line"
+        )
+
+    toked = _tok(docs)
+    kept = corpus_key_count(
+        docs, _lines, "line", out_col="cnt"
     ).filter(F.col("cnt") < 3)
     rebuilt = kept.groupBy("doc_id").agg(
         F.expr(
