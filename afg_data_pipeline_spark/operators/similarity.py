@@ -520,20 +520,24 @@ def binarize_code(vec_col: str, dim: int):
     distance (Charikar '02, the SRP-LSH bucketing above taken to
     its limit). Bit 63 is the long's sign bit; shiftleft wraps it
     to the negative two's-complement value, which xor/bit_count
-    handle exactly."""
+    handle exactly.
+
+    Expressed as ONE aggregate fold (rule 15): the flat 64-term
+    when-chain this replaces generated ~64x the bytecode and paid
+    a visible per-plan codegen JIT cost on every fresh plan
+    (bit-identical results; each bit is a distinct power of two, so
+    the running sum stays in-range for ANSI — bits 0..62 max out at
+    2^63-1 and bit 63 adds the negative wrap last-or-anywhere with
+    the same total)."""
     if dim > 64:
         raise ValueError("binarize_code packs at most 64 dims")
-    terms = [
-        F.when(
-            F.element_at(F.col(vec_col), j + 1) > 0,
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {j})"),
-        ).otherwise(F.lit(0))
-        for j in range(dim)
-    ]
-    code = terms[0]
-    for t in terms[1:]:
-        code = code + t
-    return code
+    return F.expr(
+        f"aggregate(sequence(0, {dim - 1}),"
+        " cast(0 as bigint),"
+        f" (acc, j) -> acc + if(element_at({vec_col}, j + 1) > 0,"
+        "  shiftleft(cast(1 as bigint), j),"
+        "  cast(0 as bigint)))"
+    )
 
 
 def binary_hamming_topk(
@@ -595,16 +599,23 @@ def binary_hamming_topk(
     # (0..dim), so the k-th candidate's radius per query comes
     # from an O(n) map-side-combinable histogram — Q·(dim+1) rows
     # — and the expensive sort then runs only on the ≤ radius
-    # survivors (≈k·Q rows, not n·Q). The XOR+POPCNT pair
-    # expression is evaluated twice (histogram + pruned pass) —
-    # trading the cheapest op in the plan for its costliest sort.
-    # Measured sf10 (200k corpus × 32 queries, k=50 funnel):
-    # 5.2s → 3.2s; left OFF for small-k standalone top-k, where
-    # the 3 extra tiny-data stages cost more than the sort saves
-    # (sf0.1: 1.2s → 1.9s). Exactness: cum(h) ≥ k at h=r means
-    # ≥ k candidates at hamming ≤ r, so the true top-k is inside
-    # the cut; a query with < k candidates keeps everything via
-    # the dim fallback.
+    # survivors (≈k·Q rows, not n·Q). The pair stream feeds BOTH
+    # the histogram and the pruned pass and is DELIBERATELY
+    # evaluated twice — rule 12 has a measured boundary here:
+    # at sf10 (6.4M pairs, 200k-corpus broadcast reused across
+    # both subtrees by ReuseExchange) double evaluation of the
+    # whole-stage-codegen XOR+POPCNT costs 1.00s end-to-tier,
+    # while localCheckpoint()ing the narrow projection once costs
+    # 1.24s (the 6.4M×20 B write+read exceeds recomputation), and
+    # a broadcast-array-of-codes strategy that never materializes
+    # the pair stream at all costs ~1.4s (HOFs are CodegenFallback
+    # — 6.4M interpreted lambda steps lose to 12.8M codegen'd
+    # ones; round-6 PERF.md decomposition). Left OFF for small-k
+    # standalone top-k, where the extra tiny-data stages cost more
+    # than the sort they save (sf0.1: 1.2s → 1.9s). Exactness:
+    # cum(h) ≥ k at h=r means ≥ k candidates at hamming ≤ r, so
+    # the true top-k is inside the cut; a query with < k
+    # candidates keeps everything via the dim fallback.
     wcum = (
         Window.partitionBy("query_id")
         .orderBy("hamming")
@@ -652,18 +663,96 @@ def exact_rerank_topk(
     Output: (query_id, neighbor_id, cosine, rank), rank over the
     CANDIDATE set per query (cosine desc, neighbor asc ties).
 
-    Scale shape: norms are per-vector columns computed before the
-    joins (rule 12); the two id-joins shuffle candidate IDS plus
-    one vector per matched row — the corpus never self-joins here,
-    so cost is |candidates|, not |corpus|² (the whole point of the
-    funnel)."""
-    vecs = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-    ).withColumn("nrm", norm_decimal("v"))
+    TWO PHYSICAL STRATEGIES, stats-gated on the candidate count
+    (free — the pair set is localCheckpoint()ed first because it
+    feeds two consumers and its upstream is a whole ANN tier, rule
+    12; counting a materialized table launches no real work),
+    bit-identical output (same fold on the same vector is the same
+    double either way):
+
+    * LEAN (n_cand ≤ ``AFG_RERANK_LEAN_MAX_CAND``, default 100k —
+      ≈50 MB of broadcast (pair, query-vector) rows at 64 dims):
+      the id-pairs broadcast into the vector scan to pick up the
+      query vectors, that still-tiny result broadcasts into a
+      second scan for the neighbor vectors, and BOTH norm folds run
+      per candidate row. That is deliberate per-pair redundancy —
+      a query's norm re-folds k times, a hot neighbor's once per
+      query that ranks it — bounded by n_cand ≤ the gate, and it
+      buys a single post-checkpoint job with zero extra shuffles.
+      Measured sf10 funnel (1 600 candidates over a 200k corpus):
+      2.01s → 1.34s end-to-end vs the hoisted path, whose
+      id-distinct + semi-join + second checkpoint are 3 extra jobs
+      of pure floor at this size.
+    * HOISTED (above the gate): the vector table is semi-joined
+      down to only the ids any candidate references, norms become
+      per-VECTOR columns before the pair join (rule 12 — paying
+      the fold for the full corpus when only k·Q+Q vectors score
+      measured 0.87s → 0.33s at sf10), and the slimmed vector
+      table is checkpointed once to feed both join probes. No
+      broadcast hints: both inputs are materialized, so AQE sizes
+      the joins — broadcasting k·Q-scale sides when they fit and
+      falling back to shuffle joins when Q is huge.
+
+    The corpus never self-joins on either path: cost is
+    |candidates|, not |corpus|² (the whole point of the funnel)."""
+    import os
+
+    cand = candidates.select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    lean_cap = int(
+        os.environ.get("AFG_RERANK_LEAN_MAX_CAND", str(100_000))
+    )
+    if cand.count() <= lean_cap:
+        vecs = vectors.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+        )
+        qside = vecs.join(
+            F.broadcast(cand), vecs["vid"] == cand["query_id"]
+        ).select(
+            "query_id", "neighbor_id", F.col("v").alias("qv")
+        )
+        joined = vecs.join(
+            F.broadcast(qside),
+            vecs["vid"] == qside["neighbor_id"],
+        ).select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            F.col("v").alias("cv"),
+        )
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_decimal("qv", "cv")
+                / (norm_decimal("qv") * norm_decimal("cv"))
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    ids = (
+        cand.select(F.col("query_id").alias("vid"))
+        .unionByName(cand.select(F.col("neighbor_id").alias("vid")))
+        .distinct()
+    )
+    vecs = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+        )
+        .join(ids, "vid", "left_semi")
+        .withColumn("nrm", norm_decimal("v"))
+        .localCheckpoint(eager=True)
+    )
     joined = (
-        candidates.select("query_id", "neighbor_id")
-        .join(
+        cand.join(
             vecs.select(
                 F.col("vid").alias("query_id"),
                 F.col("v").alias("qv"),

@@ -306,6 +306,40 @@ class TestFunnelRerank:
             )
             assert ranks == [1, 2, 3]
 
+    def test_lean_and_hoisted_paths_identical(
+        self, spark, monkeypatch
+    ):
+        """The stats-gated LEAN (per-pair norms, broadcast pair
+        joins) and HOISTED (semi-joined vectors, per-vector norms)
+        re-rank strategies must be bit-identical — the same
+        sequential fold on the same vector yields the same double
+        on both paths."""
+        from afg_data_pipeline_spark.operators.similarity import (
+            binary_hamming_topk,
+            exact_rerank_topk,
+        )
+
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        queries = df.filter("vec_id < 5")
+        cand = binary_hamming_topk(queries, df, k=5, dim=8)
+        monkeypatch.setenv(
+            "AFG_RERANK_LEAN_MAX_CAND", str(10**9)
+        )
+        lean = sorted(
+            tuple(r)
+            for r in exact_rerank_topk(cand, df, k=3).collect()
+        )
+        monkeypatch.setenv("AFG_RERANK_LEAN_MAX_CAND", "0")
+        hoisted = sorted(
+            tuple(r)
+            for r in exact_rerank_topk(cand, df, k=3).collect()
+        )
+        assert lean == hoisted
+        assert len(lean) == 15
+
 
 class TestHammingRadiusCut:
     def test_radius_cut_is_result_identical(self, spark):
