@@ -127,14 +127,11 @@ def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
     return rebuilt
 
 
-def _train(
-    docs: DataFrame,
-    n_merges: int,
-    text_col: str,
-) -> tuple[list[tuple], DataFrame]:
-    """(learned merges, final symbol table) — shared by the
-    train-only and encode entry points."""
-    words = (
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) — the ONLY corpus-sized aggregate of BPE
+    training (map-side-combinable; Zipf keeps the result
+    vocabulary-sized at any corpus scale)."""
+    return (
         docs.select(
             F.explode(
                 F.split(F.trim(F.col(text_col)), r"\s+")
@@ -144,6 +141,16 @@ def _train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def _train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+) -> tuple[list[tuple], DataFrame]:
+    """(learned merges, final symbol table) — shared by the
+    train-only and encode entry points."""
+    words = _word_freqs(docs, text_col)
     syms = words.select(
         "word",
         "freq",
@@ -217,6 +224,197 @@ def bpe_encode_token_counts(
     _merges, syms = _train(docs, n_merges, text_col)
     lens = syms.select(
         "word", F.size("arr").alias("n_sub")
+    )
+    doc_words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    return (
+        doc_words.join(F.broadcast(lens), "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word"))
+            .cast("bigint")
+            .alias("n_char_tokens"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------
+# Production-merge-count training (driver-side merge loop)
+# ---------------------------------------------------------------
+#
+# The relational _train above is oracle-exact but pays a constant
+# ~0.9s of driver planning PER MERGE (two windows + a rebuild
+# aggregate per round) — fine for its declared 3 merges,
+# extrapolating to hours at a real tokenizer's 30k. The table the
+# loop iterates over is the WORD-FREQUENCY table, which is
+# vocabulary-sized (KB-MB) at any corpus scale — so the
+# scale-correct split is: ONE corpus-sized Spark aggregate, collect
+# the vocabulary (bound asserted), train the merges in driver
+# Python (heap + incremental pair counts, the subword-nmt shape),
+# and reuse the existing broadcast-join encode. Identical
+# semantics: overlapping adjacent-pair counts weighted by word
+# freq, argmax with (count DESC, left ASC, right ASC) tie-break,
+# left-to-right non-overlapping greedy application — pinned against
+# the relational/oracle-checked version in tests and by the
+# registered bpe_train_merges_fast query (same 3-merge oracle).
+
+
+def _apply_merge_py(
+    arr: list[str], left: str, right: str
+) -> list[str]:
+    """Left-to-right non-overlapping greedy merge — the driver
+    replica of _apply_merge's gaps-and-islands parity."""
+    out: list[str] = []
+    i, n = 0, len(arr)
+    while i < n:
+        if i + 1 < n and arr[i] == left and arr[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(arr[i])
+            i += 1
+    return out
+
+
+def _train_driver(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple], dict[str, list[str]]]:
+    """Train ``n_merges`` BPE merges over a collected (word, freq)
+    vocabulary. Returns (merges, final symbol arrays per word);
+    merges are (rank, left, right, pair_count).
+
+    Lazy-invalidation heap on (-count, left, right) gives the exact
+    relational tie-break; per-merge work touches only the words
+    that contain the merged pair (their old pair counts retract,
+    the rebuilt word's re-add — a pair CAN reappear later when a
+    merge manufactures its left symbol next to its right one, and
+    the fresh-argmax-per-round semantics allow re-picking it, so no
+    merged-pair exclusion set exists here or in the relational
+    twin)."""
+    import heapq
+    from collections import defaultdict
+
+    arrs: dict[str, list[str]] = {w: list(w) for w, _ in vocab}
+    freqs: dict[str, int] = dict(vocab)
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, f in vocab:
+        a = arrs[w]
+        for p in zip(a, a[1:]):
+            counts[p] += f
+            where[p].add(w)
+    heap = [(-n, lft, rgt) for (lft, rgt), n in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negn, lft, rgt = heapq.heappop(heap)
+            if counts.get((lft, rgt), 0) == -negn:
+                best = (lft, rgt, -negn)
+                break
+        if best is None:
+            break
+        lft, rgt, n = best
+        merges.append((rank, lft, rgt, n))
+        touched: set[tuple[str, str]] = set()
+        for w in list(where[(lft, rgt)]):
+            f = freqs[w]
+            old = arrs[w]
+            new = _apply_merge_py(old, lft, rgt)
+            for p in zip(old, old[1:]):
+                counts[p] -= f
+                touched.add(p)
+                if counts[p] <= 0:
+                    counts.pop(p, None)
+                where[p].discard(w)
+            for p in zip(new, new[1:]):
+                counts[p] += f
+                touched.add(p)
+                where[p].add(w)
+            arrs[w] = new
+        for p in touched:
+            if p in counts:
+                heapq.heappush(heap, (-counts[p], p[0], p[1]))
+    return merges, arrs
+
+
+def bpe_train_merges_fast(
+    docs: DataFrame,
+    n_merges: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab_rows: int = 5_000_000,
+    min_freq: int = 1,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges at production merge counts:
+    (rank, merge_left, merge_right, pair_count) — identical
+    semantics to bpe_train_merges, without its per-merge Spark
+    planning constant. ONE corpus-sized aggregate (the word table),
+    then the merge loop runs on the collected vocabulary in the
+    driver.
+
+    ``max_vocab_rows`` asserts the collect bound (clear error, not
+    an OOM); at crawl scale set ``min_freq`` > 1 — standard
+    tokenizer practice — to prune hapax junk tokens before the
+    collect (changes which merges are learned, exactly as it does
+    in any BPE trainer fed a pruned vocabulary)."""
+    words = _word_freqs(docs, text_col)
+    if min_freq > 1:
+        words = words.filter(F.col("freq") >= min_freq)
+    rows = words.collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary has {len(rows)} words > max_vocab_rows="
+            f"{max_vocab_rows}; raise the bound or set min_freq"
+        )
+    merges, _arrs = _train_driver(
+        [(r["word"], r["freq"]) for r in rows], n_merges
+    )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "rank int, merge_left string, merge_right string, "
+        "pair_count long",
+    )
+
+
+def bpe_encode_token_counts_fast(
+    docs: DataFrame,
+    n_merges: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab_rows: int = 5_000_000,
+    min_freq: int = 1,
+) -> DataFrame:
+    """bpe_encode_token_counts at production merge counts: train
+    driver-side (see bpe_train_merges_fast), then the UNCHANGED
+    encode shape — ONE broadcast join of the corpus word stream
+    against the vocabulary-sized word → subword-count table (the
+    trainer's final symbol arrays; no per-document merge
+    application ever runs)."""
+    words = _word_freqs(docs, text_col)
+    if min_freq > 1:
+        words = words.filter(F.col("freq") >= min_freq)
+    rows = words.collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary has {len(rows)} words > max_vocab_rows="
+            f"{max_vocab_rows}; raise the bound or set min_freq"
+        )
+    _merges, arrs = _train_driver(
+        [(r["word"], r["freq"]) for r in rows], n_merges
+    )
+    spark = docs.sparkSession
+    lens = spark.createDataFrame(
+        [(w, len(a)) for w, a in arrs.items()],
+        "word string, n_sub long",
     )
     doc_words = docs.select(
         F.col(id_col).alias("id"),

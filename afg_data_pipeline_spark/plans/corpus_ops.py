@@ -1422,6 +1422,35 @@ def bpe_encode_stats(
 
 
 @register(
+    "bpe_train_merges_fast",
+    oracle=_bpe_oracle(3),
+    ops=("TEXT",),
+)
+def bpe_train_merges_fast_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-side BPE merge training — the production-merge-count
+    path (operators/bpe.bpe_train_merges_fast): ONE corpus-sized
+    word-frequency aggregate, the vocabulary collected under an
+    asserted bound, then the merge loop (heap + incremental pair
+    counts) in driver Python with the exact relational semantics —
+    overlapping pair counts, (count DESC, left ASC, right ASC)
+    argmax, left-to-right greedy application. Registered at
+    n_merges=3 against the SAME unrolled-CTE oracle as
+    bpe_train_merges, so the driver trainer is hash-checked
+    bit-for-bit against both DuckDB and (transitively) the
+    relational twin; tests extend the equivalence to 8 merges and
+    train 1000 merges at sf1 vocabulary scale in seconds
+    (tests/test_bpe.py)."""
+    from afg_data_pipeline_spark.operators.bpe import (
+        bpe_train_merges_fast,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return bpe_train_merges_fast(docs, n_merges=3)
+
+
+@register(
     "per_group_sample_k",
     oracle="""
         SELECT doc_id, lang, n_chars

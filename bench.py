@@ -148,6 +148,8 @@ HEADLINE = [
     "contamination_report",
     "dsir_selected_corpus",
     "ann_ivfpq_topk",
+    # --- round-6 additions (append-only) ---
+    "bpe_train_merges_fast",
 ]
 
 

@@ -1,0 +1,245 @@
+"""Driver-side BPE training (operators/bpe.bpe_train_merges_fast)
+vs the relational oracle-checked twin.
+
+The fast path must be SEMANTICALLY IDENTICAL to bpe_train_merges —
+overlapping pair counts weighted by word freq, argmax with
+(count DESC, left ASC, right ASC) tie-break, left-to-right greedy
+non-overlapping application — while removing the per-merge Spark
+planning constant that blocks production merge counts.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string"
+    )
+
+
+class TestDriverTrainerEquivalence:
+    def test_matches_relational_on_real_corpus(self, spark):
+        """8 merges on the sf0.001 documents table: the driver
+        trainer and the relational twin must agree tuple-for-tuple
+        (rank, left, right, count) — 8 rounds is deep enough to
+        exercise merged-symbol pairs and tie-breaks on real text."""
+        from afg_data_pipeline_spark.io import read_star_table
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_train_merges,
+            bpe_train_merges_fast,
+        )
+
+        docs = read_star_table(
+            spark, "documents", "/root/testdata/sf0.001"
+        )
+        slow = [
+            tuple(r)
+            for r in bpe_train_merges(docs, n_merges=8)
+            .orderBy("rank")
+            .collect()
+        ]
+        fast = [
+            tuple(r)
+            for r in bpe_train_merges_fast(docs, n_merges=8)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert fast == slow
+        assert len(fast) == 8
+
+    def test_matches_relational_on_random_corpora(self, spark):
+        """Seeded random corpora over a 3-letter alphabet hammer
+        the degenerate structures (runs, reformed pairs, ties):
+        10 merges must agree with the relational twin on each."""
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_train_merges,
+            bpe_train_merges_fast,
+        )
+
+        rng = random.Random(6)
+        for trial in range(3):
+            texts = [
+                " ".join(
+                    "".join(
+                        rng.choice("aab")
+                        for _ in range(rng.randint(1, 7))
+                    )
+                    for _ in range(rng.randint(3, 10))
+                )
+                for _ in range(6)
+            ]
+            df = _docs(spark, list(enumerate(texts)))
+            slow = [
+                tuple(r)
+                for r in bpe_train_merges(df, n_merges=10)
+                .orderBy("rank")
+                .collect()
+            ]
+            fast = [
+                tuple(r)
+                for r in bpe_train_merges_fast(df, n_merges=10)
+                .orderBy("rank")
+                .collect()
+            ]
+            assert fast == slow, (trial, texts)
+
+    def test_exhausts_pairs_and_stops(self, spark):
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_train_merges_fast,
+        )
+
+        df = _docs(spark, [(1, "ab ab a b")])
+        got = [
+            tuple(r)
+            for r in bpe_train_merges_fast(df, n_merges=50)
+            .orderBy("rank")
+            .collect()
+        ]
+        # "ab"x2 -> merge (a,b); after that the only words are
+        # single-symbol -> no pairs -> training stops early.
+        assert got == [(1, "a", "b", 2)]
+
+    def test_vocab_bound_raises(self, spark):
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_train_merges_fast,
+        )
+
+        df = _docs(spark, [(1, "one two three four five")])
+        with pytest.raises(ValueError, match="max_vocab_rows"):
+            bpe_train_merges_fast(df, n_merges=2, max_vocab_rows=3)
+
+
+class TestProductionMergeCounts:
+    def test_1000_merges_in_seconds(self, spark):
+        """The headline requirement: 1000 merges over a
+        production-scale vocabulary (~48k distinct words — the
+        synthetic documents table bottoms out at 31 words and
+        exhausts at 89 merges, so the vocabulary is generated,
+        seeded) in seconds, not the relational path's
+        ~0.9s-per-merge planning floor (15 min for 1000; measured
+        7.3s for the FULL 30k-merge production run on this same
+        vocabulary). The driver loop is data-size-independent past
+        the single word-frequency aggregate."""
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_train_merges_fast,
+        )
+
+        rng = random.Random(42)
+        syll = (
+            "ba be bi bo bu ka ke ko la le li lo ma me mi mo "
+            "na ne no ra re ri ro sa se si so ta te ti to "
+            "tion ing er est pre un sub"
+        ).split()
+        texts = [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        rng.choice(syll)
+                        for _ in range(rng.randint(2, 6))
+                    )
+                    for _ in range(40)
+                ),
+            )
+            for i in range(2000)
+        ]
+        docs = _docs(spark, texts)
+        t0 = time.time()
+        merges = bpe_train_merges_fast(docs, n_merges=1000)
+        rows = merges.collect()
+        elapsed = time.time() - t0
+        assert len(rows) == 1000
+        assert elapsed < 60, f"{elapsed:.1f}s for 1000 merges"
+        # ranks are 1..1000; counts positive (non-increasing is
+        # NOT required — greedy BPE counts can rise after re-pair)
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, 1001)
+        )
+        assert all(r["pair_count"] >= 1 for r in rows)
+
+    def test_real_corpus_exhausts_cleanly(self, spark):
+        """The synthetic corpus vocabulary (31 words) exhausts
+        before 200 merges: training stops when no pairs remain,
+        i.e. every vocabulary word has merged to one symbol."""
+        from afg_data_pipeline_spark.io import read_star_table
+        from afg_data_pipeline_spark.operators.bpe import (
+            _train_driver,
+            _word_freqs,
+        )
+
+        docs = read_star_table(
+            spark, "documents", "/root/testdata/sf0.01"
+        )
+        vocab = [
+            (r["word"], r["freq"])
+            for r in _word_freqs(docs, "text").collect()
+        ]
+        merges, arrs = _train_driver(vocab, 200)
+        assert 0 < len(merges) < 200
+        assert all(len(a) == 1 for a in arrs.values())
+
+    def test_encode_is_one_broadcast_join(self, spark):
+        """Encoding with a 1000-merge vocabulary is ONE broadcast
+        hash join of the corpus word stream against the
+        driver-built word -> subword-count table — no shuffle
+        join, no per-document merge application."""
+        from afg_data_pipeline_spark.io import read_star_table
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_encode_token_counts_fast,
+        )
+
+        docs = read_star_table(
+            spark, "documents", "/root/testdata/sf0.001"
+        )
+        out = bpe_encode_token_counts_fast(docs, n_merges=1000)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        # and the numbers are internally consistent on a sample
+        rows = out.limit(50).collect()
+        assert rows
+        for r in rows:
+            assert r["n_words"] >= 1
+            assert (
+                r["n_words"]
+                <= r["n_bpe_tokens"]
+                <= r["n_char_tokens"]
+            )
+
+    def test_fast_encode_matches_slow_encode(self, spark):
+        """At the same n_merges the fast encode must reproduce
+        bpe_encode_token_counts row-for-row (same learned
+        vocabulary => same subword counts)."""
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_encode_token_counts,
+            bpe_encode_token_counts_fast,
+        )
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new",
+            "aaaa aaaa baaa",
+        ]
+        df = _docs(spark, list(enumerate(texts)))
+        slow = sorted(
+            tuple(r)
+            for r in bpe_encode_token_counts(
+                df, n_merges=5
+            ).collect()
+        )
+        fast = sorted(
+            tuple(r)
+            for r in bpe_encode_token_counts_fast(
+                df, n_merges=5
+            ).collect()
+        )
+        assert fast == slow
