@@ -989,13 +989,22 @@ def contamination_report(
     independent of duplication), the eval side to distinct
     (eval_set, id, gram); contaminated ids come from a semi-join on
     the gram — documents never shuffle, and adding eval sets adds
-    only their own gram rows."""
+    only their own gram rows. No per-doc array_distinct on either
+    side: only gram EXISTENCE survives the downstream distincts, so
+    within-doc duplicate grams are semantically free, the map-side
+    hash aggregates collapse them before any shuffle anyway, and
+    dropping the per-array dedup pass measured 2.84s → 2.45s at
+    sf10 (decontaminate() differs: it COUNTS distinct grams per
+    doc, so its array_distinct is load-bearing). No broadcast hint
+    on the semi-join — the train vocabulary is corpus-sized at
+    100 TB; AQE converts to broadcast at runtime when it fits
+    (PERF.md round 6: gram construction alone is 1.1s of the 2.4s,
+    ≈ DuckDB's entire runtime — the residual is engine string
+    throughput, not plan shape)."""
     tgrams = (
         train.select(tokens(text_col).alias("__t"))
         .select(
-            F.explode(
-                F.array_distinct(shingle_expr("__t", n))
-            ).alias("gram")
+            F.explode(shingle_expr("__t", n)).alias("gram")
         )
         .distinct()
     )
@@ -1006,9 +1015,7 @@ def contamination_report(
     ).select(
         "eval_set",
         "id",
-        F.explode(
-            F.array_distinct(shingle_expr("__t", n))
-        ).alias("gram"),
+        F.explode(shingle_expr("__t", n)).alias("gram"),
     )
     contaminated = (
         egrams.join(tgrams, "gram", "left_semi")
