@@ -96,9 +96,21 @@ def _coverage_order(names: list[str]) -> list[str]:
         "adaptive_length_filter": 5,
         "kmeans_cluster_assign": 5,
         "semantic_dedup_pairs": 5,
-        # binary_hamming_topk gained the radius_cut branch late in
-        # round 5 (default path unchanged, but re-certify):
-        "hamming_topk": 5,
+        # The round-5 skew-gate commit (4bfc4ae) landed AFTER
+        # CORRECTNESS_r05 was recorded, so its four consumers'
+        # r≤5 rows predate the corpus_key_count rewrite:
+        "boilerplate_line_dedup": 6,
+        "duplicate_span_detect": 6,
+        "duplicate_span_extract": 6,
+        "chunk_dedup_profile": 6,
+        # round-6 code changes after the r5 rows (binarize fold +
+        # stats-gated rerank; contamination array_distinct drop;
+        # BPE _word_freqs refactor shared by the relational twins):
+        "ann_funnel_topk": 6,
+        "hamming_topk": 6,
+        "contamination_report": 6,
+        "bpe_train_merges": 6,
+        "bpe_encode_stats": 6,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}
