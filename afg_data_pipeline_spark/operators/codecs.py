@@ -767,8 +767,14 @@ class _JpegBitReader:
         self._n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG (scan hits EOF)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError(
+                    "truncated JPEG (lone 0xFF at EOF)"
+                )
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -803,6 +809,10 @@ class _JpegBitReader:
         """Byte-align and consume the next RSTn marker."""
         self._acc = 0
         self._n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError(
+                "truncated JPEG (EOF at restart marker)"
+            )
         if (
             self.data[self.pos] == 0xFF
             and 0xD0 <= self.data[self.pos + 1] <= 0xD7
@@ -1028,13 +1038,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+        # a marker code — skip them instead of parsing 0xFF as a
+        # marker with a bogus segment length.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (fill bytes at EOF)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (segment length)")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG (segment body)")
         body = data[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT

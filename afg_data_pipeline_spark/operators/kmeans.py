@@ -206,6 +206,7 @@ def semantic_dedup_pairs(
     k: int | str = "auto",
     iterations: int = 3,
     threshold: float = 0.9,
+    n: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -233,17 +234,25 @@ def semantic_dedup_pairs(
     ``k`` defaults to ``"auto"``: k = min(√n, 4096) (see auto_k) —
     the SemDeDup regime where cluster count tracks corpus size so
     Σ n_c² stays ~n^1.5 instead of degrading toward n²/k for a
-    fixed small k. The registered oracle query pins k=8 explicitly
-    (a fixed k keeps the unrolled SQL replica tractable); AUTO is
-    the production default for direct operator callers.
+    fixed small k (measured sf10, 200k vectors: k=8 is ~2.5G
+    within-cluster pair folds vs ~45M at k=auto=447 — see PERF.md
+    round 6). The registered oracle query pins k=8 explicitly (a
+    fixed k keeps the unrolled SQL replica tractable); AUTO is the
+    production default for direct operator callers. Pass ``n``
+    (the corpus row count) to skip auto's one count job when the
+    caller already knows it.
     """
     from afg_data_pipeline_spark.operators.similarity import (
         dot_decimal,
         norm_decimal,
     )
 
+    if isinstance(k, bool):
+        # bool is an int subclass: k=True would silently become
+        # k=1 (no blocking at all) — reject it before the int check.
+        raise ValueError(f"k must be an int or 'auto', got {k!r}")
     if k == "auto":
-        k = auto_k(df.count())
+        k = auto_k(df.count() if n is None else n)
     elif not isinstance(k, int):
         raise ValueError(f"k must be an int or 'auto', got {k!r}")
     assign = kmeans_assign(

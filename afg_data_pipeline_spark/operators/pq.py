@@ -382,11 +382,16 @@ def pq_adc_topk(
         codes.join(F.broadcast(lut), ["j", "c"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        # BIGINT sum of exactly m fold distances — the kmeans
-        # distance contract (grid components with |x| ≲ 300 keep
-        # the total provably under 2^63); decimal accumulation
-        # here measured +~2s on 5M join rows at sf1 for a bound
-        # the fold already guarantees.
+        # BIGINT sum of exactly m fold distances. Bound: each
+        # squared grid diff ≤ (2·|x|max·1e6)², and the FULL ADC
+        # total sums m·dsub = 64 of them — |x| ≲ 150 keeps it
+        # under 2^63 (64·(3e8)² ≈ 5.8e18 < 9.2e18); |x| ≲ 300
+        # only bounds a single fold, NOT the cross-fold sum
+        # (64·(6e8)² ≈ 2.3e19 overflows under the driver's ANSI
+        # session, rule 11). Unit-scale embeddings sit far inside;
+        # an out-of-contract corpus should pre-scale or switch this
+        # agg to decimal(38,0) (measured +~2s on 5M join rows at
+        # sf1, which is why it is not the default).
         .agg(F.sum("d").alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -514,3 +514,70 @@ class TestJpegCodec:
         assert a == b and a != c
         img = decode_jpeg(a)
         assert img.ndim == 3 and img.shape[2] == 3
+
+
+class TestJpegRobustness:
+    """decode_jpeg against legal-but-unusual and truncated streams
+    (decode_raster dispatches ANY crawl bytes starting FFD8 here,
+    so foreign streams must fail diagnosably, never with a bare
+    IndexError)."""
+
+    def _jpeg(self):
+        import numpy as np
+
+        from afg_data_pipeline_spark.operators.codecs import (
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(3)
+        px = rng.randint(0, 256, (12, 10, 3), dtype=np.uint8)
+        return px, encode_jpeg(px, quality=75)
+
+    def test_fill_bytes_before_markers_accepted(self):
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+        # a marker. Inject fills before every marker segment in the
+        # header (up to SOS) — decode must be bit-identical.
+        import numpy as np
+
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_jpeg,
+        )
+
+        px, data = self._jpeg()
+        base = decode_jpeg(data)
+        # walk the marker stream and rebuild with fills
+        out = bytearray(data[:2])
+        pos = 2
+        while pos < len(data):
+            assert data[pos] == 0xFF
+            marker = data[pos + 1]
+            out += b"\xff\xff\xff"  # three fill bytes
+            if marker == 0xDA:  # SOS: copy the rest verbatim
+                out += data[pos:]
+                break
+            seglen = int.from_bytes(
+                data[pos + 2 : pos + 4], "big"
+            )
+            out += data[pos : pos + 2 + seglen]
+            pos += 2 + seglen
+        got = decode_jpeg(bytes(out))
+        assert np.array_equal(got, base)
+
+    def test_truncated_streams_raise_value_error(self):
+        from afg_data_pipeline_spark.operators.codecs import (
+            decode_jpeg,
+        )
+
+        _px, data = self._jpeg()
+        # header cuts, scan cuts, and a lone trailing 0xFF: every
+        # prefix must raise ValueError/NotImplementedError — never
+        # IndexError/struct.error.
+        cuts = sorted(
+            {3, 5, 10, len(data) // 2, len(data) - 3}
+        )
+        for cut in cuts:
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_jpeg(data[:cut])
+        # NB: garbage AFTER the last complete MCU is legally
+        # ignored (the reader never consumes past the scan), so a
+        # trailing lone 0xFF does not — and should not — raise.
