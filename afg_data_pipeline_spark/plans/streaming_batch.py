@@ -172,3 +172,94 @@ def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_star_table(spark, "events", sf_dir)
     return session_window_agg(ev, "30 minutes", ["user_id"])
+
+
+@register(
+    "watermarked_tumbling_counts",
+    oracle=f"""
+        SELECT event_type,
+               time_bucket(INTERVAL 2 HOUR, ts) AS window_start,
+               time_bucket(INTERVAL 2 HOUR, ts) + INTERVAL 2 HOUR
+                 AS window_end,
+               count(*) AS n_events,
+               {sql_dsum("value", "total_value")}
+        FROM events
+        GROUP BY 1, 2
+    """,
+    ops=("STREAM",),
+)
+def watermarked_tumbling_counts_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the watermarked streaming aggregation: the
+    SAME streaming/windows.watermarked_tumbling_counts function run
+    over the batch events table (withWatermark is a no-op on batch
+    frames, and with availableNow over a finite backlog nothing is
+    late — the stream test asserts total equality on exactly this
+    plan). 2-hour windows keep it distinct from the 1-hour
+    tumbling_window_agg query; window bounds cast back to NTZ (the
+    LTZ cast the watermark requires is an identity under the pinned
+    UTC session)."""
+    from afg_data_pipeline_spark.streaming.windows import (
+        watermarked_tumbling_counts,
+    )
+
+    ev = read_star_table(spark, "events", sf_dir)
+    out = watermarked_tumbling_counts(
+        ev, width="2 hours", delay="2 hours", keys=["event_type"]
+    )
+    return out.select(
+        "event_type",
+        F.col("window_start").cast("timestamp_ntz").alias(
+            "window_start"
+        ),
+        F.col("window_end").cast("timestamp_ntz").alias(
+            "window_end"
+        ),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "dedup_within_watermark",
+    oracle="""
+        SELECT user_id, event_type, ts AS first_ts,
+               event_id AS first_event_id
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC
+                   ) AS rn
+            FROM events)
+        WHERE rn = 1
+    """,
+    ops=("STREAM", "DEDUP"),
+)
+def dedup_within_watermark_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of streaming dedup-within-watermark:
+    dropDuplicatesWithinWatermark is STREAM-ONLY (Spark raises on
+    batch frames) and keeps the first-arriving row per key, so the
+    oracle-checkable twin is streaming/windows.dedup_first_event —
+    the earliest (ts, event_id) row per (user_id, event_type),
+    which is exactly what the streaming operator emits for an
+    event-time-ordered replay with every duplicate inside the
+    watermark delay (stream == batch asserted on that feed in
+    tests/test_streaming.py)."""
+    from afg_data_pipeline_spark.streaming.windows import (
+        dedup_first_event,
+    )
+
+    ev = read_star_table(spark, "events", sf_dir)
+    out = dedup_first_event(
+        ev, ["user_id", "event_type"], "ts", "event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("first_ts"),
+        F.col("event_id").alias("first_event_id"),
+    )

@@ -20,7 +20,7 @@ bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamReader
 
@@ -143,6 +143,32 @@ def dedup_within_watermark(
         stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(id_cols)
+    )
+
+
+def dedup_first_event(
+    df: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Deterministic BATCH TWIN of dedup_within_watermark.
+
+    dropDuplicatesWithinWatermark is stream-only (Spark raises on
+    batch frames) and keeps the FIRST-ARRIVING row per key; for an
+    event-time-ordered replay — the reproducible way to drive the
+    stream — that is exactly the earliest (ts, tiebreak) row per
+    key. This window form pins those semantics on batch data so the
+    streaming operator has an oracle-checkable twin
+    (tests/test_streaming.py asserts stream == this on an ordered
+    feed with all duplicates inside the watermark delay)."""
+    w = Window.partitionBy(*id_cols).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 

@@ -189,6 +189,47 @@ class TestStreamingDedup:
         )
         assert got.count() == ev.count()
 
+    def test_stream_equals_batch_twin_on_ordered_feed(
+        self, spark, tmp_path, events_dir
+    ):
+        """The registered batch twin (dedup_first_event: earliest
+        (ts, event_id) per key) must equal the real streaming
+        dropDuplicatesWithinWatermark on the feed where its
+        semantics are deterministic: events arriving in event-time
+        order (one sorted file) with every duplicate inside the
+        watermark delay."""
+        from afg_data_pipeline_spark.streaming.windows import (
+            dedup_first_event,
+        )
+
+        ordered_dir = str(tmp_path / "ordered")
+        ev = _batch(spark, events_dir)
+        ev.orderBy("ts", "event_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(ordered_dir)
+        stream = read_events_stream(
+            spark, ordered_dir, schemas.EVENTS,
+            max_files_per_trigger=1,
+        )
+        got = run_append_to_memory_sink(
+            dedup_within_watermark(
+                stream, ["user_id", "event_type"], "100 days"
+            ),
+            "t_dedup_twin",
+            spark,
+        ).select("user_id", "event_type", "ts", "event_id")
+        want = dedup_first_event(
+            ev, ["user_id", "event_type"], "ts", "event_id"
+        ).select(
+            "user_id",
+            "event_type",
+            ev["ts"].cast("timestamp").alias("ts"),
+            "event_id",
+        )
+        assert normalize_rows(
+            got.collect(), got.columns
+        ) == normalize_rows(want.collect(), want.columns)
+
 
 class TestForeachBatchSink:
     def test_idempotent_partition_overwrite(self, spark, tmp_path):
