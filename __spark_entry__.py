@@ -111,6 +111,10 @@ def _coverage_order(names: list[str]) -> list[str]:
         "contamination_report": 6,
         "bpe_train_merges": 6,
         "bpe_encode_stats": 6,
+        # round-6 kmeans strategy gate (literal path unchanged for
+        # k=8, but the module changed — re-certify):
+        "kmeans_cluster_assign": 6,
+        "semantic_dedup_pairs": 6,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

@@ -125,6 +125,13 @@ def kmeans_assign(
         cid: list(row["qarr"]) for cid, row in enumerate(seeds)
     }
 
+    import os
+
+    literal_max_k = int(
+        os.environ.get("AFG_KMEANS_LITERAL_MAX_K", "64")
+    )
+    use_numpy = k > literal_max_k
+
     def with_cluster(cents_now: dict[int, list[int]]):
         """(frame + d_<cid> columns + cluster + dist_q) — each
         distance is materialized once as a column, then the argmin
@@ -145,30 +152,34 @@ def kmeans_assign(
         ).withColumn("dist_q", best)
 
     for _ in range(iterations):
-        # posexplode to (cluster, dim, q) then ONE aggregate: a
-        # 64-sum wide aggregate costs ~0.9s of driver-side planning
-        # per iteration (72 aggregate expressions) where this
-        # 3-expression form costs ~0.6s including the cluster
-        # computation — and the shuffle still carries only k×d
-        # map-side-combined partials. Every (cluster, dim) group
-        # has exactly n_cluster rows, so the count rides each row.
-        # DECIMAL(38,0) accumulation: ANSI-proof (rule 11); cast
-        # back to BIGINT after (bound Σ|q| ≤ n·1e7, exact under
-        # 9.2e18).
-        agg = (
-            with_cluster(cents)
-            .select(
-                "cluster", F.posexplode("qarr").alias("dim", "q")
+        if use_numpy:
+            agg = _np_iter_partials(base, cents).collect()
+        else:
+            # posexplode to (cluster, dim, q) then ONE aggregate: a
+            # 64-sum wide aggregate costs ~0.9s of driver-side
+            # planning per iteration (72 aggregate expressions)
+            # where this 3-expression form costs ~0.6s including
+            # the cluster computation — and the shuffle still
+            # carries only k×d map-side-combined partials. Every
+            # (cluster, dim) group has exactly n_cluster rows, so
+            # the count rides each row. DECIMAL(38,0) accumulation:
+            # ANSI-proof (rule 11); cast back to BIGINT after
+            # (bound Σ|q| ≤ n·1e7, exact under 9.2e18).
+            agg = (
+                with_cluster(cents)
+                .select(
+                    "cluster",
+                    F.posexplode("qarr").alias("dim", "q"),
+                )
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("q").cast("decimal(38,0)"))
+                    .cast("bigint")
+                    .alias("s"),
+                )
+                .collect()
             )
-            .groupBy("cluster", "dim")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("q").cast("decimal(38,0)"))
-                .cast("bigint")
-                .alias("s"),
-            )
-            .collect()
-        )
         new_cents: dict[int, list[int]] = {}
         for row in agg:
             new_cents.setdefault(row["cluster"], [0] * dim)
@@ -177,7 +188,132 @@ def kmeans_assign(
             ) // row["n"] - OFF
         cents = new_cents
 
+    if use_numpy:
+        return _np_final_assign(base, cents)
     return with_cluster(cents).select("id", "cluster", "dist_q")
+
+
+def _np_dist_matrix(qmat, cmat):
+    """Exact int64 squared-distance matrix |q−c|² via the
+    expansion |q|² + |c|² − 2 q·c — every term bounded by
+    64·(2·OFF)² ≈ 1e17 < 2^63, so the int64 matmul is exact (numpy
+    integer matmul never routes through float BLAS)."""
+    import numpy as np
+
+    q2 = (qmat * qmat).sum(axis=1, dtype=np.int64)
+    c2 = (cmat * cmat).sum(axis=1, dtype=np.int64)
+    qc = qmat @ cmat.T
+    return q2[:, None] + c2[None, :] - 2 * qc
+
+
+def _np_iter_partials(base: DataFrame, cents: dict) -> DataFrame:
+    """One Lloyd's-round pass as mapInPandas: per Arrow batch,
+    assign every vector to its nearest centroid (exact int64 math,
+    ties → smallest cluster id — np.argmin's first-minimum is the
+    smallest index of the cid-sorted matrix, the same tie-break as
+    the literal when-chain) and emit per-(cluster, dim) partial
+    sums/counts. The shuffle carries only k×d partials per batch;
+    the driver combines them with the identical floor-division
+    formula. This is the k > AFG_KMEANS_LITERAL_MAX_K strategy:
+    the literal-fold projection is interpreted (HOFs are
+    CodegenFallback) and its n·k·d cost wall was measured at 152s
+    for k=447 over 200k vectors where this path runs the same
+    exact assignment in a few seconds (PERF.md round 6) — the
+    sanctioned Arrow-UDF regime (COVERAGE §2.11): built-ins can
+    express it, but 30× slower at production k."""
+    import numpy as np
+
+    cids = sorted(cents)
+    cmat = np.array([cents[c] for c in cids], dtype=np.int64)
+    cid_arr = np.array(cids, dtype=np.int64)
+    dim = cmat.shape[1]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.array(
+                [list(a) for a in pdf["qarr"]], dtype=np.int64
+            )
+            idx = _np_dist_matrix(qmat, cmat).argmin(axis=1)
+            counts = np.bincount(idx, minlength=len(cids))
+            sums = np.zeros(
+                (len(cids), dim), dtype=np.int64
+            )
+            np.add.at(sums, idx, qmat)
+            live = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(cid_arr[live], dim),
+                    "dim": np.tile(np.arange(dim), len(live)),
+                    "n": np.repeat(counts[live], dim),
+                    "s": sums[live].reshape(-1),
+                }
+            )
+
+    part = base.mapInPandas(
+        gen, schema="cluster long, dim int, n long, s long"
+    )
+    # batch-level partials are bounded (≤ maxRecordsPerBatch·2·OFF
+    # per cell) but the global sums are not provably < 2^63 —
+    # decimal-accumulate (rule 11), cast back after.
+    return (
+        part.groupBy("cluster", "dim")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("s").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "dim",
+            "n",
+            "s",
+        )
+    )
+
+
+def _np_final_assign(base: DataFrame, cents: dict) -> DataFrame:
+    """Final (id, cluster, dist_q) via the same exact int64 batch
+    assignment as _np_iter_partials."""
+    import numpy as np
+
+    cids = sorted(cents)
+    cmat = np.array([cents[c] for c in cids], dtype=np.int64)
+    cid_arr = np.array(cids, dtype=np.int64)
+    id_field = base.schema["id"]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.array(
+                [list(a) for a in pdf["qarr"]], dtype=np.int64
+            )
+            dmat = _np_dist_matrix(qmat, cmat)
+            idx = dmat.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cluster": cid_arr[idx].astype(np.int32),
+                    "dist_q": dmat[
+                        np.arange(len(idx)), idx
+                    ],
+                }
+            )
+
+    return base.mapInPandas(
+        gen,
+        schema=(
+            f"id {id_field.dataType.simpleString()}, "
+            "cluster int, dist_q long"
+        ),
+    )
 
 
 def auto_k(n: int, cap: int = 4096) -> int:

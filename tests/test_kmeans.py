@@ -111,6 +111,57 @@ class TestKmeansAssign:
         with pytest.raises(ValueError, match="at least k"):
             kmeans_assign(df, k=4, iterations=1, dim=8)
 
+    def test_numpy_strategy_bit_identical(self, spark, monkeypatch):
+        """The k > AFG_KMEANS_LITERAL_MAX_K strategy (exact int64
+        numpy assignment in mapInPandas) must reproduce the
+        literal-fold path bit-for-bit — same distances, same
+        smallest-cid tie-break, same centroid evolution — at every
+        k, including k=1-sized clusters and dead-cluster rounds."""
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        for k in (3, 4, 7):
+            monkeypatch.setenv("AFG_KMEANS_LITERAL_MAX_K", "999")
+            literal = {
+                r.id: (r.cluster, r.dist_q)
+                for r in kmeans_assign(
+                    df, k=k, iterations=3, dim=8
+                ).collect()
+            }
+            monkeypatch.setenv("AFG_KMEANS_LITERAL_MAX_K", "0")
+            vectorized = {
+                r.id: (r.cluster, r.dist_q)
+                for r in kmeans_assign(
+                    df, k=k, iterations=3, dim=8
+                ).collect()
+            }
+            assert vectorized == literal, k
+        # and the python replica still pins both
+        assert vectorized == _replica(vecs, k=7, iterations=3)
+
+    def test_literal_path_survives_codegen_hard_mode(self, spark):
+        """Guard for the 64 KB codegen cliff (CLAUDE.md rule 15):
+        with spark.sql.codegen.fallback=false a whole-stage-codegen
+        compile failure raises instead of silently interpreting, so
+        running the literal-fold path at its k gate boundary proves
+        the generated code stays compilable (the HOF folds
+        themselves are CodegenFallback — the when-chain and literal
+        arrays are what codegen must swallow)."""
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        old = spark.conf.get("spark.sql.codegen.fallback", "true")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            got = kmeans_assign(
+                df, k=24, iterations=2, dim=8
+            ).collect()
+            assert len(got) == 30
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old)
+
 
 class TestSemanticDedupPairs:
     def test_pairs_are_same_cluster_and_high_cosine(self, spark):
