@@ -247,7 +247,14 @@ def ngram_jaccard_pairs(
     to same-group pairs) — a high-probability-recall SUBSET of the
     exact output whose cost is bounded by band collisions instead
     of group size. Below the budget the output is exactly the full
-    pair set (oracle-checkable). The active tier is part of the
+    pair set (oracle-checkable).
+
+    NOTE the probe is EAGER: the pair-count aggregate runs a Spark
+    job at PLAN-CONSTRUCTION time (calling this function), not at
+    execution — unusual for a lazily-composed library, but the tier
+    decision must be made before the plan exists. Callers building
+    plans they may never execute should know they pay one cheap
+    count job here. The active tier is part of the
     OUTPUT SCHEMA (``tier``: 'exact' | 'lsh_subset'), so the
     subset mode can never be mistaken for the exact contract — an
     oracle run at a scale that crosses the budget red-rows on the

@@ -1451,6 +1451,56 @@ def bpe_train_merges_fast_q(
 
 
 @register(
+    "bpe_encode_stats_fast",
+    oracle=_bpe_oracle(3, through_final=True)
+    + """,
+        lens AS (
+            SELECT word, CAST(len(arr) AS BIGINT) AS n_sub
+            FROM s4
+        ),
+        dw AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           trim(text), '\\s+')) AS word
+                FROM documents)
+            WHERE length(word) > 0
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(word)) AS BIGINT)
+                   AS n_char_tokens,
+               CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN lens USING (word)
+        GROUP BY doc_id
+    """,
+    ops=("TEXT",),
+)
+def bpe_encode_stats_fast_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """bpe_encode_stats through the DRIVER-trained vocabulary
+    (operators/bpe.bpe_encode_token_counts_fast): the trainer's
+    final symbol arrays become the broadcast word → subword-count
+    table, so the whole driver-training path — vocabulary collect,
+    heap merge loop, final arrays — is hash-checked end-to-end
+    against the same unrolled-CTE oracle the relational encode
+    uses. Still exactly ONE broadcast join at any merge count
+    (plan-shape-asserted in tests/test_bpe.py)."""
+    from afg_data_pipeline_spark.operators.bpe import (
+        bpe_encode_token_counts_fast,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return bpe_encode_token_counts_fast(docs, n_merges=3).select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_char_tokens",
+        "n_bpe_tokens",
+    )
+
+
+@register(
     "per_group_sample_k",
     oracle="""
         SELECT doc_id, lang, n_chars

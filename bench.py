@@ -150,6 +150,9 @@ HEADLINE = [
     "ann_ivfpq_topk",
     # --- round-6 additions (append-only) ---
     "bpe_train_merges_fast",
+    "bpe_encode_stats_fast",
+    "watermarked_tumbling_counts",
+    "dedup_within_watermark",
 ]
 
 
