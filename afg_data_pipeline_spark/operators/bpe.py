@@ -433,3 +433,108 @@ def bpe_encode_token_counts_fast(
             F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def _vocab_ids(
+    vocab_words: list[str], merges: list[tuple]
+) -> dict[str, int]:
+    """Deterministic token-id assignment — the standard BPE vocab
+    layout: the sorted base alphabet takes ids 0..A-1, then one
+    token per merge in rank order (id = A + rank − 1). Two merges
+    CAN produce the same string ((a,bc) and (ab,c) both make
+    "abc"); first id wins, matching every mainstream tokenizer's
+    first-occurrence vocab dedup."""
+    alphabet = sorted({ch for w in vocab_words for ch in w})
+    ids: dict[str, int] = {
+        ch: i for i, ch in enumerate(alphabet)
+    }
+    base = len(alphabet)
+    for rank, lft, rgt, _n in merges:
+        ids.setdefault(lft + rgt, base + rank - 1)
+    return ids
+
+
+def bpe_vocab_table(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    max_vocab_rows: int = 5_000_000,
+) -> DataFrame:
+    """The learned tokenizer VOCABULARY as a table:
+    (token, token_id) — sorted base alphabet then merge tokens in
+    rank order (see _vocab_ids). Driver-trained (the
+    bpe_train_merges_fast path), so production merge counts cost
+    seconds; oracle-pinned at n=3 against the unrolled-CTE chain.
+    """
+    words = _word_freqs(docs, text_col)
+    rows = words.collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary has {len(rows)} words > max_vocab_rows="
+            f"{max_vocab_rows}"
+        )
+    merges, _arrs = _train_driver(
+        [(r["word"], r["freq"]) for r in rows], n_merges
+    )
+    ids = _vocab_ids([r["word"] for r in rows], merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        sorted(ids.items(), key=lambda kv: kv[1]),
+        "token string, token_id int",
+    )
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    n_merges: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_vocab_rows: int = 5_000_000,
+) -> DataFrame:
+    """Tokenize every document into its BPE TOKEN-ID STREAM —
+    (id, token_ids array<int>) — the artifact a training pipeline
+    actually feeds to packing (pack_token_stream) and batching.
+
+    Scale shape: the trainer's final symbol arrays become a
+    broadcast word → id-array table (vocabulary-sized at any corpus
+    scale); documents join it per word and rebuild their stream
+    with one ordered per-doc aggregate — no per-document merge
+    application, no UDF on the corpus path. The flatten/transform
+    HOF feeds an oracle-checked output (rule 10 sanctioned)."""
+    words = _word_freqs(docs, text_col)
+    rows = words.collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary has {len(rows)} words > max_vocab_rows="
+            f"{max_vocab_rows}"
+        )
+    merges, arrs = _train_driver(
+        [(r["word"], r["freq"]) for r in rows], n_merges
+    )
+    ids = _vocab_ids([r["word"] for r in rows], merges)
+    spark = docs.sparkSession
+    word_ids = spark.createDataFrame(
+        [
+            (w, [ids[s] for s in arr])
+            for w, arr in arrs.items()
+        ],
+        "word string, ids array<int>",
+    )
+    doc_words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("wpos", "word"),
+    ).filter(F.length("word") > 0)
+    return (
+        doc_words.join(F.broadcast(word_ids), "word")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(wpos, ids))), x -> x.ids)"
+                )
+            ).alias("token_ids")
+        )
+    )

@@ -1500,6 +1500,108 @@ def bpe_encode_stats_fast_q(
     )
 
 
+_BPE_VOCAB_SQL = """,
+        alphabet AS (
+            SELECT ch,
+                   CAST(row_number() OVER (ORDER BY ch) - 1
+                        AS BIGINT) AS token_id
+            FROM (SELECT DISTINCT unnest(
+                      regexp_split_to_array(word, '')) AS ch
+                  FROM s1)
+        ),
+        merge_tokens AS (
+            SELECT l || r AS tok,
+                   (SELECT count(*) FROM alphabet)
+                     + rank - 1 AS token_id
+            FROM (SELECT 1 AS rank, l, r FROM b1
+                  UNION ALL SELECT 2, l, r FROM b2
+                  UNION ALL SELECT 3, l, r FROM b3)
+        ),
+        vocab AS (
+            SELECT tok AS token,
+                   CAST(MIN(token_id) AS INT) AS token_id
+            FROM (SELECT ch AS tok, token_id FROM alphabet
+                  UNION ALL
+                  SELECT tok, token_id FROM merge_tokens)
+            GROUP BY tok
+        )
+"""
+
+
+@register(
+    "bpe_vocab",
+    oracle=_bpe_oracle(3, through_final=True)
+    + _BPE_VOCAB_SQL
+    + "SELECT token, token_id FROM vocab",
+    ops=("TEXT",),
+)
+def bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE tokenizer vocabulary as a table:
+    (token, token_id) — sorted base alphabet at ids 0..A-1, merge
+    tokens in rank order after (first id wins when two merges
+    manufacture the same string — mainstream tokenizer vocab-dedup
+    semantics). Driver-trained (operators/bpe.bpe_vocab_table);
+    the oracle rebuilds the same layout from the unrolled merge
+    chain."""
+    from afg_data_pipeline_spark.operators.bpe import (
+        bpe_vocab_table,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return bpe_vocab_table(docs, n_merges=3)
+
+
+@register(
+    "bpe_tokenize",
+    oracle=_bpe_oracle(3, through_final=True)
+    + _BPE_VOCAB_SQL
+    + """,
+        word_ids AS (
+            SELECT word,
+                   list(token_id ORDER BY pos) AS ids
+            FROM (
+                SELECT word, pos, arr[pos] AS sub
+                FROM (SELECT word, arr,
+                             unnest(generate_series(1, len(arr)))
+                                 AS pos
+                      FROM s4)) s
+            JOIN vocab v ON s.sub = v.token
+            GROUP BY word
+        ),
+        dw AS (
+            SELECT doc_id, wpos, t[wpos] AS word
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text),
+                                               '\\s+') AS t
+                  FROM documents),
+                 LATERAL unnest(generate_series(1, len(t)))
+                     AS u(wpos)
+            WHERE length(t[wpos]) > 0
+        )
+        SELECT doc_id,
+               flatten(list(ids ORDER BY wpos)) AS token_ids
+        FROM dw JOIN word_ids USING (word)
+        GROUP BY doc_id
+    """,
+    ops=("TEXT",),
+)
+def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents tokenized into BPE TOKEN-ID STREAMS —
+    (doc_id, token_ids) — the artifact a training pipeline feeds to
+    packing/batching. Encode = broadcast join of the word stream
+    against the trainer's word → id-array table + one ordered
+    per-doc rebuild; no per-document merge application
+    (operators/bpe.bpe_tokenize)."""
+    from afg_data_pipeline_spark.operators.bpe import (
+        bpe_tokenize,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return bpe_tokenize(docs, n_merges=3).select(
+        F.col("id").alias("doc_id"), "token_ids"
+    )
+
+
 @register(
     "per_group_sample_k",
     oracle="""

@@ -243,3 +243,93 @@ class TestProductionMergeCounts:
             ).collect()
         )
         assert fast == slow
+
+
+class TestTokenize:
+    def test_vocab_layout(self, spark):
+        """Alphabet ids 0..A-1 in sorted order, merge tokens after
+        in rank order, first-id-wins on string collisions."""
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_vocab_table,
+        )
+
+        df = _docs(spark, [(1, "low lower low"), (2, "new newer")])
+        rows = {
+            r["token"]: r["token_id"]
+            for r in bpe_vocab_table(df, n_merges=3).collect()
+        }
+        alphabet = sorted({c for w in "low lower new newer".split() for c in w})
+        for i, ch in enumerate(alphabet):
+            assert rows[ch] == i, ch
+        merge_ids = sorted(
+            v for t, v in rows.items() if len(t) > 1
+        )
+        assert merge_ids == list(
+            range(len(alphabet), len(alphabet) + len(merge_ids))
+        )
+
+    def test_tokenize_round_trips(self, spark):
+        """Decoding every doc's token_ids through the vocab must
+        reproduce exactly its whitespace-normalized text — token
+        streams are lossless given the learned vocabulary."""
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_tokenize,
+            bpe_vocab_table,
+        )
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new",
+            "aaaa aaaa baaa",
+        ]
+        df = _docs(spark, list(enumerate(texts)))
+        vocab = {
+            r["token_id"]: r["token"]
+            for r in bpe_vocab_table(df, n_merges=5).collect()
+        }
+        got = {
+            r["id"]: list(r["token_ids"])
+            for r in bpe_tokenize(df, n_merges=5).collect()
+        }
+        for i, t in enumerate(texts):
+            decoded = "".join(vocab[tid] for tid in got[i])
+            assert decoded == t.replace(" ", ""), i
+
+    def test_tokenize_at_production_merges(self, spark):
+        """bpe_tokenize with a 500-merge vocabulary still runs one
+        broadcast join and round-trips (the driver-training path
+        scales; the Spark plan is merge-count-independent)."""
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_tokenize,
+        )
+
+        rng = random.Random(9)
+        syll = "ba be ka ko la lu mi mo na ne ra ri sa so ta te".split()
+        texts = [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        rng.choice(syll)
+                        for _ in range(rng.randint(2, 5))
+                    )
+                    for _ in range(20)
+                ),
+            )
+            for i in range(300)
+        ]
+        df = _docs(spark, texts)
+        out = bpe_tokenize(df, n_merges=500)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "SortMergeJoin" not in plan
+        rows = out.collect()
+        assert len(rows) == 300
+        n_tok = sum(len(r["token_ids"]) for r in rows)
+        n_chars = sum(
+            len(w) for _i, t in texts for w in t.split()
+        )
+        # merges strictly compress the char-level stream
+        assert 0 < n_tok < n_chars
