@@ -115,6 +115,13 @@ def _coverage_order(names: list[str]) -> list[str]:
         # k=8, but the module changed — re-certify):
         "kmeans_cluster_assign": 6,
         "semantic_dedup_pairs": 6,
+        # round-6 ivf_assign n_probe=1 argmin-aggregate fast path:
+        "ann_ivf_topk": 6,
+        "ann_ivfpq_topk": 6,
+        "ann_pq_topk": 6,
+        # round-6 token-id additions (never driver-checked yet,
+        # listed for clarity; zero prior rows sorts them first
+        # anyway): bpe_vocab, bpe_tokenize, bpe_encode_stats_fast.
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

@@ -413,6 +413,31 @@ def ivf_assign(
         " * (cast(x as double) - cast(y as double))),"
         " cast(0 as double), (acc, t) -> acc + t)"
     )
+    if n_probe == 1:
+        # The corpus-sized pass (PQ/IVF-PQ index builds call this
+        # with n_probe=1 over the WHOLE corpus): a window would
+        # shuffle all n·nlist pair rows — windows have no partial
+        # aggregation — where an argmin AGGREGATE map-side-combines
+        # to one row per vector before the exchange. min(struct)
+        # is the same (d2 ASC, centroid_id ASC) tie-break the
+        # window ordering encodes, deterministically (min_by alone
+        # breaks ties arbitrarily); v is group-constant so first()
+        # is exact.
+        best = pairs.groupBy(id_col).agg(
+            F.min(
+                F.struct(
+                    d2.alias("d2"),
+                    F.col("centroid_id").alias("centroid_id"),
+                )
+            ).alias("b"),
+            F.first("v").alias("v"),
+        )
+        return best.select(
+            id_col,
+            F.col("v").alias(vec_col),
+            F.col("b.centroid_id").alias("centroid_id"),
+            F.lit(1).alias("probe_rank"),
+        )
     w = Window.partitionBy(id_col).orderBy(
         d2.asc(), F.col("centroid_id").asc()
     )
