@@ -538,3 +538,84 @@ def bpe_tokenize(
             ).alias("token_ids")
         )
     )
+
+
+def pack_token_sequences(
+    docs: DataFrame,
+    n_merges: int = 3,
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_vocab_rows: int = 5_000_000,
+) -> DataFrame:
+    """The END of the tokenizer pipeline: documents tokenized
+    (bpe_tokenize), laid head-to-tail per ``group_col`` in
+    ``id_col`` order (the GPT-2/3 concat-then-chunk recipe —
+    pack_token_stream's placement arithmetic), and MATERIALIZED as
+    fixed-length training sequences:
+    (group, chunk_id, n_filled, token_ids) with every chunk but a
+    group's last holding exactly ``seq_len`` ids.
+
+    Scale shape: the running total rides the adaptive
+    sharded_cumsum (never one task per language); the doc-level
+    frame is repartitioned BEFORE the 1→n_tokens explode (rule 3 —
+    AQE sizes partitions from pre-expansion bytes); the per-chunk
+    rebuild is a bounded collect_list (≤ seq_len ints per group).
+    The token explode + (group, chunk) shuffle is the honest cost
+    of materializing training sequences — it IS the output,
+    written once."""
+    from afg_data_pipeline_spark.operators.prefixsum import (
+        sharded_cumsum,
+    )
+
+    toks = bpe_tokenize(
+        docs,
+        n_merges=n_merges,
+        id_col=id_col,
+        text_col=text_col,
+        max_vocab_rows=max_vocab_rows,
+    ).withColumnRenamed("id", id_col)
+    with_grp = toks.join(
+        docs.select(F.col(id_col), F.col(group_col)), id_col
+    ).withColumn("n", F.size("token_ids"))
+    cum = sharded_cumsum(
+        with_grp,
+        value_col="n",
+        order_col=id_col,
+        partition_cols=[group_col],
+        n_shards=32,
+        out_col="cum",
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        cum.repartition(par)
+        .select(
+            group_col,
+            (F.col("cum") - F.col("n")).alias("start"),
+            F.posexplode("token_ids").alias("pos", "tid"),
+        )
+        .select(
+            group_col,
+            # integer div, not double division + cast: a 100 TB
+            # token stream's global positions exceed 2^53, where
+            # double arithmetic would misplace chunk boundaries
+            F.expr(f"(start + pos) div {seq_len}").alias(
+                "chunk_id"
+            ),
+            ((F.col("start") + F.col("pos")) % seq_len).alias(
+                "off"
+            ),
+            "tid",
+        )
+    )
+    return (
+        ex.groupBy(group_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_filled"),
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(off, tid))), x -> x.tid)"
+            ).alias("token_ids"),
+        )
+    )

@@ -1603,6 +1603,80 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_token_sequences",
+    oracle=_bpe_oracle(3, through_final=True)
+    + _BPE_VOCAB_SQL
+    + """,
+        word_ids AS (
+            SELECT word,
+                   list(token_id ORDER BY pos) AS ids
+            FROM (
+                SELECT word, pos, arr[pos] AS sub
+                FROM (SELECT word, arr,
+                             unnest(generate_series(1, len(arr)))
+                                 AS pos
+                      FROM s4)) s
+            JOIN vocab v ON s.sub = v.token
+            GROUP BY word
+        ),
+        dw AS (
+            SELECT doc_id, wpos, t[wpos] AS word
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text),
+                                               '\\s+') AS t
+                  FROM documents),
+                 LATERAL unnest(generate_series(1, len(t)))
+                     AS u(wpos)
+            WHERE length(t[wpos]) > 0
+        ),
+        doc_tokens AS (
+            SELECT doc_id,
+                   flatten(list(ids ORDER BY wpos)) AS tids
+            FROM dw JOIN word_ids USING (word)
+            GROUP BY doc_id
+        ),
+        cumulated AS (
+            SELECT d.lang, t.tids,
+                   SUM(len(t.tids)) OVER (
+                       PARTITION BY d.lang ORDER BY t.doc_id
+                       ROWS UNBOUNDED PRECEDING)
+                     - len(t.tids) AS start
+            FROM doc_tokens t JOIN documents d USING (doc_id)
+        ),
+        ex AS (
+            SELECT lang,
+                   (start + pos - 1) // 256 AS chunk_id,
+                   (start + pos - 1) % 256 AS off,
+                   tids[pos] AS tid
+            FROM cumulated,
+                 LATERAL unnest(generate_series(1, len(tids)))
+                     AS u(pos)
+        )
+        SELECT lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_filled,
+               list(tid ORDER BY off) AS token_ids
+        FROM ex GROUP BY lang, chunk_id
+    """,
+    ops=("TEXT", "A6"),
+)
+def pack_token_sequences_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The tokenizer pipeline's END ARTIFACT: per-language packed
+    256-token training sequences of real BPE token ids —
+    bpe_tokenize → head-to-tail concat (adaptive sharded running
+    sum, pack_token_stream's placement arithmetic) → materialized
+    fixed-length id arrays. Every chunk but a language's last
+    holds exactly 256 ids (operators/bpe.pack_token_sequences)."""
+    from afg_data_pipeline_spark.operators.bpe import (
+        pack_token_sequences,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return pack_token_sequences(docs, n_merges=3, seq_len=256)
+
+
+@register(
     "per_group_sample_k",
     oracle="""
         SELECT doc_id, lang, n_chars

@@ -153,6 +153,9 @@ HEADLINE = [
     "bpe_encode_stats_fast",
     "watermarked_tumbling_counts",
     "dedup_within_watermark",
+    "bpe_vocab",
+    "bpe_tokenize",
+    "pack_token_sequences",
 ]
 
 

@@ -333,3 +333,64 @@ class TestTokenize:
         )
         # merges strictly compress the char-level stream
         assert 0 < n_tok < n_chars
+
+
+class TestPackSequences:
+    def test_fixed_length_and_lossless(self, spark):
+        """Every chunk but a group's last holds exactly seq_len
+        ids, and concatenating a group's chunks in chunk order
+        reproduces exactly the concatenation of its docs' token
+        streams in doc order — packing is lossless."""
+        from afg_data_pipeline_spark.operators.bpe import (
+            bpe_tokenize,
+            pack_token_sequences,
+        )
+
+        rng = random.Random(4)
+        texts = [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        rng.choice("abc")
+                        for _ in range(rng.randint(1, 6))
+                    )
+                    for _ in range(rng.randint(2, 12))
+                ),
+                "g%d" % (i % 2),
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            texts, "doc_id long, text string, lang string"
+        )
+        L = 16
+        chunks = pack_token_sequences(
+            df, n_merges=4, seq_len=L
+        ).collect()
+        toks = {
+            r["id"]: list(r["token_ids"])
+            for r in bpe_tokenize(df, n_merges=4).collect()
+        }
+        by_g: dict = {}
+        for r in chunks:
+            by_g.setdefault(r["lang"], []).append(r)
+        for g, rows in by_g.items():
+            rows.sort(key=lambda r: r["chunk_id"])
+            # chunk ids dense from 0
+            assert [r["chunk_id"] for r in rows] == list(
+                range(len(rows))
+            )
+            for r in rows[:-1]:
+                assert r["n_filled"] == L
+                assert len(r["token_ids"]) == L
+            stream = [
+                t for r in rows for t in r["token_ids"]
+            ]
+            want = [
+                t
+                for i, _txt, gg in texts
+                if gg == g and i in toks
+                for t in toks[i]
+            ]
+            assert stream == want, g
