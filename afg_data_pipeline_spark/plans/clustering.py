@@ -508,3 +508,97 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=4,
     )
+
+
+@register(
+    "semantic_dedup_keep",
+    oracle=_kmeans_cte(_K, _ITERS, _DIM).replace(
+        "WITH", "WITH RECURSIVE", 1
+    )
+    + f""",
+        vecs AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding, a.cluster,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(e.embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings e
+            JOIN {_FINAL} a ON a.vec_id = e.vec_id
+        ),
+        sd_pairs AS MATERIALIZED (
+            SELECT x.vec_id AS ida, y.vec_id AS idb
+            FROM vecs x JOIN vecs y ON x.cluster = y.cluster
+            WHERE x.vec_id < y.vec_id
+              AND list_aggregate(list_transform(
+                      generate_series(1, len(x.embedding)),
+                      i -> CAST(x.embedding[i] AS DOUBLE)
+                           * CAST(y.embedding[i] AS DOUBLE)),
+                      'sum') / (x.nrm * y.nrm) >= 0.2
+        ),
+        sym AS (
+            SELECT ida AS src, idb AS dst FROM sd_pairs
+            UNION ALL
+            SELECT idb, ida FROM sd_pairs
+        ),
+        reach AS (
+            SELECT src AS v, src AS r FROM sym
+            UNION
+            SELECT reach.v, s.dst
+            FROM reach JOIN sym s ON reach.r = s.src
+        ),
+        comp AS (
+            SELECT v, min(r) AS component FROM reach GROUP BY v
+        )
+        SELECT e.vec_id,
+               COALESCE(c.component, e.vec_id) AS canonical_id,
+               (e.vec_id = COALESCE(c.component, e.vec_id))
+                   AS is_kept
+        FROM embeddings e LEFT JOIN comp c ON c.v = e.vec_id
+    """,
+    ops=("ANN", "DEDUP"),
+)
+def semantic_dedup_keep_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup carried to its ACTUAL output — the pruned corpus:
+    same-cluster cosine pairs become an edge list, connected
+    components collapse transitive near-dup chains, and each vector
+    reports (vec_id, canonical_id, is_kept) — keep the minimum id
+    per component (unpaired vectors keep themselves). A caller
+    filters is_kept to materialize the deduplicated corpus.
+    Composition of semantic_dedup_pairs + operators/graph.
+    connected_components; transitive-closure WITH RECURSIVE
+    oracle."""
+    from afg_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from afg_data_pipeline_spark.operators.kmeans import (
+        semantic_dedup_pairs,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    pairs = semantic_dedup_pairs(
+        emb, k=_K, iterations=_ITERS, threshold=0.2
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        emb.select("vec_id")
+        .join(
+            comps.select(
+                F.col("vertex").alias("vec_id"), "component"
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias(
+                "canonical_id"
+            ),
+            (
+                F.col("vec_id")
+                == F.coalesce(F.col("component"), F.col("vec_id"))
+            ).alias("is_kept"),
+        )
+    )

@@ -156,6 +156,7 @@ HEADLINE = [
     "bpe_vocab",
     "bpe_tokenize",
     "pack_token_sequences",
+    "semantic_dedup_keep",
 ]
 
 

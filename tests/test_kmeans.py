@@ -417,3 +417,29 @@ class TestHammingRadiusCut:
                 ).collect()
             )
             assert plain == cut, k
+
+
+class TestSemanticDedupKeep:
+    def test_keep_invariants(self, spark):
+        """One kept doc per near-dup component (the min id), every
+        removed doc points at a kept canonical, nothing lost."""
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        rows = REGISTRY["semantic_dedup_keep"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by_comp: dict = {}
+        for r in rows:
+            by_comp.setdefault(r["canonical_id"], []).append(r)
+        kept = {r["vec_id"] for r in rows if r["is_kept"]}
+        for canon, members in by_comp.items():
+            assert canon == min(m["vec_id"] for m in members)
+            assert canon in kept
+            for m in members:
+                assert m["is_kept"] == (m["vec_id"] == canon)
+        n_emb = (
+            spark.read.parquet(
+                "/root/testdata/sf0.001/embeddings.parquet"
+            ).count()
+        )
+        assert len(rows) == n_emb
