@@ -88,6 +88,12 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "ann_funnel_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # round-6 additions
+    "hamming_topk",
+    "bpe_train_merges_fast",
+    "bpe_tokenize",
+    "pack_token_sequences",
+    "semantic_dedup_keep",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
@@ -101,6 +107,14 @@ N_SHARDS = round(10 * SFN)
 # (already 110s at sf0.1, 21x behind Spark) extrapolates to hours.
 # Spark timings still print; the row carries duck_s = None.
 ORACLE_SKIP = {"ngram_jaccard_dups"}
+if SFN >= 10:
+    # pack_token_sequences' oracle rebuilds every 256-token chunk
+    # with list(ORDER BY) over a 44M-row exploded token table —
+    # DuckDB 1.3.x bad_allocs there even with memory_limit=90GB +
+    # temp_directory (list aggregates don't spill; measured
+    # 2026-08-14). Spark materializes the same 170k chunks in
+    # 13.4s. Spark timing still prints; duck_s = None.
+    ORACLE_SKIP.add("pack_token_sequences")
 
 
 def build_sf1(spark, src_dir: str, out_dir: str) -> None:
