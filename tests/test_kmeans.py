@@ -443,3 +443,44 @@ class TestSemanticDedupKeep:
             ).count()
         )
         assert len(rows) == n_emb
+
+
+class TestNumpyPathMultiBatch:
+    def test_cross_batch_partials_bit_identical(
+        self, spark, monkeypatch
+    ):
+        """The numpy strategy must stay bit-identical when one
+        partition spans MULTIPLE Arrow batches — per-batch
+        (cluster, dim) partials have to recombine exactly
+        (maxRecordsPerBatch=7 over a 30-row single partition forces
+        5 batches)."""
+        vecs = _fixture()
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        ).coalesce(1)
+        monkeypatch.setenv("AFG_KMEANS_LITERAL_MAX_K", "999")
+        literal = {
+            r.id: (r.cluster, r.dist_q)
+            for r in kmeans_assign(
+                df, k=5, iterations=3, dim=8
+            ).collect()
+        }
+        old = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "7"
+        )
+        monkeypatch.setenv("AFG_KMEANS_LITERAL_MAX_K", "0")
+        try:
+            vectorized = {
+                r.id: (r.cluster, r.dist_q)
+                for r in kmeans_assign(
+                    df, k=5, iterations=3, dim=8
+                ).collect()
+            }
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+        assert vectorized == literal
