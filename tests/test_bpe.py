@@ -394,3 +394,57 @@ class TestPackSequences:
                 for t in toks[i]
             ]
             assert stream == want, g
+
+
+class TestTrainerProperty:
+    def test_heap_trainer_matches_naive_replica(self):
+        """Hypothesis: the lazy-heap incremental trainer equals the
+        naive recount-everything replica on arbitrary corpora —
+        pure Python both sides, so hundreds of cases are cheap.
+        Exercises pair re-formation, stale heap entries whose count
+        returns, dead-pair cleanup, and exhaustion."""
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from afg_data_pipeline_spark.operators.bpe import (
+            _apply_merge_py,
+            _train_driver,
+        )
+
+        def naive(vocab, n_merges):
+            freq = dict(vocab)
+            syms = {w: list(w) for w, _ in vocab}
+            merges = []
+            for rank in range(1, n_merges + 1):
+                pairs: Counter = Counter()
+                for w, s in syms.items():
+                    for i in range(len(s) - 1):
+                        pairs[(s[i], s[i + 1])] += freq[w]
+                if not pairs:
+                    break
+                best = min(
+                    pairs.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                (a, b), n = best
+                merges.append((rank, a, b, n))
+                for w in syms:
+                    syms[w] = _apply_merge_py(syms[w], a, b)
+            return merges, syms
+
+        words = st.text(alphabet="ab", min_size=1, max_size=8)
+        corpus = st.dictionaries(
+            words, st.integers(1, 9), min_size=1, max_size=12
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(corpus, st.integers(0, 12))
+        def check(vocab_map, n_merges):
+            vocab = sorted(vocab_map.items())
+            got_m, got_s = _train_driver(vocab, n_merges)
+            want_m, want_s = naive(vocab, n_merges)
+            assert got_m == want_m, vocab
+            assert got_s == want_s, vocab
+
+        check()
