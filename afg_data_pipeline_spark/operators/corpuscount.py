@@ -141,10 +141,20 @@ def corpus_key_count(
     # A key at the H-row threshold shows ~H*p sample rows; cut at a
     # quarter of that (floor 2) so borderline-hot keys are caught.
     min_sample_rows = max(2, int(hot_rows * probe_fraction * 0.25))
+    # LIMIT slab, not row-level .sample(): sample() filters AFTER
+    # the scan, so a 2% probe still read 100% of the text bytes —
+    # measured ~0.4s of the ~0.9s per-call probe constant at sf10.
+    # limit() stops at the needed partitions (fraction-of-scan
+    # cost). A corpus-spread hot key (the only kind the gate
+    # exists for) appears in any slab; the probe is a PERF-only
+    # decision — both paths are bit-identical — so slab bias can
+    # only cost speed, never correctness, and a key hot only
+    # outside the slab degrades gracefully to the old window
+    # behavior.
     sample = (
         base
         if probe_fraction >= 1.0
-        else base.sample(False, probe_fraction, seed=seed)
+        else base.limit(max(1, int(n_docs * probe_fraction)))
     )
     hot_keys = _hot_candidates(
         build_stream(sample), key_col, min_sample_rows

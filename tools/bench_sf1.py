@@ -89,6 +89,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "ann_pq_topk",
     "ann_ivfpq_topk",
     # round-6 additions
+    "boilerplate_line_dedup",
     "hamming_topk",
     "bpe_train_merges_fast",
     "bpe_tokenize",
