@@ -1004,25 +1004,54 @@ def contamination_report(
     sf10 (decontaminate() differs: it COUNTS distinct grams per
     doc, so its array_distinct is load-bearing). No broadcast hint
     on the semi-join — the train vocabulary is corpus-sized at
-    100 TB; AQE converts to broadcast at runtime when it fits
-    (PERF.md round 6: gram construction alone is 1.1s of the 2.4s,
-    ≈ DuckDB's entire runtime — the residual is engine string
-    throughput, not plan shape)."""
-    tgrams = (
-        train.select(tokens(text_col).alias("__t"))
-        .select(
-            F.explode(shingle_expr("__t", n)).alias("gram")
+    100 TB; AQE converts to broadcast at runtime when it fits.
+    Gram construction is a CODEGEN'D lookahead regex over
+    whitespace-normalized text, not the transform-HOF shingle
+    (rule 18: HOFs interpret per element — measured 1.0s → 0.67s
+    for the 24M-gram sf10 train stream; `(?<!\\S)(?=(...))`
+    anchors overlapping k-grams to token starts), with
+    shingle_expr's whole-text fallback for sub-k-token docs
+    reproduced by the CASE so outputs stay bit-identical."""
+
+    def _gram_stream(d: DataFrame, *keep) -> DataFrame:
+        # Two projection steps so the regex array materializes as
+        # a COLUMN once — putting the extract inside
+        # when(size(x)==0,...).otherwise(x) re-ran the regex per
+        # row (no CSE across conditional branches; measured the
+        # whole 0.33s win back).
+        pat = r"(?<!\S)(?=((?:\S+ ){" + str(n - 1) + r"}\S+))"
+        staged = d.select(
+            *keep,
+            F.regexp_replace(
+                F.trim(F.col(text_col)), r"\s+", " "
+            ).alias("__norm"),
+        ).select(
+            *keep,
+            "__norm",
+            F.regexp_extract_all(
+                F.col("__norm"), F.lit(pat), F.lit(1)
+            ).alias("__g"),
         )
-        .distinct()
-    )
-    egrams = evals.select(
-        F.col(eval_set_col).alias("eval_set"),
-        F.col(id_col).alias("id"),
-        tokens(text_col).alias("__t"),
-    ).select(
+        # shingle_expr contract: a doc shorter than n tokens
+        # contributes its whole (normalized) text as one gram.
+        return staged.select(
+            *keep,
+            F.explode(
+                F.when(
+                    F.size("__g") == 0, F.array(F.col("__norm"))
+                ).otherwise(F.col("__g"))
+            ).alias("gram"),
+        )
+
+    tgrams = _gram_stream(train).distinct()
+    egrams = _gram_stream(
+        evals.select(
+            F.col(eval_set_col).alias("eval_set"),
+            F.col(id_col).alias("id"),
+            F.col(text_col),
+        ),
         "eval_set",
         "id",
-        F.explode(shingle_expr("__t", n)).alias("gram"),
     )
     contaminated = (
         egrams.join(tgrams, "gram", "left_semi")
