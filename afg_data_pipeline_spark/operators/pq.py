@@ -475,3 +475,152 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    n_centroids: int = 16,
+    dim: int = 64,
+) -> None:
+    """Materialize a SERVABLE IVF-PQ index — the build-once /
+    query-many lifecycle a production ANN deployment runs, vs the
+    single-query ivfpq_topk composition:
+
+    - ``centroids`` (parquet): the coarse quantizer.
+    - ``codebooks.json``: the m×k integer PQ codebooks + params
+      (KBs — the driver-side model state).
+    - ``postings`` (parquet, partitionBy(centroid_id)): one row
+      per vector — its cell and its m-byte PQ code. The partition
+      layout IS the inverted index: querying n_probe cells reads
+      ONLY those directories (parquet partition pruning), so
+      serving cost scales with n_probe/n_centroids of the corpus,
+      exactly like an in-memory IVF list head.
+
+    All components are the audited operators' outputs
+    (seeded_centroids, ivf_assign n_probe=1 argmin aggregate,
+    pq_train, pq_encode) — query_ivfpq_index reproduces
+    ivfpq_topk bit-for-bit (tested)."""
+    import json as _json
+    import os as _os
+
+    from afg_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(corpus, id_col, vec_col, n_centroids)
+    cents.write.mode("overwrite").parquet(
+        _os.path.join(index_dir, "centroids")
+    )
+    books = pq_train(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, k=k, dim=dim,
+        iterations=0,
+    )
+    cells = ivf_assign(
+        corpus, cents, id_col, vec_col, n_probe=1
+    ).select(F.col(id_col).alias("id"), "centroid_id")
+    codes = pq_encode(
+        corpus, books, id_col=id_col, vec_col=vec_col
+    )
+    (
+        cells.join(codes, "id")
+        .select(
+            F.col("id").alias("neighbor_id"),
+            "centroid_id",
+            "codes",
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(_os.path.join(index_dir, "postings"))
+    )
+    _os.makedirs(index_dir, exist_ok=True)
+    with open(
+        _os.path.join(index_dir, "codebooks.json"), "w"
+    ) as fh:
+        _json.dump(
+            {
+                "m": m,
+                "k": k,
+                "dim": dim,
+                "n_centroids": n_centroids,
+                "codebooks": books,
+            },
+            fh,
+        )
+
+
+def query_ivfpq_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve top-k from a build_ivfpq_index directory:
+    (query_id, neighbor_id, adc, rank) — bit-identical to the
+    one-shot ivfpq_topk on the same corpus and parameters.
+
+    The probed cell ids are collected (≤ n_probe · |queries|,
+    capped by n_centroids — an eager action, the documented
+    index-serving contract) and pushed into the postings scan as a
+    LITERAL isin predicate, so parquet partition pruning skips
+    every unprobed cell's directory before a byte is read."""
+    import json as _json
+    import os as _os
+
+    from afg_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    with open(
+        _os.path.join(index_dir, "codebooks.json")
+    ) as fh:
+        meta = _json.load(fh)
+    books = meta["codebooks"]
+    cents = spark.read.parquet(
+        _os.path.join(index_dir, "centroids")
+    )
+    q_cells = ivf_assign(
+        queries, cents, id_col, vec_col, n_probe=n_probe
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    probed = sorted(
+        r["centroid_id"]
+        for r in q_cells.select("centroid_id").distinct().collect()
+    )
+    postings = spark.read.parquet(
+        _os.path.join(index_dir, "postings")
+    ).filter(F.col("centroid_id").isin(probed))
+    cand = (
+        q_cells.join(postings, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "codes")
+        .distinct()
+    )
+    long_codes = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.posexplode("codes").alias("j", "c"),
+    )
+    lut = _dists_long(
+        queries, books, id_col, vec_col
+    ).select(F.col("id").alias("query_id"), "j", "c", "d")
+    adc = (
+        long_codes.join(F.broadcast(lut), ["query_id", "j", "c"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -602,3 +602,54 @@ def semantic_dedup_keep_q(
             ).alias("is_kept"),
         )
     )
+
+
+from afg_data_pipeline_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+
+
+@register(
+    "ann_ivfpq_persisted",
+    # Same parameters, same semantics, same SQL: the persisted
+    # path must reproduce the one-shot query bit-for-bit.
+    oracle=_REG["ann_ivfpq_topk"].oracle,
+    ops=("ANN",),
+)
+def ann_ivfpq_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PERSISTED-index lifecycle of ann_ivfpq_topk: the coarse
+    quantizer, PQ codebooks, and per-cell code postings are built
+    ONCE into a parquet index directory (postings partitioned BY
+    centroid_id — the partition layout IS the inverted index), and
+    queries are served from it with the probed cells pushed into
+    the postings scan as literal partition filters, so serving
+    reads ~n_probe/n_centroids of the corpus bytes. Bit-identical
+    to the one-shot composition — it registers the SAME oracle —
+    and pinned against it in tests/test_pq.py along with the
+    partition-pruning plan shape.
+    operators/pq.build_ivfpq_index / query_ivfpq_index."""
+    import os
+
+    from afg_data_pipeline_spark.operators.pq import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    index_dir = os.path.join(
+        "/tmp/afg_ivfpq_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    build_ivfpq_index(
+        emb, index_dir, m=8, k=16, n_centroids=16, dim=64
+    )
+    return query_ivfpq_index(
+        spark,
+        index_dir,
+        emb.filter(F.col("vec_id") < 32),
+        k=5,
+        n_probe=4,
+    )
+

@@ -157,6 +157,7 @@ HEADLINE = [
     "bpe_tokenize",
     "pack_token_sequences",
     "semantic_dedup_keep",
+    "ann_ivfpq_persisted",
 ]
 
 

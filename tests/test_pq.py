@@ -323,3 +323,52 @@ class TestIvfPq:
         )
 
     M, K, DIM = 4, 8, 16
+
+
+class TestPersistedIndex:
+    def test_build_query_matches_oneshot_and_prunes(
+        self, spark, tmp_path
+    ):
+        """build_ivfpq_index + query_ivfpq_index must reproduce the
+        one-shot ivfpq_topk bit-for-bit, and the postings scan must
+        carry the probed cells as PARTITION filters (the directory
+        layout is the inverted index — unprobed cells are never
+        read)."""
+        from afg_data_pipeline_spark.io import read_star_table
+        from afg_data_pipeline_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_topk,
+            pq_train,
+            query_ivfpq_index,
+        )
+
+        emb = read_star_table(
+            spark, "embeddings", "/root/testdata/sf0.001"
+        )
+        queries = emb.filter("vec_id < 16")
+        idx = str(tmp_path / "ivfpq")
+        build_ivfpq_index(
+            emb, idx, m=8, k=16, n_centroids=16, dim=64
+        )
+        served = query_ivfpq_index(
+            spark, idx, queries, k=5, n_probe=2
+        )
+        books = pq_train(emb, m=8, k=16, dim=64, iterations=0)
+        oneshot = ivfpq_topk(
+            queries, emb, books, k=5, n_centroids=16, n_probe=2
+        )
+        got = sorted(tuple(r) for r in served.collect())
+        want = sorted(tuple(r) for r in oneshot.collect())
+        assert got == want
+        assert len(got) == 16 * 5
+        plan = served._sc._jvm.PythonSQLUtils.explainString(
+            served._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        m_ = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m_ and "centroid_id" in m_.group(1), plan
+        # with 16 queries x 2 probes the probed cell set must be a
+        # strict subset at least once across seeds; assert the IN
+        # list is present (literal pruning, not a runtime filter)
+        assert "IN" in m_.group(1) or "in" in m_.group(1), plan
