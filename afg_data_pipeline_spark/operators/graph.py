@@ -461,3 +461,97 @@ def pagerank(
             "rank"
         ),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient
+    over an undirected (src < dst, deduplicated) edge list — the
+    neighborhood-density node feature of the GNN graph-table
+    contract (reference carga_comunas_gnn, inferred; see
+    spatial_adjacency_graph).
+
+    Algorithm (degree-oriented wedge join — the standard
+    communication-optimal formulation): orient every undirected
+    edge from its lower-(degree, id) endpoint to the higher one.
+    Each triangle then has exactly ONE vertex with two outgoing
+    oriented edges (its minimum-rank vertex), so enumerating
+    wedges at oriented sources and closing them against the
+    oriented edge list discovers every triangle exactly once, and
+    total wedge work is bounded by O(m^1.5) regardless of degree
+    skew — a plain (join on shared neighbor) wedge join is
+    O(sum deg^2), which a single celebrity vertex turns quadratic.
+
+    Shuffle shape: degree aggregate, two degree-attach joins, one
+    wedge self-join on the oriented source, one closing equi-join
+    on the (t1, t2) pair, one per-vertex count — all key-hash
+    equi-joins, no cross join, no window. Output: (vertex, degree,
+    triangles, clustering_coeff) for every vertex in the edge
+    list; coefficient = 2T / (d(d-1)) as an exact integer ratio in
+    IEEE double (identical across engines), 0.0 for d < 2.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = node_degrees(e, "u", "v")
+    du = deg.select(
+        F.col("vertex").alias("u"), F.col("degree").alias("du")
+    )
+    dv = deg.select(
+        F.col("vertex").alias("v"), F.col("degree").alias("dv")
+    )
+    ranked = e.join(du, "u").join(dv, "v")
+    # rank(x) = (degree, id): a strict total order (ids unique).
+    fwd = F.struct(F.col("du"), F.col("u")) < F.struct(
+        F.col("dv"), F.col("v")
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    # Wedges at each oriented source: unordered {t1, t2} pairs,
+    # emitted with rank(t1) < rank(t2) so the closing edge (t1 ->
+    # t2) is exactly how `oriented` stores it.
+    o1 = oriented.select(
+        "s", F.col("t").alias("t1"), F.col("dt").alias("dt1")
+    )
+    o2 = oriented.select(
+        "s", F.col("t").alias("t2"), F.col("dt").alias("dt2")
+    )
+    wedges = o1.join(o2, "s").filter(
+        F.struct(F.col("dt1"), F.col("t1"))
+        < F.struct(F.col("dt2"), F.col("t2"))
+    )
+    closing = oriented.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    )
+    tri = wedges.join(closing, ["t1", "t2"]).select("s", "t1", "t2")
+    per_vertex = (
+        tri.select(F.col("s").alias("vertex"))
+        .unionByName(tri.select(F.col("t1").alias("vertex")))
+        .unionByName(tri.select(F.col("t2").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("degree")
+    t = F.col("triangles")
+    return (
+        deg.join(per_vertex, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce(t, F.lit(0)).cast("bigint").alias("triangles"),
+        )
+        .select(
+            "vertex",
+            "degree",
+            "triangles",
+            F.when(
+                d >= 2,
+                (t * 2).cast("double")
+                / (d.cast("double") * (d - F.lit(1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

@@ -655,3 +655,73 @@ def pagerank_centrality(
         dst="id_b",
         iterations=10,
     )
+
+
+@register(
+    "triangle_clustering",
+    oracle=f"""
+        WITH e AS MATERIALIZED (
+            SELECT a.s_suppkey AS u, b.s_suppkey AS v
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE {_ADJ_DIST_SQL} <= 500.0
+        ),
+        deg AS MATERIALIZED (
+            SELECT vertex, count(*) AS degree
+            FROM (SELECT u AS vertex FROM e
+                  UNION ALL SELECT v FROM e)
+            GROUP BY vertex
+        ),
+        tri AS MATERIALIZED (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        pv AS (
+            SELECT vertex, count(*) AS triangles
+            FROM (SELECT a AS vertex FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY vertex
+        )
+        SELECT d.vertex,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(pv.triangles, 0) AS BIGINT)
+                   AS triangles,
+               CASE WHEN d.degree >= 2 THEN
+                   CAST(2 * COALESCE(pv.triangles, 0) AS DOUBLE)
+                   / (CAST(d.degree AS DOUBLE) * (d.degree - 1))
+               ELSE 0.0 END AS clustering_coeff
+        FROM deg d LEFT JOIN pv ON pv.vertex = d.vertex
+    """,
+    ops=("M5", "A1"),
+)
+def triangle_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vertex triangle count + local clustering coefficient of
+    the supplier spatial adjacency graph — the third node feature
+    of the GNN graph-table contract (degree and PageRank being the
+    other two). Spark side is the degree-oriented wedge join
+    (operators/graph.py:triangle_counts — O(m^1.5) wedge bound,
+    robust to degree skew); the oracle is the textbook a<b<c
+    three-way self-join, exact because both count the identical
+    triangle set. Coefficient = 2T/(d(d-1)): an integer ratio
+    evaluated in IEEE double with the same operand shapes on both
+    sides, so bit-identical (CLAUDE.md rule 1c does not apply — no
+    transcendental enters)."""
+    from afg_data_pipeline_spark.operators.graph import (
+        radius_edges_grid2d,
+        triangle_counts,
+    )
+
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("x"),
+        (F.col("s_nationkey") * 400).cast("double").alias("y"),
+    )
+    edges = radius_edges_grid2d(
+        s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
+    )
+    return triangle_counts(edges)

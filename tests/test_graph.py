@@ -394,3 +394,89 @@ class TestPagerankSymmetrize:
         assert dire[1] == dire[2]
         # directed: 1 and 2 only get teleport+dangling mass
         assert dire[3] > dire[1]
+
+
+class TestTriangleCounts:
+    """Degree-oriented wedge-join triangle counting: known
+    topologies plus an itertools brute-force cross-check on a
+    seeded pseudorandom graph (the registered query additionally
+    pins it against the DuckDB three-way-join oracle)."""
+
+    def _run(self, spark, edges):
+        from afg_data_pipeline_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r["vertex"]: (
+                r["degree"],
+                r["triangles"],
+                r["clustering_coeff"],
+            )
+            for r in triangle_counts(df).collect()
+        }
+
+    def test_known_topologies(self, spark):
+        # triangle 1-2-3, K4 on 10-13, chain 20-21-22 (no tri)
+        edges = [
+            (1, 2), (2, 3), (1, 3),
+            (10, 11), (10, 12), (10, 13),
+            (11, 12), (11, 13), (12, 13),
+            (20, 21), (21, 22),
+        ]
+        got = self._run(spark, edges)
+        assert got[1] == (2, 1, 1.0)
+        assert got[2] == (2, 1, 1.0)
+        assert got[3] == (2, 1, 1.0)
+        # K4: every vertex has degree 3 and is in C(3,2)=3 tris.
+        for v in (10, 11, 12, 13):
+            assert got[v] == (3, 3, 1.0)
+        assert got[20] == (1, 0, 0.0)
+        assert got[21] == (2, 0, 0.0)
+        assert got[22] == (1, 0, 0.0)
+
+    def test_matches_bruteforce_pseudorandom(self, spark):
+        import itertools
+
+        n, eset = 40, set()
+        for i in range(200):
+            h = hashlib.md5(f"tri-edge|{i}".encode()).digest()
+            a = int.from_bytes(h[:4], "big") % n
+            b = int.from_bytes(h[4:8], "big") % n
+            if a != b:
+                eset.add((min(a, b), max(a, b)))
+        edges = sorted(eset)
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want_tri = {v: 0 for v in adj}
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if (
+                b in adj[a] and c in adj[a] and c in adj[b]
+            ):
+                for v in (a, b, c):
+                    want_tri[v] += 1
+        got = self._run(spark, edges)
+        assert set(got) == set(adj)
+        for v in adj:
+            d = len(adj[v])
+            assert got[v][0] == d
+            assert got[v][1] == want_tri[v]
+            want_c = (
+                2.0 * want_tri[v] / (d * (d - 1)) if d >= 2 else 0.0
+            )
+            assert got[v][2] == want_c
+
+    def test_no_cartesian_in_plan(self, spark):
+        from afg_data_pipeline_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+        )
+        plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
