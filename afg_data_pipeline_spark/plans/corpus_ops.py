@@ -1925,3 +1925,100 @@ def dsir_selected_corpus(
     return docs.join(
         scores.select("doc_id", "score"), "doc_id"
     ).select("doc_id", "lang", "source", "score")
+
+
+@register(
+    "bloom_prefilter_dedup",
+    oracle="""
+        WITH hist AS MATERIALIZED (
+            SELECT DISTINCT text AS key
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        set_bits AS MATERIALIZED (
+            SELECT DISTINCT
+                   ('0x' || substring(md5(pfx || key), 1, 13))
+                       ::BIGINT % 4096 AS pos
+            FROM hist,
+                 (SELECT '0:' AS pfx UNION ALL SELECT '1:') p
+        ),
+        probe_bits AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(pfx || text), 1, 13))
+                       ::BIGINT % 4096 AS pos
+            FROM documents,
+                 (SELECT '0:' AS pfx UNION ALL SELECT '1:') p
+        ),
+        verdicts AS (
+            SELECT pb.doc_id,
+                   bool_and(sb.pos IS NOT NULL) AS bloom_positive
+            FROM probe_bits pb
+            LEFT JOIN set_bits sb ON sb.pos = pb.pos
+            GROUP BY pb.doc_id
+        )
+        SELECT d.doc_id,
+               v.bloom_positive,
+               EXISTS (SELECT 1 FROM hist h WHERE h.key = d.text)
+                   AS present,
+               v.bloom_positive
+                   AND NOT EXISTS (SELECT 1 FROM hist h
+                                   WHERE h.key = d.text)
+                   AS false_positive
+        FROM documents d JOIN verdicts v ON v.doc_id = d.doc_id
+    """,
+    ops=("A7", "J1"),
+)
+def bloom_prefilter_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter ingest pre-filter (operators/bloom.py): the
+    historical corpus (here: every doc_id ≡ 0 mod 3, standing in
+    for 'already ingested') is compressed to a 4096-bit / 2-hash
+    bitmap — 64 OR-ed BIGINT words built by one map-side-combinable
+    aggregate — and every incoming document probes it by broadcast
+    join. Output per document: the bloom verdict, ground truth from
+    the exact text match, and the false-positive flag, so the query
+    doubles as a measured FP-rate report (the m=4096 config is
+    deliberately small enough that saturation becomes visible as sf
+    grows — the tunable at 100 TB is m, not the algorithm).
+
+    Scale shape: the bitmap is O(m) regardless of corpus size; the
+    probe side shuffles only (doc_id) for its bool_and; the exact
+    verification join that a real pipeline would run afterwards
+    touches only the bloom-positive fraction.
+    """
+    from afg_data_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    hist = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("text").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(hist, "key", m_bits=4096, k_hashes=2)
+    probes = docs.select("doc_id", F.col("text").alias("key"))
+    verdicts = bloom_probe(
+        probes, "key", bloom, m_bits=4096, k_hashes=2
+    )
+    present = docs.join(
+        hist.withColumnRenamed("key", "text")
+        .withColumn("__p", F.lit(True)),
+        "text",
+        "left",
+    ).select(
+        "doc_id", F.coalesce(F.col("__p"), F.lit(False)).alias("present")
+    )
+    return (
+        verdicts.select("doc_id", "bloom_positive")
+        .join(present, "doc_id")
+        .select(
+            "doc_id",
+            "bloom_positive",
+            "present",
+            (F.col("bloom_positive") & ~F.col("present")).alias(
+                "false_positive"
+            ),
+        )
+    )
