@@ -1,0 +1,193 @@
+"""Distributed PCA, integer-exact: top principal component of an
+embedding corpus via one Gram-matrix aggregate + driver-side power
+iteration — the classic two-phase shape for covariance-style
+analytics at 100 TB.
+
+Why this decomposes the way it does:
+
+- The d×d second-moment matrix is the ONLY corpus-sized
+  computation, and it is one map-side-combinable aggregate: each
+  task reduces its rows to d² partial sums, so the shuffle is
+  O(d² · partitions) regardless of corpus size (d=64 → 4096 tiny
+  rows). This is the same "heavy pass is an aggregate, model state
+  is driver-side" split as operators/kmeans.py and the fast BPE
+  trainer (operators/bpe.py).
+- Power iteration runs on the collected d×d matrix in exact Python
+  integers (vocabulary-sized state; data never re-enters), then the
+  resulting direction vector is broadcast back as literals for the
+  projection pass — one more scan, join-free (CLAUDE.md rule 14).
+- Everything lives on integer grids so the whole pipeline is
+  bit-reproducible across engines, partitionings, and retries
+  (CLAUDE.md rules 1b/11): components quantize to round(x·10⁶) as
+  BIGINT once; the centered covariance combination n·S2 − S1·S1ᵀ is
+  exact integer arithmetic (no mean division); per-iteration
+  renormalization is integer division of non-negative operands
+  (floor == truncate, portable); the final per-vector score is a
+  BIGINT dot product with provable bound |score| ≤ d·10⁶·10⁶.
+
+The DuckDB oracle replays the identical arithmetic as an unrolled
+MATERIALIZED-CTE chain in HUGEINT (the pagerank_centrality
+pattern), so the registered query checks hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRID = 10**6  # component quantization: round(x * GRID) as BIGINT
+V_SCALE = 10**6  # iteration vectors renormalized to L-inf = V_SCALE
+
+
+def _portable_scale_div(value: int, mul: int, div: int) -> int:
+    """sign(value) * (|value| * mul // div): floor division of
+    non-negative operands — identical in Python, Spark `div`, and
+    DuckDB `//`, regardless of each engine's negative-division
+    convention."""
+    if value < 0:
+        return -((-value) * mul // div)
+    return value * mul // div
+
+
+def gram_moments(
+    emb: DataFrame, id_col: str, vec_col: str
+) -> tuple[int, list[int], dict[tuple[int, int], int]]:
+    """Collect (n, S1[d], S2[d][d]) of the 10⁻⁶-quantized corpus:
+    S1_i = Σ g_i, S2_ij = Σ g_i·g_j (0-based dims).
+
+    Shape: a chained double posexplode (n → 64n → 4096n rows, no
+    shuffle — generators pipeline inside one stage) feeding one
+    (i, j)-keyed partial aggregate; the per-pair product
+    re-quantizes each float (a two-flop codegen expression —
+    cheaper than materializing the integer array through a HOF
+    lambda, rule 18). Sums accumulate DECIMAL(38,0): the per-pair
+    product is provably < 10¹² but the corpus-sized sum is not
+    2⁶³-bounded at arbitrary n (rule 11).
+    """
+    gq = lambda c: F.round(c.cast("double") * GRID).cast("long")  # noqa: E731
+    pairs = (
+        emb.select(
+            F.posexplode(F.col(vec_col)).alias("i", "xi"),
+            F.col(vec_col).alias("__v"),
+        )
+        .select("i", "xi", F.posexplode(F.col("__v")).alias("j", "xj"))
+        .select(
+            "i",
+            "j",
+            (gq(F.col("xi")) * gq(F.col("xj"))).alias("p"),
+        )
+    )
+    s2_rows = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    s1_rows = (
+        emb.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(gq(F.col("x")).cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    n = emb.count()
+    s1 = {r["i"]: int(r["s"]) for r in s1_rows}
+    dim = len(s1)
+    s2 = {(r["i"], r["j"]): int(r["s"]) for r in s2_rows}
+    return n, [s1[i] for i in range(dim)], s2
+
+
+def power_iteration_int(
+    n: int,
+    s1: list[int],
+    s2: dict[tuple[int, int], int],
+    iterations: int = 12,
+) -> list[int]:
+    """Exact-integer power iteration on the centered covariance
+    C = n·S2 − S1·S1ᵀ (scale-free: every normalization is by the
+    matrix/vector max-abs). Returns the dominant direction as a
+    list of ints with L∞ norm = V_SCALE. Python ints are unbounded,
+    so no intermediate ever overflows; the ORACLE replays the same
+    steps in HUGEINT, whose 2¹²⁷ bound dominates every term here.
+
+    C is positive semi-definite (a covariance), so the dominant
+    eigenvalue is non-negative and the iteration does not
+    sign-oscillate; starting from all-ones makes the fixed
+    ``iterations`` count a deterministic contract (both engines run
+    the same steps whether or not they have converged).
+    """
+    d = len(s1)
+    c = {
+        (i, j): n * s2[(i, j)] - s1[i] * s1[j]
+        for i in range(d)
+        for j in range(d)
+    }
+    m = max(abs(v) for v in c.values())
+    if m == 0:
+        raise ValueError(
+            "degenerate corpus: covariance is identically zero "
+            "(constant embeddings) — no principal direction exists"
+        )
+    cn = {k: _portable_scale_div(v, V_SCALE, m) for k, v in c.items()}
+    v = [V_SCALE] * d
+    for _ in range(iterations):
+        w = [
+            sum(cn[(i, j)] * v[j] for j in range(d)) for i in range(d)
+        ]
+        wm = max(abs(x) for x in w)
+        if wm == 0:
+            raise ValueError(
+                "power iteration annihilated the start vector "
+                "(start exactly orthogonal to the image) — "
+                "perturb the corpus or lower the grid"
+            )
+        v = [_portable_scale_div(x, V_SCALE, wm) for x in w]
+    return v
+
+
+def project_scores(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    direction: list[int],
+) -> DataFrame:
+    """Per-vector projection onto an integer direction vector:
+    (id, pc1_score_scaled BIGINT, pc1_score DOUBLE). The direction
+    rides as literals (join-free data path, rule 14); the dot
+    product is a zip_with + aggregate fold (rule 15 — one small
+    generated loop, not d flat terms), BIGINT-safe because
+    |g|·|v| ≤ 10⁶·10⁶ per term and d ≤ 64 terms: |score| < 2⁴⁶.
+    """
+    lits = F.array(*[F.lit(int(x)).cast("long") for x in direction])
+    score = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            lits,
+            lambda x, w: F.round(x.cast("double") * GRID).cast("long")
+            * w,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    denom = float(GRID) * float(V_SCALE)
+    return emb.select(
+        F.col(id_col), score.alias("pc1_score_scaled")
+    ).select(
+        id_col,
+        "pc1_score_scaled",
+        (F.col("pc1_score_scaled").cast("double") / F.lit(denom)).alias(
+            "pc1_score"
+        ),
+    )
+
+
+def pca_top_component_scores(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 12,
+) -> DataFrame:
+    """End-to-end: Gram aggregate → integer power iteration →
+    broadcast projection. Two corpus scans total (moments, then
+    scores), both aggregate/projection-shaped."""
+    n, s1, s2 = gram_moments(emb, id_col, vec_col)
+    v = power_iteration_int(n, s1, s2, iterations=iterations)
+    return project_scores(emb, id_col, vec_col, v)

@@ -653,3 +653,109 @@ def ann_ivfpq_persisted(
         n_probe=4,
     )
 
+
+
+def _pca_oracle_sql(
+    iterations: int = 12, grid: int = 10**6, v_scale: int = 10**6
+) -> str:
+    """Unrolled-CTE DuckDB replica of operators/pca.py: the same
+    integer-grid Gram moments, centered covariance, and fixed-count
+    power iteration, in HUGEINT (the pagerank_centrality pattern —
+    recursive CTEs can't aggregate in the recursive term, but a
+    FIXED iteration count unrolls to plain SQL). Division operands
+    are kept non-negative by a sign CASE so DuckDB's floor `//`
+    agrees with Python's `//` on the Spark driver."""
+    parts = [
+        f"""
+        WITH g AS MATERIALIZED (
+            SELECT vec_id, i,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * {grid})
+                        AS BIGINT) AS gv
+            FROM (SELECT vec_id, embedding,
+                         unnest(generate_series(1, len(embedding)))
+                             AS i
+                  FROM embeddings)
+        ),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+        s1 AS MATERIALIZED (
+            SELECT i, SUM(CAST(gv AS HUGEINT)) AS s
+            FROM g GROUP BY i
+        ),
+        s2 AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j,
+                   SUM(CAST(a.gv AS HUGEINT) * b.gv) AS s
+            FROM g a JOIN g b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        ),
+        c AS MATERIALIZED (
+            SELECT s2.i, s2.j,
+                   CAST(nn.n AS HUGEINT) * s2.s - sa.s * sb.s AS cv
+            FROM s2 CROSS JOIN nn
+            JOIN s1 sa ON sa.i = s2.i
+            JOIN s1 sb ON sb.i = s2.j
+        ),
+        cm AS (SELECT max(abs(cv)) AS m FROM c),
+        cn AS MATERIALIZED (
+            SELECT i, j,
+                   CASE WHEN cv < 0
+                        THEN -(((-cv) * {v_scale}) // m)
+                        ELSE (cv * {v_scale}) // m END AS w
+            FROM c CROSS JOIN cm
+        ),
+        v0 AS MATERIALIZED (
+            SELECT i AS j, CAST({v_scale} AS HUGEINT) AS v FROM s1
+        )"""
+    ]
+    prev = "v0"
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+        w{t} AS MATERIALIZED (
+            SELECT cn.i AS j, SUM(cn.w * v.v) AS wv
+            FROM cn JOIN {prev} v ON v.j = cn.j
+            GROUP BY cn.i
+        ),
+        m{t} AS (SELECT max(abs(wv)) AS m FROM w{t}),
+        v{t} AS MATERIALIZED (
+            SELECT j,
+                   CASE WHEN wv < 0
+                        THEN -(((-wv) * {v_scale}) // m)
+                        ELSE (wv * {v_scale}) // m END AS v
+            FROM w{t} CROSS JOIN m{t}
+        )"""
+        )
+        prev = f"v{t}"
+    parts.append(
+        f"""
+        SELECT g.vec_id,
+               CAST(SUM(g.gv * v.v) AS BIGINT) AS pc1_score_scaled,
+               CAST(CAST(SUM(g.gv * v.v) AS BIGINT) AS DOUBLE)
+                   / {float(grid * v_scale)} AS pc1_score
+        FROM g JOIN {prev} v ON v.j = g.i
+        GROUP BY g.vec_id"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "pca_top_component",
+    oracle=_pca_oracle_sql(iterations=12),
+    ops=("A1", "M1"),
+)
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection (operators/pca.py): every vector's
+    score along the corpus's dominant centered-covariance direction
+    — the standard embedding-analytics primitive (dataset drift,
+    1-D curriculum ordering, sharding by dominant direction). The
+    corpus is touched by exactly two aggregate-shaped scans (d²
+    Gram moments, then the broadcast-literal projection); the d×d
+    eigensolve runs driver-side in exact Python integers. Oracle:
+    the identical arithmetic unrolled into HUGEINT CTEs —
+    hash-exact, which pins every step including the 12 integer
+    renormalizations."""
+    from afg_data_pipeline_spark.operators.pca import (
+        pca_top_component_scores,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    return pca_top_component_scores(emb, "vec_id", "embedding")
