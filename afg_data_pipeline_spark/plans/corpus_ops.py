@@ -2022,3 +2022,29 @@ def bloom_prefilter_dedup(
             ),
         )
     )
+
+
+@register(
+    "unigram_tokenize",
+    oracle=None,  # EM is float log-space: no SQL-expressible
+    # oracle (SURVEY §5.1 rows-only class). Full output is
+    # value-pinned against an independent naive replica in
+    # tests/test_unigram.py::test_registered_query_golden.
+    ops=("A1", "J1"),
+)
+def unigram_tokenize_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization of the corpus
+    into per-document token-id streams — the second of the two
+    real-world subword algorithms (operators/unigram.py; BPE is
+    the other, bpe_tokenize). One corpus-sized word aggregate,
+    driver-side EM + pruning + per-distinct-word Viterbi, then the
+    broadcast word→ids join and ordered per-doc rebuild. Sorted
+    token_ids output contract matches bpe_tokenize."""
+    from afg_data_pipeline_spark.operators.unigram import (
+        unigram_tokenize,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return unigram_tokenize(docs, vocab_size=512)
