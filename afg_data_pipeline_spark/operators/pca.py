@@ -50,49 +50,116 @@ def _portable_scale_div(value: int, mul: int, div: int) -> int:
 
 
 def gram_moments(
-    emb: DataFrame, id_col: str, vec_col: str
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None = None,
 ) -> tuple[int, list[int], dict[tuple[int, int], int]]:
     """Collect (n, S1[d], S2[d][d]) of the 10⁻⁶-quantized corpus:
     S1_i = Σ g_i, S2_ij = Σ g_i·g_j (0-based dims).
 
-    Shape: a chained double posexplode (n → 64n → 4096n rows, no
-    shuffle — generators pipeline inside one stage) feeding one
-    (i, j)-keyed partial aggregate; the per-pair product
-    re-quantizes each float (a two-flop codegen expression —
-    cheaper than materializing the integer array through a HOF
-    lambda, rule 18). Sums accumulate DECIMAL(38,0): the per-pair
-    product is provably < 10¹² but the corpus-sized sum is not
-    2⁶³-bounded at arbitrary n (rule 11).
+    Shape (the kmeans-gate pattern, CLAUDE.md rule 18a): the
+    quantization runs SPARK-SIDE — an explicit per-dimension
+    ``round(element_at(v, j)·10⁶)`` BIGINT array, so the Arrow
+    boundary carries already-exact integers and numpy never rounds
+    — then each Arrow batch reduces to its upper-triangle partial
+    Gram with ONE int64 matmul (XᵀX; per-batch bound
+    B·max|g|² < 2⁶³ is asserted, never assumed), and a tiny
+    (i, j)-keyed DECIMAL(38,0) aggregate combines the per-batch
+    partials (a few thousand rows per batch — the decimal cost the
+    full pair stream would pay per PAIR is paid per BATCH).
+
+    No pre-matmul repartition, deliberately: the matmul is ~d²
+    flops per row, so parallelism from the scan's natural input
+    splits is plenty (a 128 MB split ≈ 250k vectors ≈ one second
+    of int64 matmul), and the round-robin shuffle of the quantized
+    arrays measured 0.6 s at sf0.1 — more than the whole rest of
+    the pass. This differs from the row-EXPANDING operators rule 3
+    governs: nothing here multiplies rows, so input splits, not an
+    explicit repartition, are the honest parallelism source.
+
+    Measured at sf0.1 (min-of-3): this path 0.35 s vs 0.72 s for
+    chained double-posexplode with BIGINT hi/lo sums and 0.97 s
+    with decimal sums — and the gap widens with n (the pair stream
+    is 2080 rows per vector; the matmul partial is 2144 rows per
+    ~10k-vector Arrow batch).
     """
-    gq = lambda c: F.round(c.cast("double") * GRID).cast("long")  # noqa: E731
-    pairs = (
-        emb.select(
-            F.posexplode(F.col(vec_col)).alias("i", "xi"),
-            F.col(vec_col).alias("__v"),
-        )
-        .select("i", "xi", F.posexplode(F.col("__v")).alias("j", "xj"))
-        .select(
-            "i",
-            "j",
-            (gq(F.col("xi")) * gq(F.col("xj"))).alias("p"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None or first["d"] is None:
+            raise ValueError(
+                "empty embedding corpus: no vectors to fit"
+            )
+        dim = int(first["d"])
+    qarr = F.array(
+        *[
+            F.round(
+                F.element_at(F.col(vec_col), j + 1).cast("double")
+                * F.lit(float(GRID)),
+                0,
+            ).cast("bigint")
+            for j in range(dim)
+        ]
     )
-    s2_rows = (
-        pairs.groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
+    base = emb.filter(F.size(F.col(vec_col)) == dim).select(
+        qarr.alias("q")
+    )
+    iu0, iu1 = np.triu_indices(dim)
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["q"].tolist(), dtype=np.int64)
+            mg = int(np.abs(x).max()) if x.size else 0
+            if x.shape[0] * mg * mg >= 2**62:
+                raise ValueError(
+                    f"batch Gram partial not int64-provable: "
+                    f"{x.shape[0]} rows with max|g|={mg} — lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch "
+                    "or the quantization grid"
+                )
+            g = x.T @ x
+            s1 = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu0,
+                    "j": iu1,
+                    "s": g[iu0, iu1],
+                    "s1": np.where(iu0 == iu1, s1[iu0], 0),
+                    "nn": np.where(
+                        (iu0 == 0) & (iu1 == 0), x.shape[0], 0
+                    ),
+                }
+            )
+
+    rows = (
+        base.mapInPandas(
+            _partials, "i int, j int, s long, s1 long, nn long"
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.col("s1").cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.col("nn").cast("decimal(38,0)")).alias("nn"),
+        )
         .collect()
     )
-    s1_rows = (
-        emb.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum(gq(F.col("x")).cast("decimal(38,0)")).alias("s"))
-        .collect()
-    )
-    n = emb.count()
-    s1 = {r["i"]: int(r["s"]) for r in s1_rows}
-    dim = len(s1)
-    s2 = {(r["i"], r["j"]): int(r["s"]) for r in s2_rows}
-    return n, [s1[i] for i in range(dim)], s2
+    s2 = {}
+    for r in rows:
+        s2[(r["i"], r["j"])] = int(r["s"])
+        s2[(r["j"], r["i"])] = int(r["s"])
+    s1_map = {r["i"]: int(r["s1"]) for r in rows if r["j"] == r["i"]}
+    if len(s1_map) != dim:
+        raise ValueError(
+            f"degenerate moment table: {len(s1_map)} diagonal "
+            f"cells for dim={dim}"
+        )
+    n = sum(int(r["nn"]) for r in rows if r["i"] == 0 and r["j"] == 0)
+    return n, [s1_map[i] for i in range(dim)], s2
 
 
 def power_iteration_int(
@@ -184,10 +251,13 @@ def pca_top_component_scores(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
     """End-to-end: Gram aggregate → integer power iteration →
     broadcast projection. Two corpus scans total (moments, then
-    scores), both aggregate/projection-shaped."""
-    n, s1, s2 = gram_moments(emb, id_col, vec_col)
+    scores), both aggregate/projection-shaped. Pass ``dim`` when
+    the caller knows it (the table contract) to skip the
+    inference job."""
+    n, s1, s2 = gram_moments(emb, id_col, vec_col, dim=dim)
     v = power_iteration_int(n, s1, s2, iterations=iterations)
     return project_scores(emb, id_col, vec_col, v)

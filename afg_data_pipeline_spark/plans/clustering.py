@@ -758,4 +758,6 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_star_table(spark, "embeddings", sf_dir)
-    return pca_top_component_scores(emb, "vec_id", "embedding")
+    return pca_top_component_scores(
+        emb, "vec_id", "embedding", dim=64
+    )

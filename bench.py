@@ -158,6 +158,10 @@ HEADLINE = [
     "pack_token_sequences",
     "semantic_dedup_keep",
     "ann_ivfpq_persisted",
+    "triangle_clustering",
+    "bloom_prefilter_dedup",
+    "pca_top_component",
+    "unigram_tokenize",
 ]
 
 

@@ -95,6 +95,10 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "bpe_tokenize",
     "pack_token_sequences",
     "semantic_dedup_keep",
+    # round-6 late additions
+    "pca_top_component",
+    "bloom_prefilter_dedup",
+    "unigram_tokenize",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
