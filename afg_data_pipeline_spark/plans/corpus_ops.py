@@ -2048,3 +2048,104 @@ def unigram_tokenize_query(
 
     docs = read_star_table(spark, "documents", sf_dir)
     return unigram_tokenize(docs, vocab_size=512)
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, pos, list_extract(arr, pos) AS tok
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr)))
+                             AS pos
+                  FROM tokd)
+        ),
+        w AS MATERIALIZED (
+            SELECT prev || ' ' || tok AS bigram FROM (
+                SELECT doc_id,
+                       lag(tok) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS prev,
+                       tok
+                FROM toks)
+            WHERE prev IS NOT NULL
+        ),
+        pfx AS (
+            SELECT * FROM (VALUES ('0:', 0), ('1:', 1),
+                                  ('2:', 2), ('3:', 3)) t(p, j)
+        ),
+        counters AS MATERIALIZED (
+            SELECT pfx.j,
+                   ('0x' || substring(md5(pfx.p || w.bigram), 1, 13))
+                       ::BIGINT % 1024 AS pos,
+                   count(*) AS c
+            FROM w CROSS JOIN pfx
+            GROUP BY 1, 2
+        ),
+        cand AS MATERIALIZED (
+            SELECT bigram, count(*) AS true_count
+            FROM w GROUP BY bigram
+        ),
+        est AS (
+            SELECT cand.bigram, cand.true_count,
+                   min(c.c) AS est_count
+            FROM cand CROSS JOIN pfx
+            JOIN counters c
+              ON c.j = pfx.j
+             AND c.pos = ('0x' || substring(
+                     md5(pfx.p || cand.bigram), 1, 13))
+                     ::BIGINT % 1024
+            GROUP BY 1, 2
+        )
+        SELECT bigram, est_count, true_count,
+               est_count - true_count AS overcount
+        FROM est
+        ORDER BY est_count DESC, bigram ASC
+        LIMIT 50
+    """,
+    ops=("A7", "A8"),
+)
+def heavy_hitters_cms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus word-BIGRAM
+    stream (operators/cms.py): top-50 bigrams by sketch-ESTIMATED
+    frequency with the exact count alongside, so the overcount
+    column is the sketch's measured one-sided error at width 1024
+    - bigram cardinality (~|vocab|^2) deliberately saturates the
+    1024-cell rows so collisions are VISIBLE in the report (the
+    tunable at 100 TB is w, like the Bloom filter's m). Unlike the
+    HLL/KLL queries (engine-specific internals, rows-only), the
+    md5-derived CMS is exactly reproducible in SQL: this row
+    hash-checks the entire counter matrix through its
+    min-reduction. Bigram extraction = the bigram_lm_score shape
+    (posexplode + per-doc lag window, never a corpus-wide sort)."""
+    from afg_data_pipeline_spark.operators.cms import (
+        cms_heavy_hitters,
+    )
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    keys = (
+        toks.withColumn("prev", F.lag("t").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.concat(
+                F.col("prev"), F.lit(" "), F.col("t")
+            ).alias("bigram")
+        )
+    )
+    return cms_heavy_hitters(
+        keys, "bigram", k=50, width=1024, depth=4
+    )

@@ -162,6 +162,7 @@ HEADLINE = [
     "bloom_prefilter_dedup",
     "pca_top_component",
     "unigram_tokenize",
+    "heavy_hitters_cms",
 ]
 
 

@@ -99,6 +99,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "pca_top_component",
     "bloom_prefilter_dedup",
     "unigram_tokenize",
+    "heavy_hitters_cms",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
