@@ -555,3 +555,76 @@ def triangle_counts(
             .alias("clustering_coeff"),
         )
     )
+
+
+def bfs_hop_distances(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source_cond,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 10,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source unweighted BFS: (vertex, hops) where hops is
+    the hop count to the NEAREST vertex satisfying ``source_cond``
+    (a boolean Column over ``nodes``), or -1 if unreached within
+    ``max_iter`` rounds — the "distance to nearest facility /
+    seed" primitive (hops-from-labeled-seed features, blast-radius
+    queries, coverage audits).
+
+    Integer-exact and engine-replayable like pagerank: each round
+    is one equi-join (frontier → neighbors, dist+1) + one
+    min-aggregate — both shuffle on vertex id, so AQE reuses the
+    partitioning. Distances only ever decrease, so
+    (count(non-null), Σdist) is a fixpoint probe (the
+    connected_components convergence idea): early exit changes
+    nothing vs running all ``max_iter`` rounds, which is what
+    keeps the fixed-unroll DuckDB oracle bit-identical. Lineage is
+    localCheckpoint-truncated every ``checkpoint_every`` rounds
+    (pagerank's measured cadence).
+    """
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).localCheckpoint()
+    dist = nodes.select(
+        F.col(id_col).alias("vertex"),
+        F.when(source_cond, F.lit(0).cast("bigint")).alias("dist"),
+    ).localCheckpoint()
+    prev_probe = None
+    for it in range(max_iter):
+        msgs = sym.join(
+            dist.filter(F.col("dist").isNotNull()),
+            sym.s == F.col("vertex"),
+        ).select(
+            F.col("d").alias("vertex"),
+            (F.col("dist") + F.lit(1)).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(msgs)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            dist = dist.localCheckpoint()
+            # probe only at checkpoint rounds: the frame is already
+            # materialized, so the scalar aggregate is nearly free.
+            # Hop counts are bounded by max_iter (≤ a few dozen), so
+            # the BIGINT sum is provable: n · max_iter << 2^63.
+            row = dist.agg(
+                F.count("dist").alias("n"),
+                F.sum("dist").alias("s"),
+            ).collect()[0]
+            probe = (row["n"], row["s"])
+            if probe == prev_probe:
+                break
+            prev_probe = probe
+    return dist.select(
+        "vertex",
+        F.coalesce(F.col("dist"), F.lit(-1).cast("bigint")).alias(
+            "hops"
+        ),
+    )

@@ -725,3 +725,90 @@ def triangle_clustering(
         s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
     )
     return triangle_counts(edges)
+
+
+def _bfs_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled-CTE DuckDB replica of operators/graph.
+    bfs_hop_distances over the supplier radius graph: one
+    min-relaxation CTE per round (the pagerank_centrality unroll
+    pattern); identical to the Spark loop because distances are
+    integers, min is associative, and early exit happens only at
+    the fixpoint."""
+    half = f"""
+            SELECT a.s_suppkey AS s, b.s_suppkey AS d
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE {_ADJ_DIST_SQL} <= 500.0"""
+    parts = [
+        f"""
+        WITH edges AS MATERIALIZED ({half}
+            UNION ALL
+            SELECT d, s FROM ({half})
+        ),
+        d0 AS MATERIALIZED (
+            SELECT s_suppkey AS v,
+                   CASE WHEN s_suppkey % 50 = 0
+                        THEN CAST(0 AS BIGINT) END AS dist
+            FROM supplier
+        )"""
+    ]
+    prev = "d0"
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+        d{t} AS MATERIALIZED (
+            SELECT v, min(dist) AS dist FROM (
+                SELECT v, dist FROM {prev}
+                UNION ALL
+                SELECT e.d AS v, r.dist + 1 AS dist
+                FROM edges e JOIN {prev} r
+                  ON r.v = e.s AND r.dist IS NOT NULL
+            ) GROUP BY v
+        )"""
+        )
+        prev = f"d{t}"
+    parts.append(
+        f"""
+        SELECT v AS vertex,
+               COALESCE(dist, CAST(-1 AS BIGINT)) AS hops
+        FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "bfs_hop_distances",
+    oracle=_bfs_oracle_sql(iterations=10),
+    ops=("M5", "A1"),
+)
+def bfs_hop_distances_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-source BFS over the supplier spatial adjacency graph:
+    hop distance from every vertex to its nearest seed (every 50th
+    supplier — the 'distance to nearest facility' contract), -1
+    where unreached in 10 rounds. Completes the graph feature set
+    next to degree, PageRank, triangles, and components
+    (operators/graph.bfs_hop_distances — per-round equi-join +
+    min-aggregate, fixpoint probe rides the checkpoint rounds)."""
+    from afg_data_pipeline_spark.operators.graph import (
+        bfs_hop_distances,
+        radius_edges_grid2d,
+    )
+
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("x"),
+        (F.col("s_nationkey") * 400).cast("double").alias("y"),
+    )
+    edges = radius_edges_grid2d(
+        s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
+    )
+    nodes = s.select(F.col("s_suppkey").alias("id"))
+    return bfs_hop_distances(
+        nodes,
+        edges,
+        F.col("id") % 50 == 0,
+        id_col="id",
+        max_iter=10,
+    )

@@ -163,6 +163,7 @@ HEADLINE = [
     "pca_top_component",
     "unigram_tokenize",
     "heavy_hitters_cms",
+    "bfs_hop_distances",
 ]
 
 

@@ -480,3 +480,74 @@ class TestTriangleCounts:
         plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBfsHopDistances:
+    """Multi-source BFS: python BFS cross-check on a pseudorandom
+    graph, a hand-checkable topology, and the fixpoint-probe
+    early-exit identity (early exit must change nothing vs running
+    all rounds — that is what keeps the unrolled oracle exact)."""
+
+    def _run(self, spark, n, edges, sources, max_iter=10):
+        from pyspark.sql import functions as F
+
+        from afg_data_pipeline_spark.operators.graph import (
+            bfs_hop_distances,
+        )
+
+        nodes = spark.createDataFrame(
+            [(v,) for v in range(n)], "id long"
+        )
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r["vertex"]: r["hops"]
+            for r in bfs_hop_distances(
+                nodes,
+                e,
+                F.col("id").isin(list(sources)),
+                max_iter=max_iter,
+            ).collect()
+        }
+
+    def test_chain_and_island(self, spark):
+        # chain 0-1-2-3-4 with source 0; island 5-6 unreached
+        got = self._run(
+            spark, 7, [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)], {0}
+        )
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: -1, 6: -1}
+
+    def test_matches_python_bfs_multisource(self, spark):
+        from collections import deque
+
+        n, eset = 50, set()
+        for i in range(140):
+            h = hashlib.md5(f"bfs-edge|{i}".encode()).digest()
+            a = int.from_bytes(h[:4], "big") % n
+            b = int.from_bytes(h[4:8], "big") % n
+            if a != b:
+                eset.add((min(a, b), max(a, b)))
+        edges = sorted(eset)
+        sources = {0, 17, 33}
+        adj: dict[int, list[int]] = {v: [] for v in range(n)}
+        for a, b in edges:
+            adj[a].append(b)
+            adj[b].append(a)
+        want = {v: -1 for v in range(n)}
+        dq = deque()
+        for s in sources:
+            want[s] = 0
+            dq.append(s)
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if want[v] == -1:
+                    want[v] = want[u] + 1
+                    dq.append(v)
+        got = self._run(spark, n, edges, sources, max_iter=20)
+        assert got == want
+
+    def test_early_exit_equals_full_run(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3)]
+        a = self._run(spark, 4, edges, {0}, max_iter=3)
+        b = self._run(spark, 4, edges, {0}, max_iter=10)
+        assert a == b == {0: 0, 1: 1, 2: 2, 3: 3}
