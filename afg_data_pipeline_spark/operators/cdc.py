@@ -52,3 +52,84 @@ def merge_latest(
     if delete_predicate is not None:
         merged = merged.filter(~delete_predicate)
     return merged
+
+
+def incremental_agg_apply(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of a materialized per-key aggregate
+    — the 100 TB answer to late-arriving data: never recompute the
+    corpus-sized GROUP BY; fold a CDC delta batch into the stored
+    (key, sums, count) table instead.
+
+    ``base``: the materialized aggregate — ``keys`` + the value
+    columns named by ``sum_cols`` keys + ``count_col``.
+    ``delta``: raw rows with an ``op_col`` ∈ {'I','D'} (an update
+    is a D of the old image + an I of the new one, the standard
+    CDC decomposition); ``sum_cols`` maps each aggregate column to
+    the raw delta column feeding it.
+
+    SUM and COUNT are abelian-group aggregates (every insert has
+    an exact inverse), so maintenance is: sign the delta rows
+    (+1/-1), partially aggregate the BATCH (map-side combinable —
+    the only shuffle is delta-sized, never base-sized), then one
+    key-equijoin merge with the base and a drop of keys whose
+    count reaches zero. MIN/MAX are deliberately NOT offered here:
+    they are not invertible under deletes (a retracted maximum
+    needs the full history to re-derive) — that restriction is the
+    honest boundary of delta maintenance, not an implementation
+    gap.
+
+    Determinism: inputs are expected integer-grid/decimal columns
+    per the repo's aggregate convention (CLAUDE.md rule 1); this
+    function only adds/subtracts them, introducing no float
+    reordering of its own.
+    """
+    if not sum_cols:
+        raise ValueError("sum_cols must name at least one aggregate")
+    bad = [c for c in sum_cols if c == count_col]
+    if bad:
+        raise ValueError(f"sum column collides with count_col: {bad}")
+    # unknown op markers fail loudly at evaluation time (a null
+    # sign would silently drop the row from every sum instead).
+    sign = (
+        F.when(F.col(op_col) == "I", F.lit(1))
+        .when(F.col(op_col) == "D", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unknown CDC op marker: "),
+                    F.col(op_col).cast("string"),
+                )
+            )
+        )
+    )
+    signed = delta.withColumn("__sign", sign)
+    d_agg = signed.groupBy(*keys).agg(
+        F.sum("__sign").cast("bigint").alias(f"__d_{count_col}"),
+        *[
+            F.sum(F.col(src) * F.col("__sign")).alias(f"__d_{dst}")
+            for dst, src in sum_cols.items()
+        ],
+    )
+    merged = base.join(d_agg, keys, "full_outer")
+    out_cols = [F.col(k) for k in keys]
+    for dst in sum_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(dst), F.lit(0))
+                + F.coalesce(F.col(f"__d_{dst}"), F.lit(0))
+            ).alias(dst)
+        )
+    out_cols.append(
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col(f"__d_{count_col}"), F.lit(0))
+        ).alias(count_col)
+    )
+    return merged.select(*out_cols).filter(F.col(count_col) > 0)

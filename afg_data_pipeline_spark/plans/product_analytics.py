@@ -826,3 +826,70 @@ def value_quartiles_by_type(
         F.percentile("value", F.lit(0.75)).alias("p75"),
         F.percentile("value", F.lit(0.95)).alias("p95"),
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+        SELECT o_custkey,
+               CAST(sum(CAST(round(
+                   CAST(o_totalprice AS DOUBLE) * 100)
+                   AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0
+        GROUP BY o_custkey
+    """,
+    ops=("A1", "J1"),
+)
+def incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of a materialized revenue-per-
+    customer aggregate (operators/cdc.incremental_agg_apply): the
+    base aggregate (orders with key % 7 ≠ 0, standing in for the
+    already-materialized 100 TB GROUP BY) is folded with one CDC
+    delta batch — late-arriving inserts (key % 7 = 0) plus
+    corrections deleting every base row with key % 5 = 0 — via a
+    delta-sized partial aggregate and ONE key merge join; the
+    corpus-sized input is never re-aggregated. The oracle simply
+    recomputes the final state from scratch, so the hash-exact row
+    PROVES incremental == full recompute, deletions included
+    (keys whose count reaches zero drop out on both sides).
+    Revenue rides an exact cents grid (rule 1b)."""
+    from afg_data_pipeline_spark.operators.cdc import (
+        incremental_agg_apply,
+    )
+
+    orders = read_star_table(spark, "orders", sf_dir)
+    cents = F.round(
+        F.col("o_totalprice").cast("double") * 100
+    ).cast("bigint")
+    rows = orders.select(
+        "o_custkey", cents.alias("cents"), "o_orderkey"
+    )
+    k = F.col("o_orderkey")
+    base = (
+        rows.filter(k % 7 != 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    delta = (
+        rows.filter(k % 7 == 0)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            rows.filter((k % 7 != 0) & (k % 5 == 0)).withColumn(
+                "op", F.lit("D")
+            )
+        )
+    )
+    return incremental_agg_apply(
+        base,
+        delta,
+        keys=["o_custkey"],
+        sum_cols={"revenue_cents": "cents"},
+        count_col="n_rows",
+    )

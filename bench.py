@@ -164,6 +164,7 @@ HEADLINE = [
     "unigram_tokenize",
     "heavy_hitters_cms",
     "bfs_hop_distances",
+    "incremental_agg_maintenance",
 ]
 
 
