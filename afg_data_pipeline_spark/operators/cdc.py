@@ -54,6 +54,65 @@ def merge_latest(
     return merged
 
 
+def join_insert_deltas(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[tuple[str, str]],
+) -> DataFrame:
+    """Joined-row inserts induced by insert-only deltas on BOTH
+    sides of an equi-join — the join half of incremental view
+    maintenance.
+
+    With A = A₀ ∪ ΔA and B = B₀ ∪ ΔB (disjoint unions), the new
+    joined rows are exactly ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — three joins
+    in which at least one side is delta-sized. Each delta side
+    carries an explicit broadcast hint: at 100 TB the base tables
+    NEVER shuffle for maintenance — each term streams the big side
+    map-side against a broadcast of the (small) delta batch. Feed
+    the result (op='I') to ``incremental_agg_apply`` to fold into
+    a materialized aggregate over the join.
+
+    Deletes are intentionally out of scope here: a delete on one
+    side retracts joined rows that need the OTHER side's matching
+    rows to reconstruct — same honest boundary as MIN/MAX in
+    ``incremental_agg_apply`` (it needs a second join against the
+    base, not a different algebra; callers with delete batches run
+    the same three-term decomposition with 'D' markers).
+
+    ``on``: list of (left_col, right_col) equi-join pairs. Left
+    and right column names must be disjoint (star-schema
+    convention) — the three joined terms are unioned by name, so
+    a shared name would be ambiguous; rename before calling.
+    """
+    if not on:
+        raise ValueError("join_insert_deltas needs join key pairs")
+    shared = set(base_left.columns) & set(base_right.columns)
+    if shared:
+        raise ValueError(
+            "left/right column names must be disjoint; rename "
+            f"before joining: {sorted(shared)}"
+        )
+
+    def _cond(left: DataFrame, right: DataFrame):
+        c = left[on[0][0]] == right[on[0][1]]
+        for lc, rc in on[1:]:
+            c = c & (left[lc] == right[rc])
+        return c
+
+    t1 = F.broadcast(delta_left).join(
+        base_right, _cond(delta_left, base_right)
+    )
+    t2 = base_left.join(
+        F.broadcast(delta_right), _cond(base_left, delta_right)
+    )
+    t3 = F.broadcast(delta_left).join(
+        delta_right, _cond(delta_left, delta_right)
+    )
+    return t1.unionByName(t2).unionByName(t3)
+
+
 def incremental_agg_apply(
     base: DataFrame,
     delta: DataFrame,

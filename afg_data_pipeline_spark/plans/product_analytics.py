@@ -893,3 +893,78 @@ def incremental_agg_maintenance(
         sum_cols={"revenue_cents": "cents"},
         count_col="n_rows",
     )
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(sum(CAST(round(
+                   CAST(o_totalprice AS DOUBLE) * 100)
+                   AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c_mktsegment
+    """,
+    ops=("A1", "J1"),
+)
+def incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of an aggregate OVER A JOIN
+    (revenue per market segment from customer ⋈ orders) when BOTH
+    join sides receive insert batches — the join half of IVM,
+    composing operators/cdc.join_insert_deltas with
+    incremental_agg_apply.
+
+    The materialized state is the base-only aggregate
+    (A₀ = customers with key % 4 ≠ 0 joined to B₀ = orders with
+    key % 3 ≠ 0, standing in for the already-computed 100 TB
+    view). The delta fold joins ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB with the
+    delta side of every term broadcast — the base tables never
+    shuffle — then folds the delta-sized partial aggregate into
+    the stored state with one key merge. The oracle recomputes
+    the full join from scratch, so the hash-exact row PROVES the
+    three-term delta decomposition. Revenue rides the exact cents
+    grid (rule 1b)."""
+    from afg_data_pipeline_spark.operators.cdc import (
+        incremental_agg_apply,
+        join_insert_deltas,
+    )
+
+    cust = read_star_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = read_star_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    a0 = cust.filter(F.col("c_custkey") % 4 != 0)
+    da = cust.filter(F.col("c_custkey") % 4 == 0)
+    b0 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    db = orders.filter(F.col("o_orderkey") % 3 == 0)
+    base = (
+        a0.join(b0, a0.c_custkey == b0.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    delta = (
+        join_insert_deltas(
+            a0, da, b0, db, on=[("c_custkey", "o_custkey")]
+        )
+        .select("c_mktsegment", "cents")
+        .withColumn("op", F.lit("I"))
+    )
+    return incremental_agg_apply(
+        base,
+        delta,
+        keys=["c_mktsegment"],
+        sum_cols={"revenue_cents": "cents"},
+        count_col="n_rows",
+    )

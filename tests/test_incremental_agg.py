@@ -11,6 +11,7 @@ import hashlib
 from collections import defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from afg_data_pipeline_spark.operators.cdc import (
     incremental_agg_apply,
@@ -94,6 +95,64 @@ class TestIncrementalAgg:
         )
         with pytest.raises(Exception, match="unknown CDC op"):
             out.collect()
+
+    def test_join_delta_decomposition_equals_full_minus_base(
+        self, spark
+    ):
+        # A = A0 ∪ dA on key%3, B = B0 ∪ dB on val%2; the operator
+        # must produce exactly (A⋈B) \ (A0⋈B0) as a multiset.
+        from afg_data_pipeline_spark.operators.cdc import (
+            join_insert_deltas,
+        )
+
+        left = spark.createDataFrame(
+            [(i % 7, f"l{i}") for i in range(40)], "k long, lv string"
+        )
+        right = spark.createDataFrame(
+            [(i % 7, i) for i in range(30)], "rk long, rv long"
+        )
+        a0 = left.filter(F.col("k") % 3 != 0)
+        da = left.filter(F.col("k") % 3 == 0)
+        b0 = right.filter(F.col("rv") % 2 != 0)
+        db = right.filter(F.col("rv") % 2 == 0)
+        got = sorted(
+            (r["lv"], r["rv"])
+            for r in join_insert_deltas(
+                a0, da, b0, db, on=[("k", "rk")]
+            ).collect()
+        )
+        full = sorted(
+            (r["lv"], r["rv"])
+            for r in left.join(
+                right, left["k"] == right["rk"]
+            ).collect()
+        )
+        base = sorted(
+            (r["lv"], r["rv"])
+            for r in a0.join(b0, a0["k"] == b0["rk"]).collect()
+        )
+        want = list(full)
+        for row in base:
+            want.remove(row)
+        assert got == sorted(want)
+        with pytest.raises(ValueError, match="join key pairs"):
+            join_insert_deltas(a0, da, b0, db, on=[])
+        with pytest.raises(ValueError, match="disjoint"):
+            join_insert_deltas(a0, da, a0, da, on=[("k", "k")])
+
+    def test_join_delta_terms_broadcast_the_delta_side(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+        from tests.conftest import SF_DIR
+        from tests.test_plan_shapes import plan_of
+
+        df = REGISTRY["incremental_join_maintenance"].fn(
+            spark, SF_DIR
+        )
+        plan = plan_of(df)
+        # all three delta terms are broadcast-hash joins; no
+        # nested-loop fallback anywhere in the maintenance path
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "BroadcastNestedLoopJoin" not in plan
 
     def test_config_validation(self, spark):
         base = spark.createDataFrame(
