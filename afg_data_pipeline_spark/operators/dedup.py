@@ -587,6 +587,59 @@ def decontaminate(
     )
 
 
+def gram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: how many of a document's
+    distinct word n-grams appear in NO earlier document (id order =
+    arrival order) — the contribution score behind dedup-aware
+    data valuation and curriculum sampling (a doc whose grams are
+    all rehashes of earlier corpus content scores ~0).
+
+    First-occurrence is a pure aggregate: a gram is novel for
+    exactly the doc with min(id) over its occurrences, so the
+    corpus never self-joins — one gram-keyed min (map-side
+    combinable: each task keeps one candidate per gram) assigns
+    every gram's novelty credit, then two doc-keyed counts roll up
+    totals and novel counts. The distinct (doc, gram) stream feeds
+    both rollups, so it is checkpointed once (rule 12) — the
+    regex tokenize + shingle pass runs one time.
+
+    Output: (id, n_grams, n_novel, novelty) with novelty =
+    n_novel / n_grams (a single correctly-rounded double division
+    — engine-portable, unlike float sums).
+    """
+    doc_grams = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(shingle_expr("__t", n))
+            ).alias("gram"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    novel = (
+        doc_grams.groupBy("gram")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+    return totals.join(novel, id_col, "left").select(
+        id_col,
+        "n_grams",
+        n_novel.alias("n_novel"),
+        (n_novel.cast("double") / F.col("n_grams")).alias("novelty"),
+    )
+
+
 def duplicate_span_extract(
     docs: DataFrame,
     k: int = 5,

@@ -1635,6 +1635,57 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gram_novelty_scores",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 3
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       END) AS gs
+            FROM tokd
+        ),
+        dg AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        firsts AS (
+            SELECT gram, min(doc_id) AS doc_id FROM dg GROUP BY gram
+        ),
+        novel AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+            FROM firsts GROUP BY doc_id
+        ),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM dg GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_grams,
+               CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+               CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / t.n_grams
+                   AS novelty
+        FROM tot t LEFT JOIN novel n USING (doc_id)
+    """,
+    ops=("DEDUP",),
+)
+def gram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of each doc's distinct word
+    trigrams first seen in THAT doc (id order = arrival order) —
+    dedup-aware data valuation (operators/dedup.gram_novelty).
+    First-occurrence credit is one gram-keyed min aggregate; the
+    corpus never self-joins."""
+    from afg_data_pipeline_spark.operators.dedup import gram_novelty
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return gram_novelty(docs, n=3)
+
+
+@register(
     "multimodal_audio_features",
     oracle=None,  # real WAV codec; DuckDB cannot decode RIFF bytes
     ops=("MULTIMODAL",),

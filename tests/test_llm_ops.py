@@ -734,6 +734,49 @@ class TestDecontamination:
         assert got == {1: 1}
 
 
+class TestGramNovelty:
+    def test_first_occurrence_credit(self, spark):
+        # doc 1: 3 trigrams, all novel (first doc). doc 2 repeats
+        # doc 1 verbatim -> 0 novel. doc 3 shares one trigram with
+        # doc 1 ("a b c") and adds two new ones.
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "a b c d e"),
+                (3, "a b c x y"),
+            ],
+            "doc_id long, text string",
+        )
+        from afg_data_pipeline_spark.operators.dedup import (
+            gram_novelty,
+        )
+
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+            for r in gram_novelty(docs, n=3).collect()
+        }
+        assert got == {
+            1: (3, 3, 1.0),
+            2: (3, 0, 0.0),
+            3: (3, 2, 2 / 3),
+        }
+
+    def test_short_text_whole_string_gram(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hi there"), (2, "hi there")],
+            "doc_id long, text string",
+        )
+        from afg_data_pipeline_spark.operators.dedup import (
+            gram_novelty,
+        )
+
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel)
+            for r in gram_novelty(docs, n=3).collect()
+        }
+        assert got == {1: (1, 1), 2: (1, 0)}
+
+
 class TestPiiRedaction:
     def test_planted_patterns(self, spark):
         from afg_data_pipeline_spark.operators.text import redact_pii
