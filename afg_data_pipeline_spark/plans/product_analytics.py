@@ -896,6 +896,61 @@ def incremental_agg_maintenance(
 
 
 @register(
+    "frequent_item_pairs",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        s AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+            FROM b GROUP BY l_partkey
+        ),
+        f AS (SELECT l_partkey, c FROM s WHERE c >= 3),
+        fb AS (
+            SELECT b.l_orderkey, b.l_partkey
+            FROM b JOIN f USING (l_partkey)
+        ),
+        p AS (
+            SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS pair_support
+            FROM fb x JOIN fb y
+              ON x.l_orderkey = y.l_orderkey
+             AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT p.part_a, p.part_b, p.pair_support,
+               sa.c AS support_a, sb.c AS support_b,
+               CAST(p.pair_support *
+                    (SELECT count(DISTINCT l_orderkey) FROM b)
+                    AS DOUBLE) / (sa.c * sb.c) AS lift
+        FROM p
+        JOIN f sa ON sa.l_partkey = p.part_a
+        JOIN f sb ON sb.l_partkey = p.part_b
+        WHERE p.pair_support >= 3
+    """,
+    ops=("A1", "J4"),
+)
+def frequent_item_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-basket mining: part pairs co-ordered in >= 3 orders,
+    with supports and lift (operators/itemsets.py). The a-priori
+    singleton prune broadcasts the frequent-item set ahead of the
+    basket self-join, so the quadratic pair expansion only sees
+    survivors; pair counting shuffles on the many-valued order key
+    — naturally parallel, no salting needed."""
+    from afg_data_pipeline_spark.operators.itemsets import (
+        frequent_item_pairs as mine_pairs,
+    )
+
+    li = read_star_table(spark, "lineitem", sf_dir)
+    return mine_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=3,
+    )
+
+
+@register(
     "incremental_join_maintenance",
     oracle="""
         SELECT c_mktsegment,
