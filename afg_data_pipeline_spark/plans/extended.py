@@ -257,3 +257,97 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ev.value >= bands.lo) & (ev.value < bands.hi),
     )
     return joined.select("event_id", "value", "band_id", "band_name")
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+        WITH c AS (
+            SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        ),
+        g AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM c
+        )
+        SELECT c.key, c.cnt,
+               CAST(c.cnt AS DOUBLE) / g.n_rows AS share,
+               CAST(c.cnt * g.n_keys AS DOUBLE) / g.n_rows
+                   AS skew_ratio,
+               g.n_rows, g.n_keys
+        FROM c, g
+        ORDER BY c.cnt DESC, c.key ASC
+        LIMIT 10
+    """,
+    ops=("A1", "O3"),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic (operators/skew.py): the ten
+    hottest lineitem part keys with share-of-rows and skew ratio —
+    the measurement a rule-13 salting decision or an AQE skew
+    threshold is tuned from. One corpus-sized map-side-combinable
+    count; everything downstream is key-cardinality sized, and the
+    top-k is TakeOrderedAndProject (per-task partial top-k), never
+    a partitionless window."""
+    from afg_data_pipeline_spark.operators.skew import (
+        key_skew_profile as profile,
+    )
+
+    li = read_star_table(spark, "lineitem", sf_dir)
+    return profile(li, key_col="l_partkey", top_k=10)
+
+
+@register(
+    "join_key_skew",
+    oracle="""
+        WITH lc AS (
+            SELECT l_partkey AS key,
+                   CAST(count(*) AS BIGINT) AS cnt_left
+            FROM lineitem GROUP BY l_partkey
+        ),
+        rc AS (
+            SELECT l_partkey AS key,
+                   CAST(count(*) AS BIGINT) AS cnt_right
+            FROM lineitem GROUP BY l_partkey
+        ),
+        pk AS (
+            SELECT key, cnt_left, cnt_right,
+                   CAST(cnt_left AS DECIMAL(19,0))
+                   * CAST(cnt_right AS DECIMAL(19,0))
+                       AS joined_rows
+            FROM lc JOIN rc USING (key)
+        ),
+        g AS (
+            SELECT CAST(sum(joined_rows) AS DECIMAL(38,0))
+                       AS predicted_rows,
+                   CAST(count(*) AS BIGINT) AS n_join_keys
+            FROM pk
+        )
+        SELECT pk.key, pk.cnt_left, pk.cnt_right,
+               CAST(pk.joined_rows AS DECIMAL(38,0))
+                   AS joined_rows,
+               CAST(pk.joined_rows AS DOUBLE)
+                   / CAST(g.predicted_rows AS DOUBLE)
+                   AS contribution_share,
+               g.predicted_rows, g.n_join_keys
+        FROM pk, g
+        ORDER BY pk.joined_rows DESC, pk.key ASC
+        LIMIT 5
+    """,
+    ops=("A1", "J4"),
+)
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality forecast WITHOUT running the join
+    (operators/skew.py): |A ⋈ B| = Σ_k cntL(k)·cntR(k) over the
+    lineitem part-key self-join — the Σ|group|² diagnostic behind
+    every blocking-join design in this repo. The five hottest join
+    keys with their share of the predicted output; the total rides
+    DECIMAL(38,0) because neither the per-key product nor its sum
+    has a provable 2^63 bound at corpus scale (rule 11)."""
+    from afg_data_pipeline_spark.operators.skew import join_key_skew
+
+    li = read_star_table(spark, "lineitem", sf_dir)
+    return join_key_skew(
+        li, "l_partkey", li, "l_partkey", top_k=5
+    )
