@@ -54,6 +54,78 @@ def merge_latest(
     return merged
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC *extract* — the inverse of ``incremental_agg_apply``'s
+    consume side: derive the changelog between two key-unique
+    snapshots. Output: key columns + ``op`` ('I' key only in new,
+    'D' only in old, 'U' in both with any compared column
+    differing) + old_/new_ images of every compared column;
+    unchanged keys emit nothing.
+
+    One full-outer equi-join on the key — both snapshots shuffle
+    once on the key and nothing else moves; at 100 TB this is the
+    partition-prunable nightly-diff pattern (co-partitioned or
+    bucketed snapshots diff with zero exchange, test_bucketed_io's
+    layout). Column comparison is null-safe (``<=>``): a value
+    change to/from NULL is a real 'U', not a silent equal.
+    """
+    if not keys or not compare_cols:
+        raise ValueError("keys and compare_cols must be non-empty")
+    overlap = set(keys) & set(compare_cols)
+    if overlap:
+        raise ValueError(f"compare_cols overlap keys: {sorted(overlap)}")
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ko_{keys[0]}").isNotNull()
+    in_new = F.col(f"__kn_{keys[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = d if changed is None else changed | d
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(
+                    F.col(f"__kn_{k}"), F.col(f"__ko_{k}")
+                ).alias(k)
+                for k in keys
+            ],
+            "op",
+            *[
+                c
+                for pair in (
+                    (f"old_{cc}", f"new_{cc}")
+                    for cc in compare_cols
+                )
+                for c in pair
+            ],
+        )
+    )
+
+
 def join_insert_deltas(
     base_left: DataFrame,
     delta_left: DataFrame,

@@ -896,6 +896,86 @@ def incremental_agg_maintenance(
 
 
 @register(
+    "snapshot_cdc_extract",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+                        AS BIGINT) AS cents,
+                   o_orderstatus AS status
+            FROM orders
+        ),
+        old AS (
+            SELECT k,
+                   CASE WHEN k % 11 = 0 THEN cents + 1000
+                        ELSE cents END AS cents,
+                   status
+            FROM base WHERE k % 9 <> 0
+            UNION ALL
+            SELECT -k, cents, status FROM base WHERE k % 13 = 0
+        ),
+        new AS (SELECT k, cents, status FROM base)
+        SELECT COALESCE(n.k, o.k) AS o_orderkey,
+               CASE WHEN o.k IS NULL THEN 'I'
+                    WHEN n.k IS NULL THEN 'D'
+                    ELSE 'U' END AS op,
+               o.cents AS old_cents, n.cents AS new_cents,
+               o.status AS old_o_orderstatus,
+               n.status AS new_o_orderstatus
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+        WHERE o.k IS NULL OR n.k IS NULL
+           OR (o.cents IS DISTINCT FROM n.cents)
+           OR (o.status IS DISTINCT FROM n.status)
+    """,
+    ops=("J1", "U1"),
+)
+def snapshot_cdc_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC *capture*: derive the changelog between two snapshot
+    versions of the orders table (operators/cdc.snapshot_diff) —
+    the inverse of cdc_upsert_snapshot/incremental_agg_maintenance,
+    which CONSUME changelogs. The old snapshot is deterministically
+    derived: key%9=0 rows absent (→ inserts), key%11=0 rows carry
+    a stale price (→ updates), and negated key%13=0 rows exist
+    only in old (→ deletes). One full-outer key join, null-safe
+    column compare; unchanged keys emit nothing. Prices ride the
+    exact cents grid (rule 1b)."""
+    from afg_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    orders = read_star_table(spark, "orders", sf_dir)
+    k = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderstatus",
+    )
+    old = (
+        base.filter(k % 9 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 11 == 0, F.col("cents") + 1000)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            base.filter(k % 13 == 0).select(
+                (-k).alias("o_orderkey"), "cents", "o_orderstatus"
+            )
+        )
+    )
+    return snapshot_diff(
+        old,
+        base,
+        keys=["o_orderkey"],
+        compare_cols=["cents", "o_orderstatus"],
+    )
+
+
+@register(
     "frequent_item_pairs",
     oracle="""
         WITH b AS (

@@ -80,6 +80,89 @@ class TestMergeLatest:
         assert got[2] == "b"
 
 
+class TestSnapshotDiff:
+    def _diff(self, spark, old_rows, new_rows):
+        from afg_data_pipeline_spark.operators.cdc import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            old_rows, "k long, v long, s string"
+        )
+        new = spark.createDataFrame(
+            new_rows, "k long, v long, s string"
+        )
+        return {
+            r.k: (r.op, r.old_v, r.new_v, r.old_s, r.new_s)
+            for r in snapshot_diff(
+                old, new, keys=["k"], compare_cols=["v", "s"]
+            ).collect()
+        }
+
+    def test_insert_update_delete_classified(self, spark):
+        got = self._diff(
+            spark,
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            [(1, 10, "a"), (2, 25, "b"), (4, 40, "d")],
+        )
+        # 1 unchanged -> absent; 2 value change -> U; 3 only in
+        # old -> D; 4 only in new -> I
+        assert got == {
+            2: ("U", 20, 25, "b", "b"),
+            3: ("D", 30, None, "c", None),
+            4: ("I", None, 40, None, "d"),
+        }
+
+    def test_null_transitions_are_updates(self, spark):
+        got = self._diff(
+            spark,
+            [(1, None, "a"), (2, 5, "b")],
+            [(1, 7, "a"), (2, 5, None)],
+        )
+        assert got == {
+            1: ("U", None, 7, "a", "a"),
+            2: ("U", 5, 5, "b", None),
+        }
+
+    def test_reconstruction_round_trip(self, spark):
+        # old + changelog == new: delete D/U keys from old, add
+        # I/U new-images
+        import hashlib
+
+        old_rows = []
+        new_rows = []
+        for i in range(200):
+            h = hashlib.md5(f"s|{i}".encode()).digest()
+            row = (i, h[0] % 50, f"s{h[1] % 5}")
+            if h[2] % 4 != 0:
+                old_rows.append(row)
+            if h[3] % 5 != 0:
+                new_rows.append(
+                    (i, row[1] + (h[4] % 3), row[2])
+                )
+        diff = self._diff(spark, old_rows, new_rows)
+        state = {k: (v, s) for k, v, s in old_rows}
+        for k, (op, _ov, nv, _os, ns) in diff.items():
+            if op == "D":
+                del state[k]
+            else:
+                state[k] = (nv, ns)
+        assert state == {k: (v, s) for k, v, s in new_rows}
+
+    def test_validation(self, spark):
+        import pytest
+
+        from afg_data_pipeline_spark.operators.cdc import (
+            snapshot_diff,
+        )
+
+        df = spark.createDataFrame([(1, 2)], "k long, v long")
+        with pytest.raises(ValueError, match="non-empty"):
+            snapshot_diff(df, df, keys=[], compare_cols=["v"])
+        with pytest.raises(ValueError, match="overlap"):
+            snapshot_diff(df, df, keys=["k"], compare_cols=["k"])
+
+
 class TestDataQualityChecks:
     def test_planted_violations_detected(self, spark):
         from afg_data_pipeline_spark.operators.quality import (
