@@ -640,6 +640,69 @@ def gram_novelty(
     )
 
 
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): for documents in id
+    order (= arrival order), the running token total and running
+    distinct-vocabulary size — the corpus-health curve that tells
+    you when more crawl stops buying new vocabulary.
+
+    Same first-occurrence algebra as ``gram_novelty`` but over
+    single tokens, with one extra trick: the gram-keyed
+    min(doc_id) needs NO distinct — within-doc duplicates cannot
+    change a min — so the token stream aggregates directly
+    (map-side combinable) without a (doc, token) dedup shuffle.
+    The running totals use the adaptive sharded cumsum
+    (operators/prefixsum.py): a plain one-task window below the
+    size ceiling, shard-parallel above it — never a partitionless
+    window over the corpus.
+
+    Output: (id, n_tokens, n_novel, cum_tokens, vocab_size)
+    ordered by id via the cumulative columns (row order itself is
+    unspecified, as everywhere).
+    """
+    from afg_data_pipeline_spark.operators.prefixsum import (
+        sharded_cumsum,
+    )
+
+    tokd = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = tokd.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    novel = (
+        tokd.groupBy("tok")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    j = tot.join(novel, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_novel"), F.lit(0))
+        .cast("bigint")
+        .alias("n_novel"),
+    )
+    c1 = sharded_cumsum(
+        j, "n_tokens", id_col, out_col="cum_tokens"
+    )
+    return sharded_cumsum(
+        c1,
+        "n_novel",
+        id_col,
+        out_col="vocab_size",
+    ).select(
+        id_col, "n_tokens", "n_novel", "cum_tokens", "vocab_size"
+    )
+
+
 def duplicate_span_extract(
     docs: DataFrame,
     k: int = 5,

@@ -1635,6 +1635,56 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_growth_curve",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS tok
+            FROM documents
+        ),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM tokd GROUP BY doc_id
+        ),
+        firsts AS (
+            SELECT tok, min(doc_id) AS doc_id
+            FROM tokd GROUP BY tok
+        ),
+        novel AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+            FROM firsts GROUP BY doc_id
+        ),
+        j AS (
+            SELECT t.doc_id, t.n_tokens,
+                   CAST(COALESCE(n.n_novel, 0) AS BIGINT)
+                       AS n_novel
+            FROM tot t LEFT JOIN novel n USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, n_novel,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(sum(n_novel) OVER w AS BIGINT) AS vocab_size
+        FROM j
+        WINDOW w AS (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    """,
+    ops=("DEDUP", "A6"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth over the corpus in arrival
+    order: running token total and running distinct-vocabulary
+    size per document (operators/dedup.vocab_growth). First-
+    occurrence credit is one token-keyed min (no dedup shuffle —
+    duplicates cannot change a min); the running sums ride the
+    adaptive sharded cumsum, never a partitionless window."""
+    from afg_data_pipeline_spark.operators.dedup import vocab_growth
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return vocab_growth(docs)
+
+
+@register(
     "gram_novelty_scores",
     oracle="""
         WITH tokd AS (

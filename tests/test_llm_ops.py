@@ -777,6 +777,38 @@ class TestGramNovelty:
         assert got == {1: (1, 1), 2: (1, 0)}
 
 
+class TestVocabGrowth:
+    def test_running_vocab_and_tokens(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a"),        # tokens 3, vocab {a,b} -> 2
+                (2, "b c"),          # tokens 2, novel {c} -> 1
+                (3, "a b c"),        # tokens 3, novel {} -> 0
+                (4, "d"),            # tokens 1, novel {d} -> 1
+            ],
+            "doc_id long, text string",
+        )
+        from afg_data_pipeline_spark.operators.dedup import (
+            vocab_growth,
+        )
+
+        got = {
+            r.doc_id: (
+                r.n_tokens,
+                r.n_novel,
+                r.cum_tokens,
+                r.vocab_size,
+            )
+            for r in vocab_growth(docs).collect()
+        }
+        assert got == {
+            1: (3, 2, 3, 2),
+            2: (2, 1, 5, 3),
+            3: (3, 0, 8, 3),
+            4: (1, 1, 9, 4),
+        }
+
+
 class TestPiiRedaction:
     def test_planted_patterns(self, spark):
         from afg_data_pipeline_spark.operators.text import redact_pii
