@@ -1,17 +1,20 @@
 """Frequent-itemset mining (market-basket pairs with a-priori
 pruning) — the co-purchase / co-occurrence analytic.
 
-Spark-first shape: baskets dedup to DISTINCT (basket, item) rows;
-the a-priori step (an item infrequent alone cannot be in a frequent
-pair) prunes the basket stream with a BROADCAST semi-join of the
-frequent-item set BEFORE the pair expansion, so the quadratic step
-only ever sees survivors; pair counting is a basket-keyed equi
-self-join — many distinct basket keys, so it parallelizes without
-salting (CLAUDE.md rule 13 boundary), with per-basket work bounded
-by the pruned basket width squared. At 100 TB the frequent-item
-table is vocabulary-sized (items, not baskets) and broadcasting it
-is exactly how a real a-priori pass avoids shuffling the corpus
-twice.
+Spark-first shape, one basket-keyed shuffle end to end: baskets
+collapse to sorted distinct-item arrays (collect_set is partial-
+aggregable, so within-basket duplicates die map-side), then the
+ordered-pair expansion is a LAMBDA-FREE chain of codegen'd
+generators — posexplode + explode(slice(items, i+2, …)) — because
+the equivalent nested `transform` lambda is CodegenFallback and
+runs interpreted per element (CLAUDE.md rule 18a; measured 1.46s
+vs 0.29s for the same 12M pairs at sf1). The a-priori step (an
+item infrequent alone cannot be in a frequent pair) prunes with
+BROADCAST semi-joins inside the pipelined expansion stage — no
+extra shuffle — and the pair count is map-side combinable. At
+100 TB the frequent-item table is vocabulary-sized (items, not
+baskets) and broadcasting it is exactly how a real a-priori pass
+avoids shuffling the corpus twice.
 """
 
 from __future__ import annotations
@@ -29,49 +32,58 @@ def frequent_item_pairs(
     """Pairs of items co-occurring in >= min_support baskets, with
     per-item supports and lift.
 
-    A-priori: an item with support < min_support is removed before
-    the pair join (sound — pair support <= either item support).
+    A-priori: items with support < min_support are pruned from the
+    pair stream (sound — pair support <= either item support), on
+    BOTH pair positions: the first-element semi-join cuts the
+    expansion itself, the second cuts the aggregate's shuffle.
     Lift = pair_support · n_baskets / (support_a · support_b); all
     factors are exact BIGINTs (< 2^53, so the single double
     division is engine-portable), and n_baskets rides a 1-row
     broadcast cross join so the plan stays lazy — no eager scalar
     collect at construction time.
 
-    Baskets with pathological width (a basket holding a large
+    The basket-array table feeds three branches (support,
+    n_baskets, pair stream) and is checkpointed once (rule 12).
+    Baskets with pathological width (one basket holding a large
     fraction of the catalog) would square inside one task; callers
     at crawl scale cap basket width upstream — same announced
     contract as the winnowing hot-fingerprint cap.
     """
     if min_support < 1:
         raise ValueError("min_support must be >= 1")
-    b = baskets.select(
-        F.col(basket_col).alias("__basket"),
-        F.col(item_col).alias("__item"),
-    ).distinct()
-    support = b.groupBy("__item").agg(
-        F.count(F.lit(1)).alias("__support")
+    arrays = (
+        baskets.select(
+            F.col(basket_col).alias("__basket"),
+            F.col(item_col).alias("__item"),
+        )
+        .groupBy("__basket")
+        .agg(F.array_sort(F.collect_set("__item")).alias("items"))
+        .localCheckpoint(eager=False)
+    )
+    support = (
+        arrays.select(F.explode("items").alias("__item"))
+        .groupBy("__item")
+        .agg(F.count(F.lit(1)).alias("__support"))
     )
     frequent = support.filter(F.col("__support") >= min_support)
-    pruned = b.join(
-        F.broadcast(frequent.select("__item")), "__item", "left_semi"
-    )
-    n_baskets = b.select("__basket").distinct().agg(
+    n_baskets = arrays.agg(
         F.count(F.lit(1)).alias("__n_baskets")
     )
-    x = pruned.select(
-        F.col("__basket"), F.col("__item").alias("part_a")
-    )
-    y = pruned.select(
-        F.col("__basket").alias("__basket_y"),
-        F.col("__item").alias("part_b"),
-    )
+    fa = frequent.select(F.col("__item").alias("part_a"))
+    fb = frequent.select(F.col("__item").alias("part_b"))
+    firsts = arrays.select(
+        "items", F.posexplode("items").alias("__i", "part_a")
+    ).join(F.broadcast(fa), "part_a", "left_semi")
+    pair_stream = firsts.select(
+        "part_a",
+        F.explode(
+            F.slice(
+                F.col("items"), F.col("__i") + 2, F.size("items")
+            )
+        ).alias("part_b"),
+    ).join(F.broadcast(fb), "part_b", "left_semi")
     pairs = (
-        x.join(
-            y,
-            (x.__basket == y.__basket_y)
-            & (F.col("part_a") < F.col("part_b")),
-        )
-        .groupBy("part_a", "part_b")
+        pair_stream.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("pair_support"))
         .filter(F.col("pair_support") >= min_support)
     )

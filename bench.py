@@ -165,6 +165,14 @@ HEADLINE = [
     "heavy_hitters_cms",
     "bfs_hop_distances",
     "incremental_agg_maintenance",
+    # --- round-6 continuation-2 additions (append-only) ---
+    "incremental_join_maintenance",
+    "snapshot_cdc_extract",
+    "frequent_item_pairs",
+    "key_skew_profile",
+    "join_key_skew",
+    "gram_novelty_scores",
+    "vocab_growth_curve",
 ]
 
 

@@ -100,6 +100,15 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "bloom_prefilter_dedup",
     "unigram_tokenize",
     "heavy_hitters_cms",
+    # round-6 continuation: IVM, basket mining, skew diagnostics,
+    # CDC capture, novelty/vocab curves
+    "incremental_join_maintenance",
+    "gram_novelty_scores",
+    "frequent_item_pairs",
+    "key_skew_profile",
+    "join_key_skew",
+    "snapshot_cdc_extract",
+    "vocab_growth_curve",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
@@ -195,6 +204,39 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
             .drop("__shard")
         )
         big.repartition(32).write.mode("overwrite").parquet(emb_path)
+
+    # 10× orders/lineitem with per-shard orderkey offsets and the
+    # dimension keys (cust/part/supp) UNshifted — the realistic
+    # "10× more orders, same catalog/customer base" scaling, which
+    # keeps every FK valid and scales join/basket/skew work
+    # honestly (per-key counts ×N, join outputs up to ×N²). Older
+    # out dirs hold sf0.1 symlinks for these; replace them.
+    shards = spark.range(N_SHARDS).select(
+        F.col("id").alias("__shard")
+    )
+    for t, kcol in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.islink(dst):
+            os.remove(dst)
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(f"{src_dir}/{t}.parquet")
+        stride = 10 ** len(
+            str(df.agg(F.max(kcol)).collect()[0][0])
+        )
+        big = (
+            # repartition BEFORE the expansion: the single-row-group
+            # source scan is one task and AQE cannot see the ×N
+            # blowup in its shuffle stats (CLAUDE.md rule 3)
+            df.repartition(32)
+            .crossJoin(F.broadcast(shards))
+            .withColumn(
+                kcol,
+                F.col(kcol) + F.col("__shard") * F.lit(stride),
+            )
+            .drop("__shard")
+        )
+        big.write.mode("overwrite").parquet(dst)
 
     for t in (
         "region nation customer supplier part orders lineitem events"
