@@ -351,3 +351,108 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_key_skew(
         li, "l_partkey", li, "l_partkey", top_k=5
     )
+
+
+@register(
+    "zorder_skipping_report",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(l_partkey AS BIGINT) AS x,
+                   CAST(l_suppkey AS BIGINT) AS y,
+                   CAST(l_orderkey AS BIGINT) AS nk
+            FROM lineitem
+            WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        ),
+        bounds AS (
+            SELECT min(x) AS minx, max(x) AS maxx,
+                   min(y) AS miny, max(y) AS maxy
+            FROM base
+        ),
+        r AS (
+            SELECT ((x - minx) * 65535)
+                       // GREATEST(maxx - minx, 1) AS xr,
+                   ((y - miny) * 65535)
+                       // GREATEST(maxy - miny, 1) AS yr,
+                   nk
+            FROM base, bounds
+        ),
+        z0 AS (SELECT xr, yr, nk, xr AS a, yr AS b FROM r),
+        z1 AS (SELECT xr, yr, nk,
+                      (a | (a << 8)) & 16711935 AS a,
+                      (b | (b << 8)) & 16711935 AS b FROM z0),
+        z2 AS (SELECT xr, yr, nk,
+                      (a | (a << 4)) & 252645135 AS a,
+                      (b | (b << 4)) & 252645135 AS b FROM z1),
+        z3 AS (SELECT xr, yr, nk,
+                      (a | (a << 2)) & 858993459 AS a,
+                      (b | (b << 2)) & 858993459 AS b FROM z2),
+        z4 AS (SELECT xr, yr, nk,
+                      (a | (a << 1)) & 1431655765 AS a,
+                      (b | (b << 1)) & 1431655765 AS b FROM z3),
+        k AS (SELECT xr, yr, nk, a | (b << 1) AS zkey FROM z4),
+        tagged AS (
+            SELECT 'zorder' AS layout, zkey >> 22 AS block,
+                   xr, yr FROM k
+            UNION ALL
+            SELECT 'sort_x', xr >> 6, xr, yr FROM k
+            UNION ALL
+            SELECT 'natural', nk % 1024, xr, yr FROM k
+        ),
+        stats AS (
+            SELECT layout, block,
+                   min(xr) AS bminx, max(xr) AS bmaxx,
+                   min(yr) AS bminy, max(yr) AS bmaxy,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM tagged GROUP BY 1, 2
+        ),
+        hits AS (
+            SELECT *,
+                   (bmaxx >= 26214 AND bminx <= 29490
+                    AND bmaxy >= 19660 AND bminy <= 29490) AS hit
+            FROM stats
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS blocks_total,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+                    AS BIGINT) AS blocks_read,
+               CAST(sum(n_rows) AS BIGINT) AS rows_total,
+               CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_read,
+               CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END)
+                    AS DOUBLE)
+                   / CAST(sum(n_rows) AS DOUBLE) AS read_fraction
+        FROM hits
+        GROUP BY layout
+        ORDER BY layout
+    """,
+    ops=("P10", "A1"),
+)
+def zorder_skipping_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map data-skipping effectiveness of three physical
+    layouts (Z-order / single-dim sort / natural) for a rectangle
+    predicate on (l_partkey, l_suppkey) — operators/layout.py.
+    The Morton key is a codegen'd mask-shift projection; blocks
+    are key-prefix buckets (value-space, no global row-number
+    window); the report is two map-side-combinable aggregates, so
+    the only corpus-sized shuffle carries block-level rows. The
+    rectangle is ~5% of the part range x ~15% of the supplier
+    range in rank space: the Z-order layout should read a small
+    multiple of the true selectivity while `natural` reads ~100%
+    of blocks - the measurement behind a Delta/Iceberg-style
+    OPTIMIZE ZORDER decision at 100 TB."""
+    from afg_data_pipeline_spark.operators.layout import (
+        zone_map_skipping_report,
+    )
+
+    li = read_star_table(spark, "lineitem", sf_dir)
+    return zone_map_skipping_report(
+        li,
+        "l_partkey",
+        "l_suppkey",
+        x_rank_range=(26214, 29490),
+        y_rank_range=(19660, 29490),
+        block_bits=10,
+        natural_key="l_orderkey",
+    )

@@ -173,6 +173,7 @@ HEADLINE = [
     "join_key_skew",
     "gram_novelty_scores",
     "vocab_growth_curve",
+    "zorder_skipping_report",
 ]
 
 

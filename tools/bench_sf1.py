@@ -109,6 +109,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "join_key_skew",
     "snapshot_cdc_extract",
     "vocab_growth_curve",
+    "zorder_skipping_report",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
