@@ -2354,3 +2354,100 @@ def contamination_report_q(
         F.col("source").alias("eval_set"), "doc_id", "text"
     )
     return contamination_report(train, evals)
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+        WITH q(query_id, term) AS (
+            VALUES ('q_dup', 'batch'), ('q_dup', 'dup'),
+                   ('q_dup', 'merge'),
+                   ('q_quality', 'filter'), ('q_quality', 'scan'),
+                   ('q_quality', 'slow'),
+                   ('q_vector', 'hash'), ('q_vector', 'join'),
+                   ('q_vector', 'vector')
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS term
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+            FROM toks GROUP BY doc_id
+        ),
+        corpus AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_len
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks
+            WHERE term IN (SELECT DISTINCT term FROM q)
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(round(
+                       ln(1.0 + (CAST(n_docs AS DOUBLE)
+                                 - CAST(df AS DOUBLE) + 0.5)
+                                / (CAST(df AS DOUBLE) + 0.5))
+                       * (CAST(tf AS DOUBLE) * 2.2)
+                         / (CAST(tf AS DOUBLE)
+                            + 1.2 * (0.25
+                                     + 0.75 * CAST(dl AS DOUBLE)
+                                       / (CAST(total_len AS DOUBLE)
+                                          / CAST(n_docs AS DOUBLE))))
+                       * 1000000000.0) AS BIGINT) AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN q USING (term)
+            JOIN dl USING (doc_id), corpus
+        ),
+        s AS (
+            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS s
+            FROM contrib GROUP BY query_id, doc_id
+        ),
+        r AS (
+            SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC,
+                                               doc_id ASC) AS rnk
+            FROM s
+        )
+        SELECT query_id, doc_id,
+               CAST(s AS DOUBLE) / 1000000000.0 AS score,
+               CAST(rnk AS INTEGER) AS rank
+        FROM r WHERE rnk <= 10
+    """,
+    ops=("RETRIEVAL",),
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for three probe queries over the
+    documents corpus (operators/bm25.py) — the targeted-audit /
+    quality-selection retrieval primitive. Query terms broadcast;
+    the posting stream is semi-join-pruned BEFORE the df/tf
+    aggregates so only the token scan and per-doc lengths are
+    corpus-sized; each ln-derived contribution is quantized once
+    to the 1e9 integer grid (rule 1c) and summed exactly, making
+    the scores bit-identical to the DuckDB replica; top-k per
+    query runs the salted two-level window, never one hot
+    partition per query."""
+    from afg_data_pipeline_spark.operators.bm25 import bm25_topk
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return bm25_topk(
+        docs,
+        [
+            ("q_vector", "vector hash join"),
+            ("q_quality", "slow scan filter"),
+            ("q_dup", "dup merge batch"),
+        ],
+        k=10,
+    )

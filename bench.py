@@ -174,6 +174,7 @@ HEADLINE = [
     "gram_novelty_scores",
     "vocab_growth_curve",
     "zorder_skipping_report",
+    "bm25_topk",
 ]
 
 

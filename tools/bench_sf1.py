@@ -110,6 +110,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "snapshot_cdc_extract",
     "vocab_growth_curve",
     "zorder_skipping_report",
+    "bm25_topk",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
