@@ -761,3 +761,68 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component_scores(
         emb, "vec_id", "embedding", dim=64
     )
+
+
+@register(
+    "ann_sq8_topk",
+    oracle="""
+        WITH isp AS (SELECT unnest(generate_series(1, 64)) AS i),
+        comp AS MATERIALIZED (
+            SELECT vec_id, i,
+                   CAST(round(CAST(embedding[i] AS DOUBLE)
+                              * 1000000.0) AS BIGINT) AS v
+            FROM embeddings CROSS JOIN isp
+        ),
+        b AS (
+            SELECT i, min(v) AS mn,
+                   GREATEST(max(v) - min(v), 1) AS span
+            FROM comp GROUP BY i
+        ),
+        codes AS MATERIALIZED (
+            SELECT vec_id, comp.i,
+                   LEAST(GREATEST(((v - mn) * 255) // span, 0),
+                         255) AS code
+            FROM comp JOIN b USING (i)
+        ),
+        d AS (
+            SELECT q.vec_id AS query_id,
+                   x.vec_id AS neighbor_id,
+                   CAST(SUM((q.code - x.code)
+                            * (q.code - x.code)) AS BIGINT)
+                       AS sqdist
+            FROM codes q JOIN codes x USING (i)
+            WHERE q.vec_id < 32 AND q.vec_id <> x.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, sqdist,
+               CAST(rn AS INTEGER) AS rank
+        FROM (
+            SELECT query_id, neighbor_id, sqdist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sqdist ASC, neighbor_id ASC
+                   ) AS rn
+            FROM d)
+        WHERE rn <= 5
+    """,
+    ops=("ANN",),
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN tier (operators/sq.py): top-5
+    neighbors for the first 32 vectors by exact integer L2 over
+    per-dimension min-max 8-bit codes — the 1-byte/dim memory tier
+    between full vectors and PQ (faiss ScalarQuantizer SQ8
+    semantics). Bounds are 128 driver literals from ONE aggregate
+    (rule 14); encode is a pure codegen'd projection; the pair
+    distance is a single rule-15 zip_with fold, bit-exact against
+    the relational DuckDB replica."""
+    from afg_data_pipeline_spark.operators.sq import sq8_topk
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    return sq8_topk(
+        None,
+        emb,
+        k=5,
+        dim=64,
+        query_filter=F.col("neighbor_id") < 32,
+    )

@@ -175,6 +175,7 @@ HEADLINE = [
     "vocab_growth_curve",
     "zorder_skipping_report",
     "bm25_topk",
+    "ann_sq8_topk",
 ]
 
 

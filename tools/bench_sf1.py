@@ -111,6 +111,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "vocab_growth_curve",
     "zorder_skipping_report",
     "bm25_topk",
+    "ann_sq8_topk",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
