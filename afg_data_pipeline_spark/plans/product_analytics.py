@@ -1103,3 +1103,73 @@ def incremental_join_maintenance(
         sum_cols={"revenue_cents": "cents"},
         count_col="n_rows",
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        t AS (
+            SELECT event_type AS from_type,
+                   next_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM ordered WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT from_type,
+                   CAST(sum(n_transitions) AS BIGINT)
+                       AS from_total
+            FROM t GROUP BY 1
+        )
+        SELECT t.from_type, t.to_type, t.n_transitions,
+               tot.from_total,
+               CAST(t.n_transitions AS DOUBLE)
+                   / CAST(tot.from_total AS DOUBLE) AS prob
+        FROM t JOIN tot USING (from_type)
+    """,
+    ops=("O1", "A1"),
+)
+def event_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the behavioral model
+    behind next-action prediction and anomaly scoring. Sequencing
+    is a per-user lead() window (users are a many-valued key —
+    parallel, no salting per rule 13); the transition counts are
+    one map-side-combinable aggregate; row normalization joins the
+    BROADCAST per-from-type totals instead of a 5-partition hot
+    window (rule 19). Counts exact BIGINTs; each probability is
+    one correctly-rounded double division."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = t.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("from_total")
+    )
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "from_total",
+        (
+            F.col("n_transitions").cast("double")
+            / F.col("from_total").cast("double")
+        ).alias("prob"),
+    )

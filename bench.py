@@ -176,6 +176,7 @@ HEADLINE = [
     "zorder_skipping_report",
     "bm25_topk",
     "ann_sq8_topk",
+    "event_transition_matrix",
 ]
 
 

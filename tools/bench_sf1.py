@@ -112,6 +112,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "zorder_skipping_report",
     "bm25_topk",
     "ann_sq8_topk",
+    "event_transition_matrix",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
