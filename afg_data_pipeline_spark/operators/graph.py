@@ -628,3 +628,82 @@ def bfs_hop_distances(
             "hops"
         ),
     )
+
+
+def weighted_shortest_paths(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source_cond,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    wt: str = "wt",
+    max_iter: int = 10,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (distributed
+    Bellman-Ford): (vertex, dist) where dist is the minimum total
+    integer edge weight to any vertex satisfying ``source_cond``,
+    or -1 if unreached within ``max_iter`` relaxation rounds — the
+    weighted sibling of bfs_hop_distances (travel-cost-to-nearest-
+    facility, weighted blast radius).
+
+    Weights MUST be exact integers (quantize irrational costs once
+    per rule 1b — sqrt distances are IEEE-correctly-rounded, so
+    round(dist·10^k) is engine-portable). Each round is one
+    frontier equi-join + one min-aggregate on the vertex key (AQE
+    reuses the partitioning); distances only decrease, so the
+    (count, Σdist) pair is a fixpoint probe and early exit is
+    bit-identical to the full unroll. The probe sum rides
+    DECIMAL(38,0): unlike hop counts, Σ(path weights) has no
+    provable 2^63 bound (rule 11).
+    """
+    sym = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("d"),
+        F.col(wt).cast("bigint").alias("w"),
+    ).unionByName(
+        edges.select(
+            F.col(dst).alias("s"),
+            F.col(src).alias("d"),
+            F.col(wt).cast("bigint").alias("w"),
+        )
+    ).localCheckpoint()
+    dist = nodes.select(
+        F.col(id_col).alias("vertex"),
+        F.when(source_cond, F.lit(0).cast("bigint")).alias(
+            "dist"
+        ),
+    ).localCheckpoint()
+    prev_probe = None
+    for it in range(max_iter):
+        msgs = sym.join(
+            dist.filter(F.col("dist").isNotNull()),
+            sym.s == F.col("vertex"),
+        ).select(
+            F.col("d").alias("vertex"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(msgs)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            dist = dist.localCheckpoint()
+            row = dist.agg(
+                F.count("dist").alias("n"),
+                F.sum(
+                    F.col("dist").cast("decimal(38,0)")
+                ).alias("s"),
+            ).collect()[0]
+            probe = (row["n"], row["s"])
+            if probe == prev_probe:
+                break
+            prev_probe = probe
+    return dist.select(
+        "vertex",
+        F.coalesce(F.col("dist"), F.lit(-1).cast("bigint")).alias(
+            "dist"
+        ),
+    )

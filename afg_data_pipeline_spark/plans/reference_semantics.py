@@ -812,3 +812,95 @@ def bfs_hop_distances_query(
         id_col="id",
         max_iter=10,
     )
+
+
+def _sssp_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled-CTE replica of graph.weighted_shortest_paths over
+    the supplier radius graph with integer-quantized sqrt weights
+    (round(dist·100) — sqrt is IEEE-correctly-rounded so the
+    quantization is engine-portable, rule 1b). Same structure as
+    _bfs_oracle_sql with `+ wt` relaxation."""
+    half = f"""
+            SELECT a.s_suppkey AS s, b.s_suppkey AS d,
+                   CAST(round({_ADJ_DIST_SQL} * 100.0) AS BIGINT)
+                       AS w
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE {_ADJ_DIST_SQL} <= 500.0"""
+    parts = [
+        f"""
+        WITH edges AS MATERIALIZED ({half}
+            UNION ALL
+            SELECT d, s, w FROM ({half})
+        ),
+        d0 AS MATERIALIZED (
+            SELECT s_suppkey AS v,
+                   CASE WHEN s_suppkey % 50 = 0
+                        THEN CAST(0 AS BIGINT) END AS dist
+            FROM supplier
+        )"""
+    ]
+    prev = "d0"
+    for t in range(1, iterations + 1):
+        parts.append(
+            f""",
+        d{t} AS MATERIALIZED (
+            SELECT v, min(dist) AS dist FROM (
+                SELECT v, dist FROM {prev}
+                UNION ALL
+                SELECT e.d AS v, r.dist + e.w AS dist
+                FROM edges e JOIN {prev} r
+                  ON r.v = e.s AND r.dist IS NOT NULL
+            ) GROUP BY v
+        )"""
+        )
+        prev = f"d{t}"
+    parts.append(
+        f"""
+        SELECT v AS vertex,
+               COALESCE(dist, CAST(-1 AS BIGINT)) AS dist
+        FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "weighted_sssp_dist",
+    oracle=_sssp_oracle_sql(iterations=10),
+    ops=("M5", "A1"),
+)
+def weighted_sssp_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-source weighted shortest paths (Bellman-Ford rounds)
+    over the supplier spatial adjacency graph: minimum total
+    travel cost (integer-quantized euclidean edge weights,
+    round(dist·100)) from every vertex to its nearest seed (every
+    50th supplier), -1 where unreached in 10 rounds — the weighted
+    sibling of bfs_hop_distances. Per-round equi-join +
+    min-aggregate; decimal fixpoint probe; early exit
+    bit-identical to the oracle's full unroll
+    (operators/graph.weighted_shortest_paths)."""
+    from afg_data_pipeline_spark.operators.graph import (
+        radius_edges_grid2d,
+        weighted_shortest_paths,
+    )
+
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("x"),
+        (F.col("s_nationkey") * 400).cast("double").alias("y"),
+    )
+    edges = radius_edges_grid2d(
+        s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
+    ).withColumn(
+        "wt", F.round(F.col("dist") * 100.0).cast("bigint")
+    )
+    nodes = s.select(F.col("s_suppkey").alias("id"))
+    return weighted_shortest_paths(
+        nodes,
+        edges,
+        F.col("id") % 50 == 0,
+        id_col="id",
+        max_iter=10,
+    )

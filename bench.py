@@ -177,6 +177,7 @@ HEADLINE = [
     "bm25_topk",
     "ann_sq8_topk",
     "event_transition_matrix",
+    "weighted_sssp_dist",
 ]
 
 

@@ -551,3 +551,79 @@ class TestBfsHopDistances:
         a = self._run(spark, 4, edges, {0}, max_iter=3)
         b = self._run(spark, 4, edges, {0}, max_iter=10)
         assert a == b == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+class TestWeightedShortestPaths:
+    def _run(self, spark, edges, seeds, n, max_iter=10):
+        from afg_data_pipeline_spark.operators.graph import (
+            weighted_shortest_paths,
+        )
+
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)], ["id"]
+        )
+        e = spark.createDataFrame(
+            edges, ["id_a", "id_b", "wt"]
+        )
+        out = weighted_shortest_paths(
+            nodes,
+            e,
+            F.col("id").isin(seeds),
+            id_col="id",
+            max_iter=max_iter,
+        )
+        return {r.vertex: r.dist for r in out.collect()}
+
+    def test_chain_takes_cheaper_detour(self, spark):
+        # 0-1 weight 10; 0-2 weight 1, 2-1 weight 2: dist(1)=3
+        got = self._run(
+            spark, [(0, 1, 10), (0, 2, 1), (2, 1, 2)], [0], 4
+        )
+        assert got[0] == 0
+        assert got[2] == 1
+        assert got[1] == 3
+        assert got[3] == -1  # island
+
+    def test_matches_python_dijkstra_multisource(self, spark):
+        import heapq
+        import random
+
+        rng = random.Random(3)
+        n = 40
+        edges = []
+        seen = set()
+        for _ in range(120):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b or (min(a, b), max(a, b)) in seen:
+                continue
+            seen.add((min(a, b), max(a, b)))
+            edges.append(
+                (min(a, b), max(a, b), rng.randrange(1, 20))
+            )
+        seeds = [0, 7, 13]
+        adj = {}
+        for a, b, w in edges:
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+        dist = {s: 0 for s in seeds}
+        pq = [(0, s) for s in seeds]
+        heapq.heapify(pq)
+        while pq:
+            d, v = heapq.heappop(pq)
+            if d > dist.get(v, 1 << 60):
+                continue
+            for u, w in adj.get(v, []):
+                if d + w < dist.get(u, 1 << 60):
+                    dist[u] = d + w
+                    heapq.heappush(pq, (d + w, u))
+        got = self._run(spark, edges, seeds, n, max_iter=50)
+        exp = {
+            v: dist.get(v, -1) for v in range(n)
+        }
+        assert got == exp
+
+    def test_early_exit_equals_full_unroll(self, spark):
+        edges = [(i, i + 1, 5) for i in range(5)]
+        a = self._run(spark, edges, [0], 6, max_iter=5)
+        b = self._run(spark, edges, [0], 6, max_iter=30)
+        assert a == b

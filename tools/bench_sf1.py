@@ -113,6 +113,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "bm25_topk",
     "ann_sq8_topk",
     "event_transition_matrix",
+    "weighted_sssp_dist",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
