@@ -456,3 +456,127 @@ def zorder_skipping_report(
         block_bits=10,
         natural_key="l_orderkey",
     )
+
+
+@register(
+    "chisq_independence",
+    oracle="""
+        WITH cells AS (
+            SELECT n.n_name AS nation,
+                   o.o_orderstatus AS status,
+                   CAST(count(*) AS BIGINT) AS observed
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        rt AS (
+            SELECT nation, CAST(sum(observed) AS BIGINT) AS rtot
+            FROM cells GROUP BY 1
+        ),
+        ct AS (
+            SELECT status, CAST(sum(observed) AS BIGINT) AS ctot
+            FROM cells GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells
+        ),
+        grid AS (
+            SELECT rt.nation, ct.status, rt.rtot, ct.ctot,
+                   COALESCE(cells.observed, 0) AS observed
+            FROM rt CROSS JOIN ct
+            LEFT JOIN cells USING (nation, status)
+        ),
+        contrib AS (
+            SELECT nation, status, observed,
+                   CAST(round(
+                       (CAST(observed AS DOUBLE)
+                        - CAST(rtot AS DOUBLE)
+                          * CAST(ctot AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       * (CAST(observed AS DOUBLE)
+                          - CAST(rtot AS DOUBLE)
+                            * CAST(ctot AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                       / (CAST(rtot AS DOUBLE)
+                          * CAST(ctot AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS cq
+            FROM grid, tot
+        )
+        SELECT CAST(sum(cq) AS DOUBLE) / 1000000.0 AS chi2,
+               CAST((count(DISTINCT nation) - 1)
+                    * (count(DISTINCT status) - 1) AS BIGINT)
+                   AS dof,
+               CAST(sum(observed) AS BIGINT) AS n
+        FROM contrib
+    """,
+    ops=("A1", "J1"),
+)
+def chisq_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square test of independence: is order status
+    independent of customer nation? The contingency table is ONE
+    map-side-combinable count (cells bounded by |nations|x
+    |statuses|); row/column totals and expected counts are
+    cell-level arithmetic on the tiny table; each cell's
+    (O-E)^2/E contribution is quantized once to the 1e6 grid
+    (rule 1c - the division chain is irrational-adjacent) and
+    summed exactly, so chi2 is bit-identical across engines; the
+    grid is DENSIFIED first (a missing combination is a zero cell
+    contributing E). The only corpus-sized work is the
+    orders->customer join + count."""
+    o = read_star_table(spark, "orders", sf_dir)
+    c = read_star_table(spark, "customer", sf_dir)
+    n = read_star_table(spark, "nation", sf_dir)
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = cells.groupBy("nation").agg(
+        F.sum("observed").alias("rtot")
+    )
+    ct = cells.groupBy("status").agg(
+        F.sum("observed").alias("ctot")
+    )
+    tot = cells.agg(F.sum("observed").alias("n"))
+    e = (
+        F.col("rtot").cast("double")
+        * F.col("ctot").cast("double")
+        / F.col("n").cast("double")
+    )
+    cq = F.round(
+        (F.col("observed").cast("double") - e)
+        * (F.col("observed").cast("double") - e)
+        / e
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    # densify: a missing (nation, status) combination is a ZERO
+    # cell and contributes E to the statistic — dropping it would
+    # understate chi2 (caught by the planted diagonal test)
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(cells), ["nation", "status"], "left")
+        .withColumn(
+            "observed", F.coalesce(F.col("observed"), F.lit(0))
+        )
+    )
+    contrib = grid.crossJoin(F.broadcast(tot)).select(
+        "nation", "status", "observed", cq.alias("cq")
+    )
+    return contrib.agg(
+        (F.sum("cq").cast("double") / F.lit(1000000.0)).alias(
+            "chi2"
+        ),
+        (
+            (F.countDistinct("nation") - F.lit(1))
+            * (F.countDistinct("status") - F.lit(1))
+        ).cast("bigint").alias("dof"),
+        F.sum("observed").cast("bigint").alias("n"),
+    )

@@ -1173,3 +1173,125 @@ def event_transition_matrix(
             / F.col("from_total").cast("double")
         ).alias("prob"),
     )
+
+
+@register(
+    "association_rules",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        s AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+            FROM b GROUP BY l_partkey
+        ),
+        f AS (SELECT l_partkey, c FROM s WHERE c >= 3),
+        fb AS (
+            SELECT b.l_orderkey, b.l_partkey
+            FROM b JOIN f USING (l_partkey)
+        ),
+        p AS (
+            SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS pair_support
+            FROM fb x JOIN fb y
+              ON x.l_orderkey = y.l_orderkey
+             AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2
+        ),
+        n AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                AS nb FROM b
+        ),
+        pr AS (
+            SELECT p.part_a, p.part_b, p.pair_support,
+                   sa.c AS support_a, sb.c AS support_b
+            FROM p
+            JOIN f sa ON sa.l_partkey = p.part_a
+            JOIN f sb ON sb.l_partkey = p.part_b
+            WHERE p.pair_support >= 3
+        ),
+        rules AS (
+            SELECT part_a AS antecedent, part_b AS consequent,
+                   pair_support,
+                   support_a AS antecedent_support,
+                   support_b AS consequent_support
+            FROM pr
+            UNION ALL
+            SELECT part_b, part_a, pair_support,
+                   support_b, support_a
+            FROM pr
+        )
+        SELECT antecedent, consequent, pair_support,
+               antecedent_support, consequent_support,
+               CAST(pair_support AS DOUBLE)
+                   / CAST(antecedent_support AS DOUBLE)
+                   AS confidence,
+               CAST(pair_support * nb AS DOUBLE)
+                   / (antecedent_support * consequent_support)
+                   AS lift
+        FROM rules, n
+        WHERE CAST(pair_support AS DOUBLE)
+                  / CAST(antecedent_support AS DOUBLE) >= 0.1
+    """,
+    ops=("A1", "J4"),
+)
+def association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Directed association rules from the frequent-pair miner:
+    a -> b with confidence = P(b | a) and lift, both directions of
+    every frequent pair, filtered at confidence >= 0.25. All
+    factors are the miner's exact BIGINTs (< 2^53), so each
+    confidence/lift is one correctly-rounded double expression —
+    the rule emission is a pure projection over the mined pairs
+    (two rows per pair via a literal-array explode; no new
+    shuffle)."""
+    from afg_data_pipeline_spark.operators.itemsets import (
+        frequent_item_pairs as mine_pairs,
+    )
+
+    li = read_star_table(spark, "lineitem", sf_dir)
+    pairs = mine_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=3,
+    )
+    rules = pairs.select(
+        F.col("lift"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("antecedent"),
+                    F.col("part_b").alias("consequent"),
+                    F.col("support_a").alias(
+                        "antecedent_support"
+                    ),
+                    F.col("support_b").alias(
+                        "consequent_support"
+                    ),
+                ),
+                F.struct(
+                    F.col("part_b").alias("antecedent"),
+                    F.col("part_a").alias("consequent"),
+                    F.col("support_b").alias(
+                        "antecedent_support"
+                    ),
+                    F.col("support_a").alias(
+                        "consequent_support"
+                    ),
+                ),
+            )
+        ).alias("r"),
+        "pair_support",
+    ).select(
+        "r.antecedent",
+        "r.consequent",
+        "pair_support",
+        "r.antecedent_support",
+        "r.consequent_support",
+        (
+            F.col("pair_support").cast("double")
+            / F.col("r.antecedent_support").cast("double")
+        ).alias("confidence"),
+        "lift",
+    )
+    return rules.filter(F.col("confidence") >= 0.1)

@@ -178,6 +178,8 @@ HEADLINE = [
     "ann_sq8_topk",
     "event_transition_matrix",
     "weighted_sssp_dist",
+    "chisq_independence",
+    "association_rules",
 ]
 
 

@@ -114,6 +114,8 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "ann_sq8_topk",
     "event_transition_matrix",
     "weighted_sssp_dist",
+    "chisq_independence",
+    "association_rules",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
