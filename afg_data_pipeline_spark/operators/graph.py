@@ -707,3 +707,72 @@ def weighted_shortest_paths(
             "dist"
         ),
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. 2007, deterministic variant): every vertex starts as its
+    own label; each round it adopts the most frequent label among
+    its neighbors, ties broken by SMALLEST label, keeping its
+    current label when isolated. Runs a FIXED number of rounds —
+    synchronous LPA can 2-cycle on bipartite structure, so unlike
+    components/BFS there is no monotone fixpoint probe; the fixed
+    unroll is also what makes the DuckDB oracle bit-identical.
+
+    Finds dense communities inside connected graphs (components
+    answers only reachability). Per round: one frontier equi-join +
+    one (vertex, label) count + one argmax AGGREGATE —
+    min(struct(-cnt, label)) gives the deterministic argmax with no
+    window (rule 19: partial aggregation; never min_by, whose
+    tie-break is arbitrary). All shuffles key on vertex id, so AQE
+    reuses the partitioning; lineage localCheckpoints every
+    ``checkpoint_every`` rounds like pagerank.
+    """
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col(id_col).alias("vertex"),
+        F.col(id_col).cast("bigint").alias("label"),
+    ).localCheckpoint()
+    for it in range(rounds):
+        votes = (
+            sym.join(
+                labels, sym.s == F.col("vertex")
+            )
+            .groupBy(F.col("d").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            votes.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("b")
+            )
+            .select("v", F.col("b.label").alias("new_label"))
+        )
+        labels = labels.join(
+            best, labels.vertex == best.v, "left"
+        ).select(
+            "vertex",
+            F.coalesce(F.col("new_label"), F.col("label")).alias(
+                "label"
+            ),
+        )
+        if (it + 1) % checkpoint_every == 0 or it == rounds - 1:
+            labels = labels.localCheckpoint()
+    return labels

@@ -904,3 +904,85 @@ def weighted_sssp_query(
         id_col="id",
         max_iter=10,
     )
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled replica of graph.label_propagation over the
+    supplier radius graph: per round, neighbor-label counts then
+    the deterministic argmax via min(ROW(-cnt, label)) — DuckDB
+    orders structs lexicographically like Spark."""
+    half = f"""
+            SELECT a.s_suppkey AS s, b.s_suppkey AS d
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE {_ADJ_DIST_SQL} <= 500.0"""
+    parts = [
+        f"""
+        WITH edges AS MATERIALIZED ({half}
+            UNION ALL
+            SELECT d, s FROM ({half})
+        ),
+        l0 AS MATERIALIZED (
+            SELECT s_suppkey AS v,
+                   CAST(s_suppkey AS BIGINT) AS label
+            FROM supplier
+        )"""
+    ]
+    prev = "l0"
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+        v{t} AS MATERIALIZED (
+            SELECT e.d AS v, r.label,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM edges e JOIN {prev} r ON r.v = e.s
+            GROUP BY 1, 2
+        ),
+        b{t} AS MATERIALIZED (
+            SELECT v, min({{'neg': -cnt, 'label': label}}) AS bb
+            FROM v{t} GROUP BY v
+        ),
+        l{t} AS MATERIALIZED (
+            SELECT p.v,
+                   COALESCE(b.bb.label, p.label) AS label
+            FROM {prev} p LEFT JOIN b{t} b ON b.v = p.v
+        )"""
+        )
+        prev = f"l{t}"
+    parts.append(
+        f"""
+        SELECT v AS vertex, label FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "lpa_communities",
+    oracle=_lpa_oracle_sql(rounds=4),
+    ops=("M5", "A1"),
+)
+def lpa_communities_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-propagation community detection over the supplier
+    spatial adjacency graph (4 synchronous rounds): finds DENSE
+    neighborhoods inside connected structure, where components
+    answers only reachability. Deterministic: majority label with
+    smallest-label tie-break via a min(struct(-cnt, label))
+    aggregate — no window, no RNG
+    (operators/graph.label_propagation)."""
+    from afg_data_pipeline_spark.operators.graph import (
+        label_propagation,
+        radius_edges_grid2d,
+    )
+
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("x"),
+        (F.col("s_nationkey") * 400).cast("double").alias("y"),
+    )
+    edges = radius_edges_grid2d(
+        s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
+    )
+    nodes = s.select(F.col("s_suppkey").alias("id"))
+    return label_propagation(nodes, edges, id_col="id", rounds=4)

@@ -179,6 +179,7 @@ HEADLINE = [
     "event_transition_matrix",
     "weighted_sssp_dist",
     "chisq_independence",
+    "lpa_communities",
     "association_rules",
 ]
 

@@ -627,3 +627,72 @@ class TestWeightedShortestPaths:
         a = self._run(spark, edges, [0], 6, max_iter=5)
         b = self._run(spark, edges, [0], 6, max_iter=30)
         assert a == b
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edges, n, rounds=4):
+        from afg_data_pipeline_spark.operators.graph import (
+            label_propagation,
+        )
+
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(n)], ["id"]
+        )
+        e = spark.createDataFrame(edges, ["id_a", "id_b"])
+        out = label_propagation(
+            nodes, e, id_col="id", rounds=rounds
+        )
+        return {r.vertex: r.label for r in out.collect()}
+
+    def test_two_disjoint_cliques(self, spark):
+        # disjoint 4-cliques: by round 3 each clique is uniformly
+        # at its smallest member's label (synchronous LPA with a
+        # bridge can 2-cycle, so the structural test stays
+        # bridge-free; the replica test covers general graphs)
+        clique = lambda vs: [
+            (a, b) for a in vs for b in vs if a < b
+        ]
+        edges = clique([0, 1, 2, 3]) + clique([4, 5, 6, 7])
+        got = self._run(spark, edges, 8)
+        assert got[0] == got[1] == got[2] == got[3] == 0
+        assert got[4] == got[5] == got[6] == got[7] == 4
+
+    def test_isolated_vertex_keeps_own_label(self, spark):
+        got = self._run(spark, [(0, 1)], 3)
+        assert got[2] == 2
+
+    def test_matches_python_replica(self, spark):
+        import random
+
+        rng = random.Random(5)
+        n = 30
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n))
+                    for _ in range(60)
+                )
+                if a != b
+            }
+        )
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        labels = {v: v for v in range(n)}
+        for _ in range(4):
+            new = {}
+            for v in range(n):
+                if v not in adj:
+                    new[v] = labels[v]
+                    continue
+                cnt = {}
+                for u in adj[v]:
+                    cnt[labels[u]] = cnt.get(labels[u], 0) + 1
+                new[v] = min(
+                    cnt, key=lambda l: (-cnt[l], l)
+                )
+            labels = new
+        got = self._run(spark, edges, n)
+        assert got == labels

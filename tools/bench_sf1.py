@@ -115,6 +115,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "event_transition_matrix",
     "weighted_sssp_dist",
     "chisq_independence",
+    "lpa_communities",
     "association_rules",
 ]
 
