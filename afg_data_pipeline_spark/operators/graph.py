@@ -776,3 +776,62 @@ def label_propagation(
         if (it + 1) % checkpoint_every == 0 or it == rounds - 1:
             labels = labels.localCheckpoint()
     return labels
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every
+    vertex has degree >= k INSIDE the subgraph (Seidman 1983) —
+    the standard "dense backbone" filter (spam-ring cores,
+    collaboration cores, robust near-dup clusters that survive
+    removing weak members).
+
+    Iterative peeling: drop vertices with current degree < k,
+    recompute degrees on the induced subgraph, repeat to fixpoint.
+    Each round is one semi-join (edges -> surviving endpoints,
+    both sides) + one degree count — all keyed on vertex id. The
+    survivor count is MONOTONE DECREASING, so it doubles as the
+    fixpoint probe and early exit is bit-identical to a full
+    unroll (unlike LPA there is no oscillation: peeling is
+    confluent). Returns (vertex, degree) for k-core members with
+    their within-core degree.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).localCheckpoint()
+    live = sym
+    prev_n = None
+    for it in range(max_iter):
+        deg = live.groupBy(F.col("s").alias("vertex")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        keep = deg.filter(F.col("degree") >= k).select("vertex")
+        live = (
+            live.join(
+                keep.withColumnRenamed("vertex", "s"), "s",
+                "left_semi",
+            )
+            .join(
+                keep.withColumnRenamed("vertex", "d"), "d",
+                "left_semi",
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            live = live.localCheckpoint()
+            n = live.count()
+            if n == prev_n:
+                break
+            prev_n = n
+    return live.groupBy(F.col("s").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).filter(F.col("degree") >= k)

@@ -986,3 +986,79 @@ def lpa_communities_query(
     )
     nodes = s.select(F.col("s_suppkey").alias("id"))
     return label_propagation(nodes, edges, id_col="id", rounds=4)
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled replica of graph.kcore_membership: per round a
+    degree count + a both-endpoints semi-join. Early exit in the
+    Spark loop is bit-identical because peeling is confluent and
+    post-fixpoint rounds are no-ops; the final degree filter is a
+    no-op at fixpoint on both sides. Radius 800 (not the BFS/LPA
+    500): the sf0.01 graph needs the denser neighborhood for a
+    non-empty 3-core, so the peel actually peels."""
+    half = f"""
+            SELECT a.s_suppkey AS s, b.s_suppkey AS d
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE {_ADJ_DIST_SQL} <= 800.0"""
+    parts = [
+        f"""
+        WITH e0 AS MATERIALIZED ({half}
+            UNION ALL
+            SELECT d, s FROM ({half})
+        )"""
+    ]
+    prev = "e0"
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+        k{t} AS MATERIALIZED (
+            SELECT s AS v FROM {prev}
+            GROUP BY s HAVING count(*) >= {k}
+        ),
+        e{t} AS MATERIALIZED (
+            SELECT e.s, e.d FROM {prev} e
+            WHERE e.s IN (SELECT v FROM k{t})
+              AND e.d IN (SELECT v FROM k{t})
+        )"""
+        )
+        prev = f"e{t}"
+    parts.append(
+        f"""
+        SELECT s AS vertex, CAST(count(*) AS BIGINT) AS degree
+        FROM {prev}
+        GROUP BY s HAVING count(*) >= {k}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "kcore_vertices",
+    oracle=_kcore_oracle_sql(k=3, rounds=10),
+    ops=("M5", "A1"),
+)
+def kcore_vertices_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """3-core of the supplier spatial adjacency graph: the maximal
+    subgraph where every member keeps degree >= 3 after peeling
+    weaker vertices (Seidman k-core) — the dense-backbone filter
+    (robust near-dup clusters, spam rings). Iterative peel: one
+    degree aggregate + both-endpoint semi-joins per round, all
+    keyed on vertex id; the survivor count is monotone so early
+    exit is bit-identical to the oracle's fixed unroll
+    (operators/graph.kcore_membership)."""
+    from afg_data_pipeline_spark.operators.graph import (
+        kcore_membership,
+        radius_edges_grid2d,
+    )
+
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("x"),
+        (F.col("s_nationkey") * 400).cast("double").alias("y"),
+    )
+    edges = radius_edges_grid2d(
+        s, id_col="s_suppkey", x_col="x", y_col="y", radius=800.0
+    )
+    return kcore_membership(edges, k=3, max_iter=10)

@@ -180,6 +180,7 @@ HEADLINE = [
     "weighted_sssp_dist",
     "chisq_independence",
     "lpa_communities",
+    "kcore_vertices",
     "association_rules",
 ]
 

@@ -696,3 +696,64 @@ class TestLabelPropagation:
             labels = new
         got = self._run(spark, edges, n)
         assert got == labels
+
+
+class TestKCore:
+    def _run(self, spark, edges, k, max_iter=20):
+        from afg_data_pipeline_spark.operators.graph import (
+            kcore_membership,
+        )
+
+        e = spark.createDataFrame(edges, ["id_a", "id_b"])
+        out = kcore_membership(e, k=k, max_iter=max_iter)
+        return {r.vertex: r.degree for r in out.collect()}
+
+    def test_clique_plus_tail_peels_tail(self, spark):
+        # 4-clique with a pendant chain: 3-core = the clique only
+        clique = [
+            (a, b) for a in range(4) for b in range(4) if a < b
+        ]
+        tail = [(3, 4), (4, 5)]
+        got = self._run(spark, clique + tail, 3)
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_cascading_peel(self, spark):
+        # chain: every vertex eventually peels at k=2
+        chain = [(i, i + 1) for i in range(6)]
+        assert self._run(spark, chain, 2) == {}
+        # cycle: the whole ring IS the 2-core
+        ring = chain + [(6, 0)]
+        got = self._run(spark, ring, 2)
+        assert got == {i: 2 for i in range(7)}
+
+    def test_matches_python_replica(self, spark):
+        import random
+
+        rng = random.Random(9)
+        n = 25
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n))
+                    for _ in range(70)
+                )
+                if a != b
+            }
+        )
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        k = 3
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj[v]:
+                        adj[u].discard(v)
+                    del adj[v]
+                    changed = True
+        exp = {v: len(us) for v, us in adj.items()}
+        assert self._run(spark, edges, k) == exp

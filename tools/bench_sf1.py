@@ -116,6 +116,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "weighted_sssp_dist",
     "chisq_independence",
     "lpa_communities",
+    "kcore_vertices",
     "association_rules",
 ]
 
