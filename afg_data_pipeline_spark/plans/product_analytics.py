@@ -1295,3 +1295,181 @@ def association_rules(
         "lift",
     )
     return rules.filter(F.col("confidence") >= 0.1)
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             max(CAST(o_orderdate AS DATE)),
+                             (SELECT max(CAST(o_orderdate AS DATE))
+                              FROM orders)) AS r,
+                   CAST(count(*) AS BIGINT) AS f,
+                   CAST(sum(CAST(round(
+                       CAST(o_totalprice AS DOUBLE) * 100)
+                       AS BIGINT)) AS BIGINT) AS m
+            FROM orders GROUP BY o_custkey
+        ),
+        cuts AS (
+            SELECT
+                min(CASE WHEN rc >= (n * 20 + 99) // 100
+                         THEN rv END) AS r20,
+                min(CASE WHEN rc >= (n * 40 + 99) // 100
+                         THEN rv END) AS r40,
+                min(CASE WHEN rc >= (n * 60 + 99) // 100
+                         THEN rv END) AS r60,
+                min(CASE WHEN rc >= (n * 80 + 99) // 100
+                         THEN rv END) AS r80
+            FROM (
+                SELECT r AS rv,
+                       SUM(c) OVER (ORDER BY r
+                           ROWS UNBOUNDED PRECEDING) AS rc,
+                       SUM(c) OVER () AS n
+                FROM (SELECT r, count(*) AS c
+                      FROM per_cust GROUP BY r)
+            )
+        ),
+        cutf AS (
+            SELECT
+                min(CASE WHEN rc >= (n * 20 + 99) // 100
+                         THEN rv END) AS f20,
+                min(CASE WHEN rc >= (n * 40 + 99) // 100
+                         THEN rv END) AS f40,
+                min(CASE WHEN rc >= (n * 60 + 99) // 100
+                         THEN rv END) AS f60,
+                min(CASE WHEN rc >= (n * 80 + 99) // 100
+                         THEN rv END) AS f80
+            FROM (
+                SELECT f AS rv,
+                       SUM(c) OVER (ORDER BY f
+                           ROWS UNBOUNDED PRECEDING) AS rc,
+                       SUM(c) OVER () AS n
+                FROM (SELECT f, count(*) AS c
+                      FROM per_cust GROUP BY f)
+            )
+        ),
+        cutm AS (
+            SELECT
+                min(CASE WHEN rc >= (n * 20 + 99) // 100
+                         THEN rv END) AS m20,
+                min(CASE WHEN rc >= (n * 40 + 99) // 100
+                         THEN rv END) AS m40,
+                min(CASE WHEN rc >= (n * 60 + 99) // 100
+                         THEN rv END) AS m60,
+                min(CASE WHEN rc >= (n * 80 + 99) // 100
+                         THEN rv END) AS m80
+            FROM (
+                SELECT m AS rv,
+                       SUM(c) OVER (ORDER BY m
+                           ROWS UNBOUNDED PRECEDING) AS rc,
+                       SUM(c) OVER () AS n
+                FROM (SELECT m, count(*) AS c
+                      FROM per_cust GROUP BY m)
+            )
+        )
+        SELECT
+            CAST(1 + CAST(r > r20 AS INTEGER)
+                 + CAST(r > r40 AS INTEGER)
+                 + CAST(r > r60 AS INTEGER)
+                 + CAST(r > r80 AS INTEGER) AS INTEGER)
+                AS r_band,
+            CAST(1 + CAST(f > f20 AS INTEGER)
+                 + CAST(f > f40 AS INTEGER)
+                 + CAST(f > f60 AS INTEGER)
+                 + CAST(f > f80 AS INTEGER) AS INTEGER)
+                AS f_band,
+            CAST(1 + CAST(m > m20 AS INTEGER)
+                 + CAST(m > m40 AS INTEGER)
+                 + CAST(m > m60 AS INTEGER)
+                 + CAST(m > m80 AS INTEGER) AS INTEGER)
+                AS m_band,
+            CAST(count(*) AS BIGINT) AS n_customers,
+            CAST(sum(m) AS BIGINT) AS total_monetary_cents
+        FROM per_cust, cuts, cutf, cutm
+        GROUP BY 1, 2, 3
+    """,
+    ops=("A1", "A2"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every ordering customer banded into
+    recency/frequency/monetary quintiles (exact discrete
+    percentile cuts — operators/quantiles machinery: the heavy
+    pass is a map-side-combinable value-count, the cumulative
+    window runs over distinct VALUES, never customer rows), then
+    rolled up to segment cells with customer counts and total
+    spend. All three metrics are exact integers (days, counts,
+    cents: per-customer cent sums are provable BIGINTs — 6e7 cents
+    max per order needs > 1.5e11 orders per customer to overflow),
+    so banding is pure integer comparison against the broadcast
+    cut points. Customers with no orders are out of scope (RFM is
+    defined on purchasers)."""
+    from afg_data_pipeline_spark.operators.quantiles import (
+        grouped_percentile_disc,
+    )
+
+    o = read_star_table(spark, "orders", sf_dir)
+    dmax = o.agg(
+        F.max(F.to_date("o_orderdate")).alias("dmax")
+    )
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(
+                F.round(
+                    F.col("o_totalprice").cast("double") * 100
+                ).cast("bigint")
+            ).alias("m"),
+        )
+        .crossJoin(F.broadcast(dmax))
+        .withColumn(
+            "r", F.datediff(F.col("dmax"), F.col("last_order"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+
+    def cuts(col, prefix):
+        c = grouped_percentile_disc(
+            per_cust.withColumn("g0", F.lit(0)), "g0", col, qs
+        )
+        return c.select(
+            *[
+                F.col(f"p{int(q * 100)}").alias(
+                    f"{prefix}{int(q * 100)}"
+                )
+                for q in qs
+            ]
+        )
+
+    banded = (
+        per_cust.crossJoin(F.broadcast(cuts("r", "r")))
+        .crossJoin(F.broadcast(cuts("f", "f")))
+        .crossJoin(F.broadcast(cuts("m", "m")))
+    )
+
+    def band(v, p):
+        return (
+            F.lit(1)
+            + (F.col(v) > F.col(f"{p}20")).cast("int")
+            + (F.col(v) > F.col(f"{p}40")).cast("int")
+            + (F.col(v) > F.col(f"{p}60")).cast("int")
+            + (F.col(v) > F.col(f"{p}80")).cast("int")
+        ).cast("int")
+
+    return (
+        banded.select(
+            band("r", "r").alias("r_band"),
+            band("f", "f").alias("f_band"),
+            band("m", "m").alias("m_band"),
+            "m",
+        )
+        .groupBy("r_band", "f_band", "m_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m").alias("total_monetary_cents"),
+        )
+    )

@@ -181,6 +181,7 @@ HEADLINE = [
     "chisq_independence",
     "lpa_communities",
     "kcore_vertices",
+    "rfm_segments",
     "association_rules",
 ]
 

@@ -117,6 +117,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "chisq_independence",
     "lpa_communities",
     "kcore_vertices",
+    "rfm_segments",
     "association_rules",
 ]
 
