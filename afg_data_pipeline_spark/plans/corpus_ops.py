@@ -2149,3 +2149,157 @@ def heavy_hitters_cms(
     return cms_heavy_hitters(
         keys, "bigram", k=50, width=1024, depth=4
     )
+
+
+@register(
+    "dataset_card_report",
+    oracle="""
+        WITH base AS (
+            SELECT lang, md5(text) AS h,
+                   len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS toks
+            FROM documents
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens,
+                   CAST(count(DISTINCT h) AS BIGINT)
+                       AS n_unique_texts
+            FROM base
+        ),
+        langs AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY lang
+        ),
+        ent AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_langs,
+                   CAST(sum(CAST(round(
+                       -(CAST(c AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE))
+                       * ln(CAST(c AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE))
+                       * 1000000000.0) AS BIGINT)) AS BIGINT)
+                       AS eq
+            FROM langs, tot
+        ),
+        med AS (
+            SELECT min(CASE WHEN cum >= (n + 1) // 2
+                            THEN v END) AS p50_tokens
+            FROM (
+                SELECT toks AS v,
+                       SUM(c) OVER (ORDER BY toks
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(c) OVER () AS n
+                FROM (SELECT toks, count(*) AS c
+                      FROM base GROUP BY toks)
+            )
+        )
+        SELECT tot.n_docs, tot.total_tokens,
+               CAST(tot.total_tokens AS DOUBLE)
+                   / CAST(tot.n_docs AS DOUBLE) AS mean_tokens,
+               med.p50_tokens,
+               ent.n_langs,
+               CAST(ent.eq AS DOUBLE) / 1000000000.0
+                   AS lang_entropy_nats,
+               tot.n_unique_texts,
+               CAST(tot.n_docs - tot.n_unique_texts AS DOUBLE)
+                   / CAST(tot.n_docs AS DOUBLE) AS dup_fraction
+        FROM tot, ent, med
+    """,
+    ops=("A1", "A7", "TEXT"),
+)
+def dataset_card_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row dataset card for the documents corpus — the summary
+    block a curation pipeline publishes with a release: doc/token
+    counts, mean and exact-median tokens per doc, language count
+    and Shannon entropy of the language mix, exact-hash unique
+    texts and duplicate fraction. One corpus scan computes the
+    (lang, md5, token-count) projection; everything downstream is
+    map-side-combinable aggregates over vocabulary-sized frames
+    (the median via the distinct-value cumulative machinery, never
+    a row sort). Each -p·ln(p) entropy term is quantized once to
+    the 1e9 grid (rule 1c) and summed exactly."""
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "lang",
+        F.md5(F.col("text")).alias("h"),
+        F.size(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("toks"),
+    ).localCheckpoint(eager=False)
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.countDistinct("h").alias("n_unique_texts"),
+    )
+    langs = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n_docs").cast("double")
+    ent = (
+        langs.crossJoin(F.broadcast(tot.select("n_docs")))
+        .select(
+            F.round(-p * F.log(p) * F.lit(1e9))
+            .cast("bigint")
+            .alias("eq")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum("eq").cast("bigint").alias("eq"),
+        )
+    )
+    counts = base.groupBy("toks").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.orderBy("toks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the cumulative window runs over DISTINCT token counts (a
+    # few thousand values at any corpus size), not documents
+    med = (
+        counts.withColumn("cum", F.sum("c").over(wcum))
+        .crossJoin(F.broadcast(tot.select("n_docs")))
+        .agg(
+            F.min(
+                F.when(
+                    # exact integer ceil(n/2): (n+1) div 2 — the
+                    # double (n+1)/2 would demand cum >= x.5 for
+                    # even n while the oracle's // demands x
+                    F.col("cum")
+                    >= F.floor(
+                        (F.col("n_docs") + 1) / F.lit(2)
+                    ).cast("bigint"),
+                    F.col("toks"),
+                )
+            ).alias("p50_tokens")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_docs",
+            "total_tokens",
+            (
+                F.col("total_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("mean_tokens"),
+            "p50_tokens",
+            "n_langs",
+            (F.col("eq").cast("double") / F.lit(1e9)).alias(
+                "lang_entropy_nats"
+            ),
+            "n_unique_texts",
+            (
+                (
+                    F.col("n_docs") - F.col("n_unique_texts")
+                ).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -182,6 +182,7 @@ HEADLINE = [
     "lpa_communities",
     "kcore_vertices",
     "rfm_segments",
+    "dataset_card_report",
     "association_rules",
 ]
 

@@ -118,6 +118,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "lpa_communities",
     "kcore_vertices",
     "rfm_segments",
+    "dataset_card_report",
     "association_rules",
 ]
 
