@@ -2451,3 +2451,52 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=10,
     )
+
+
+from afg_data_pipeline_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+
+
+@register(
+    "bm25_persisted",
+    # Same queries, same grid, same scoring tail: the persisted
+    # index must reproduce the one-shot bm25_topk bit-for-bit.
+    oracle=_REG["bm25_topk"].oracle,
+    ops=("RETRIEVAL",),
+)
+def bm25_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index lifecycle of bm25_topk: postings
+    (term, doc, tf, dl) are built ONCE into a parquet directory
+    partitioned by crc32(term) % 64 — the partition layout IS the
+    inverted index — plus a two-integer stats.json. Serving prunes
+    the scan to the query terms' buckets (PartitionFilters) with
+    the term set pushed as a data filter, reads none of the
+    corpus, and recomputes df from the pruned postings
+    (query-terms-sized), keeping the index incrementally
+    appendable. Registers the SAME oracle as the one-shot path and
+    is pinned equal to it in tests/test_bm25.py.
+    operators/bm25.build_bm25_index / query_bm25_index."""
+    import os
+
+    from afg_data_pipeline_spark.operators.bm25 import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    index_dir = os.path.join(
+        "/tmp/afg_bm25_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    build_bm25_index(docs, index_dir)
+    return query_bm25_index(
+        spark,
+        index_dir,
+        [
+            ("q_vector", "vector hash join"),
+            ("q_quality", "slow scan filter"),
+            ("q_dup", "dup merge batch"),
+        ],
+        k=10,
+    )

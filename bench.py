@@ -183,6 +183,7 @@ HEADLINE = [
     "kcore_vertices",
     "rfm_segments",
     "dataset_card_report",
+    "bm25_persisted",
     "association_rules",
 ]
 

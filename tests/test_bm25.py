@@ -84,3 +84,26 @@ class TestBM25:
             docs, [("q", "durian banana")], k=1
         ).collect()
         assert out[0].doc_id == 4
+
+
+class TestPersistedIndex:
+    def test_equals_one_shot_and_prunes(self, spark, tmp_path):
+        from afg_data_pipeline_spark.operators.bm25 import (
+            build_bm25_index,
+            query_bm25_index,
+        )
+
+        docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        idx = str(tmp_path / "bm25idx")
+        build_bm25_index(docs, idx)
+        queries = [("q1", "apple banana"), ("q2", "durian")]
+        served = query_bm25_index(spark, idx, queries, k=10)
+        oneshot = bm25_topk(docs, queries, k=10)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, oneshot.collect())
+        )
+        # the postings scan must carry partition filters on the
+        # term buckets — serving never reads unrelated buckets
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "tbucket" in plan and "PartitionFilters: [" in plan
+        assert "tbucket#" in plan.split("PartitionFilters")[1][:200]

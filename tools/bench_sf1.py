@@ -119,6 +119,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "kcore_vertices",
     "rfm_segments",
     "dataset_card_report",
+    "bm25_persisted",
     "association_rules",
 ]
 
