@@ -1199,3 +1199,118 @@ def contamination_report(
             ).alias("contamination_rate"),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering
+    (AllPairs / PPJoin candidate generation; Bayardo et al. 2007,
+    Xiao et al. 2008): all document pairs with bigram-shingle
+    Jaccard >= threshold, with NO language blocking and NO recall
+    loss — the exact complement of the banded-MinHash tier.
+
+    The filter: order every doc's shingles by GLOBAL rarity
+    (df ASC, shingle ASC — rare first), keep each doc's prefix of
+    length |d| - ceil(t·|d|) + 1. Two sets with J >= t must share
+    a prefix token, so the candidate join runs only on prefix
+    shingles — and because prefixes hold the RAREST shingles,
+    per-key join fan-out is small by construction (the hot
+    boilerplate shingles every doc shares never enter a prefix).
+    Threshold is the exact rational threshold_num/threshold_den
+    (ceil in pure integer arithmetic — never a double rank).
+
+    Scale shape: one shingle aggregate for df; per-doc prefix rank
+    is a doc-partitioned window (many docs — parallel, rule 13
+    boundary); the verification join counts shared shingles only
+    for candidate pairs. Every stage is an equi-join or
+    map-side-combinable aggregate.
+    """
+    from pyspark.sql import Window
+
+    from afg_data_pipeline_spark.operators.text import (
+        shingle_expr,
+        tokens,
+    )
+
+    tnum, tden = threshold_num, threshold_den
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            "id",
+            F.array_distinct(
+                shingle_expr("__toks", shingle_k)
+            ).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh").cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    tok = base.select(
+        "id", "sz", F.explode("sh").alias("s")
+    )
+    dfreq = tok.groupBy("s").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("id").orderBy("df", "s")
+    ranked = tok.join(dfreq, "s").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    # prefix length |d| - ceil(t*|d|) + 1, exact integers
+    ceil_t_sz = F.floor(
+        (F.col("sz") * tnum + (tden - 1)) / tden
+    ).cast("bigint")
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - ceil_t_sz + 1
+    ).select("id", "sz", "s")
+    pa = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("size_a"),
+        "s",
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("size_b"),
+        "s",
+    )
+    cand = (
+        pa.join(pb, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "s")
+    tb = tok.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "s"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    ).cast("double")
+    return inter.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "size_a",
+        "size_b",
+        jac.alias("jaccard"),
+    ).filter(
+        # exact rational comparison: n_shared*den*(1) vs ... avoid
+        # double threshold straddle — J >= t  <=>  n*(tden) >=
+        # tnum*(size_a+size_b-n)
+        F.col("n_shared") * tden
+        >= (
+            F.col("size_a") + F.col("size_b") - F.col("n_shared")
+        )
+        * tnum
+    )

@@ -2500,3 +2500,58 @@ def bm25_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=10,
     )
+
+
+@register(
+    "prefix_jaccard_pairs",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        side AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS sh
+            FROM tokd
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                   AS n_shared,
+               CAST(len(a.sh) AS BIGINT) AS size_a,
+               CAST(len(b.sh) AS BIGINT) AS size_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh))
+                          AS DOUBLE) AS jaccard
+        FROM side a JOIN side b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 5
+              >= (len(a.sh) + len(b.sh)
+                  - len(list_intersect(a.sh, b.sh))) * 3
+    """,
+    ops=("DEDUP",),
+)
+def prefix_jaccard_pairs_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global bigram-shingle Jaccard >= 3/5 pairs via prefix
+    filtering (AllPairs/PPJoin candidate generation): docs'
+    shingles ordered by global rarity, candidates only where the
+    rare-first PREFIXES collide — no language blocking, no LSH
+    recall loss. The oracle is the brute-force all-pairs join, so
+    a prefix-length bug (a missed pair) is a red row, not a silent
+    recall drop. Threshold comparisons are exact rationals (n·5 >=
+    (union)·3), never double straddles.
+    operators/dedup.prefix_filter_jaccard_pairs."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return prefix_filter_jaccard_pairs(docs)

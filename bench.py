@@ -184,6 +184,7 @@ HEADLINE = [
     "rfm_segments",
     "dataset_card_report",
     "bm25_persisted",
+    "prefix_jaccard_pairs",
     "association_rules",
 ]
 

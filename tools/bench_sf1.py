@@ -120,6 +120,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "rfm_segments",
     "dataset_card_report",
     "bm25_persisted",
+    "prefix_jaccard_pairs",
     "association_rules",
 ]
 
@@ -133,7 +134,7 @@ N_SHARDS = round(10 * SFN)
 # that in the salted/banded joins; DuckDB's quadratic SQL replica
 # (already 110s at sf0.1, 21x behind Spark) extrapolates to hours.
 # Spark timings still print; the row carries duck_s = None.
-ORACLE_SKIP = {"ngram_jaccard_dups"}
+ORACLE_SKIP = {"ngram_jaccard_dups", "prefix_jaccard_pairs"}
 if SFN >= 10:
     # pack_token_sequences' oracle rebuilds every 256-token chunk
     # with list(ORDER BY) over a 44M-row exploded token table —
