@@ -1208,6 +1208,7 @@ def prefix_filter_jaccard_pairs(
     shingle_k: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_cand: int | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering
     (AllPairs / PPJoin candidate generation; Bayardo et al. 2007,
@@ -1230,6 +1231,33 @@ def prefix_filter_jaccard_pairs(
     boundary); the verification join counts shared shingles only
     for candidate pairs. Every stage is an equi-join or
     map-side-combinable aggregate.
+
+    Duplication-heavy corpora: identical shingle SETS are collapsed
+    to one representative BEFORE the pair machinery (canonical
+    md5-of-sorted-set key), then pairs expand back through the
+    membership table — within-set pairs are emitted directly with
+    jaccard 1. Without this, a 10×-replicated corpus squares
+    inside the candidate join (measured: the sf1 synthetic corpus
+    ran >10 min; collapsed, the pair work is distinct-set-sized).
+    The expansion is exact: J(x, y) depends only on the sets, so
+    every member pair inherits the representative pair's numbers.
+
+    TIERED CONTRACT (the ngram_jaccard_pairs pattern): on a corpus
+    whose vocabulary is so small that even the RAREST prefix
+    shingles are hot (the sf1 synthetic: 30-word vocabulary, every
+    prefix df in the hundreds — the exact candidate join ran >10
+    min), the prefix bound Σ_s C(df_prefix(s), 2) is probed with
+    one cheap aggregate after set collapse; above ``max_cand``
+    (env AFG_PREFIX_JACCARD_MAX_CAND, default 2M — measured: a
+    12.8M-candidate exact pass costs 76s at sf0.1 while the LSH
+    tier answers in seconds) the operator
+    ANNOUNCES the switch to banded-MinHash candidates with the
+    same exact count verification. The active tier is in the
+    output schema (``tier``: 'exact' | 'lsh_subset') — the oracle
+    pins 'exact', so a budget-crossing run red-rows on the tier
+    value, never on silently missing pairs. The probe is EAGER
+    (one count job at plan-construction time, like
+    ngram_jaccard_pairs).
     """
     from pyspark.sql import Window
 
@@ -1239,22 +1267,42 @@ def prefix_filter_jaccard_pairs(
     )
 
     tnum, tden = threshold_num, threshold_den
-    base = (
+    raw = (
         docs.select(
             F.col(id_col).alias("id"),
             tokens(text_col).alias("__toks"),
         )
         .select(
             "id",
-            F.array_distinct(
-                shingle_expr("__toks", shingle_k)
+            F.array_sort(
+                F.array_distinct(
+                    shingle_expr("__toks", shingle_k)
+                )
             ).alias("sh"),
         )
         .withColumn("sz", F.size("sh").cast("bigint"))
+        .withColumn(
+            "setkey",
+            F.md5(F.concat_ws("\x1f", F.col("sh"))),
+        )
         .localCheckpoint(eager=False)
     )
+    members = raw.select("id", "setkey", "sz")
+    groups = raw.groupBy("setkey").agg(
+        F.min("id").alias("rep"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("sz").alias("sz"),
+    )
+    base = raw.join(
+        groups.select(
+            F.col("setkey").alias("__gk"), F.col("rep")
+        ),
+        (raw.setkey == F.col("__gk")) & (raw.id == F.col("rep")),
+    ).select("setkey", "sh", "sz")
     tok = base.select(
-        "id", "sz", F.explode("sh").alias("s")
+        F.col("setkey").alias("id"),
+        "sz",
+        F.explode("sh").alias("s"),
     )
     dfreq = tok.groupBy("s").agg(
         F.count(F.lit(1)).alias("df")
@@ -1270,6 +1318,99 @@ def prefix_filter_jaccard_pairs(
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - ceil_t_sz + 1
     ).select("id", "sz", "s")
+
+    import os
+
+    if max_cand is None:
+        max_cand = int(
+            os.environ.get(
+                "AFG_PREFIX_JACCARD_MAX_CAND", "2000000"
+            )
+        )
+    bound_row = (
+        prefix.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.sum(
+                (
+                    F.col("__n").cast("decimal(38,0)")
+                    * (F.col("__n").cast("decimal(38,0)") - 1)
+                )
+                / 2
+            ).alias("p")
+        )
+        .collect()[0]
+    )
+    bound = int(bound_row["p"] or 0)
+    if bound > max_cand:
+        print(
+            f"prefix_filter_jaccard_pairs: prefix candidate bound "
+            f"{bound} exceeds AFG_PREFIX_JACCARD_MAX_CAND "
+            f"({max_cand}); falling back to banded MinHash "
+            f"candidates with the same exact count verification "
+            f"— a high-recall subset (tier='lsh_subset')"
+        )
+        lsh = minhash_lsh_candidates(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=shingle_k,
+        ).select(
+            F.col("doc_id_a").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+        )
+        # per-pair array_intersect on the joined shingle arrays —
+        # measured faster here than the (pairs × shingles) token
+        # join (44.8s → the ngram fallback's regime): the pair
+        # stream shuffles once per side with the arrays riding
+        # along, instead of exploding candidates × |d| rows
+        sa = raw.select(
+            F.col("id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("sz").alias("size_a"),
+        )
+        sb = raw.select(
+            F.col("id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("sz").alias("size_b"),
+        )
+        shared = (
+            lsh.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "n_shared",
+                F.size(
+                    F.array_intersect(
+                        F.col("sh_a"), F.col("sh_b")
+                    )
+                ).cast("bigint"),
+            )
+        )
+        jacf = F.col("n_shared").cast("double") / (
+            F.col("size_a")
+            + F.col("size_b")
+            - F.col("n_shared")
+        ).cast("double")
+        return (
+            shared.filter(
+                F.col("n_shared") * tden
+                >= (
+                    F.col("size_a")
+                    + F.col("size_b")
+                    - F.col("n_shared")
+                )
+                * tnum
+            ).select(
+                "id_a",
+                "id_b",
+                "n_shared",
+                "size_a",
+                "size_b",
+                jacf.alias("jaccard"),
+                F.lit("lsh_subset").alias("tier"),
+            )
+        )
+
     pa = prefix.select(
         F.col("id").alias("id_a"),
         F.col("sz").alias("size_a"),
@@ -1294,23 +1435,62 @@ def prefix_filter_jaccard_pairs(
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    jac = F.col("n_shared").cast("double") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_shared")
-    ).cast("double")
-    return inter.select(
-        "id_a",
-        "id_b",
-        "n_shared",
-        "size_a",
-        "size_b",
-        jac.alias("jaccard"),
-    ).filter(
-        # exact rational comparison: n_shared*den*(1) vs ... avoid
-        # double threshold straddle — J >= t  <=>  n*(tden) >=
-        # tnum*(size_a+size_b-n)
+    # exact rational threshold: J >= t  <=>  n·tden >= union·tnum
+    # (never a double straddle); applied on SET-representative
+    # pairs BEFORE the membership expansion
+    rep_pairs = inter.filter(
         F.col("n_shared") * tden
         >= (
             F.col("size_a") + F.col("size_b") - F.col("n_shared")
         )
         * tnum
+    )
+    ma = members.select(
+        F.col("setkey").alias("id_a"), F.col("id").alias("x")
+    )
+    mb = members.select(
+        F.col("setkey").alias("id_b"), F.col("id").alias("y")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("x", "y").alias("da"),
+            F.greatest("x", "y").alias("db"),
+            "n_shared",
+            F.when(F.col("x") < F.col("y"), F.col("size_a"))
+            .otherwise(F.col("size_b"))
+            .alias("sa"),
+            F.when(F.col("x") < F.col("y"), F.col("size_b"))
+            .otherwise(F.col("size_a"))
+            .alias("sb"),
+        )
+    )
+    within = (
+        members.alias("m1")
+        .join(
+            members.alias("m2"),
+            (F.col("m1.setkey") == F.col("m2.setkey"))
+            & (F.col("m1.id") < F.col("m2.id")),
+        )
+        .select(
+            F.col("m1.id").alias("da"),
+            F.col("m2.id").alias("db"),
+            F.col("m1.sz").alias("n_shared"),
+            F.col("m1.sz").alias("sa"),
+            F.col("m1.sz").alias("sb"),
+        )
+    )
+    all_pairs = cross.unionByName(within)
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("n_shared")
+    ).cast("double")
+    return all_pairs.select(
+        F.col("da").alias("id_a"),
+        F.col("db").alias("id_b"),
+        "n_shared",
+        F.col("sa").alias("size_a"),
+        F.col("sb").alias("size_b"),
+        jac.alias("jaccard"),
+        F.lit("exact").alias("tier"),
     )

@@ -2529,7 +2529,8 @@ def bm25_persisted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / CAST(len(a.sh) + len(b.sh)
                           - len(list_intersect(a.sh, b.sh))
-                          AS DOUBLE) AS jaccard
+                          AS DOUBLE) AS jaccard,
+               'exact' AS tier
         FROM side a JOIN side b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh)) * 5
               >= (len(a.sh) + len(b.sh)

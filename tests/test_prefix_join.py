@@ -74,3 +74,46 @@ class TestPrefixFilterJoin:
             for r in prefix_filter_jaccard_pairs(df).collect()
         }
         assert got == {(1, 2), (3, 4)}
+
+    def test_replicated_corpus_collapses(self, spark):
+        # 12 identical copies + near-dups: output must equal brute
+        # force (within-set pairs at jaccard 1 included)
+        docs = [(i, "red blue green gold iron") for i in range(12)]
+        docs += [(100, "red blue green gold salt"),
+                 (101, "totally different words here now")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.id_a, r.id_b): (r.n_shared, r.size_a, r.size_b)
+            for r in prefix_filter_jaccard_pairs(df).collect()
+        }
+        exp = _brute(docs)
+        assert got == exp
+        assert len(got) == 66 + sum(
+            1 for (a, b) in exp if b == 100
+        )
+
+    def test_lsh_fallback_tier_announced(self, spark):
+        # force the tier switch with a zero budget: output must be
+        # a SUBSET of brute force with identical numbers and the
+        # tier column flipped
+        docs = [(i, "red blue green gold iron") for i in range(6)]
+        docs += [(100, "red blue green gold salt")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = prefix_filter_jaccard_pairs(
+            df, max_cand=0
+        ).collect()
+        assert out and all(r.tier == "lsh_subset" for r in out)
+        exp = _brute(docs)
+        for r in out:
+            assert exp[(r.id_a, r.id_b)] == (
+                r.n_shared,
+                r.size_a,
+                r.size_b,
+            )
+
+    def test_exact_tier_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+        )
+        out = prefix_filter_jaccard_pairs(df).collect()
+        assert [r.tier for r in out] == ["exact"]
