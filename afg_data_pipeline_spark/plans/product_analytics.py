@@ -1473,3 +1473,172 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m").alias("total_monetary_cents"),
         )
     )
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   max(CASE WHEN event_type = 'click'
+                            THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS last_click_ts,
+                   min(CASE WHEN event_type = 'view'
+                            THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS first_view_ts
+            FROM events
+        )
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_purchases,
+            CAST(sum(CASE WHEN last_click_ts IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_click_attributed,
+            CAST(sum(CASE WHEN first_view_ts IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_view_attributed,
+            CAST(sum(CASE WHEN last_click_ts IS NOT NULL
+                          THEN CAST(round(
+                              CAST(value AS DOUBLE) * 100)
+                              AS BIGINT)
+                          ELSE 0 END) AS BIGINT)
+                AS click_attributed_cents
+        FROM seq WHERE event_type = 'purchase'
+    """,
+    ops=("O1", "A1"),
+)
+def purchase_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Marketing attribution rollup: for every purchase, the
+    last-touch click and first-touch view STRICTLY BEFORE it in
+    the user's event sequence (running max/min over a bounded
+    1-PRECEDING frame — never an unbounded-FOLLOWING frame, rule
+    2), rolled up to attributed counts and exact-cent attributed
+    revenue. Per-user windows parallelize over the many-valued
+    user key; the rollup is one map-side-combinable aggregate."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w).alias("last_click_ts"),
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).over(w).alias("first_view_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value").cast("double") * 100).cast(
+        "bigint"
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(
+            F.when(F.col("last_click_ts").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_click_attributed"),
+        F.sum(
+            F.when(F.col("first_view_ts").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_view_attributed"),
+        F.sum(
+            F.when(
+                F.col("last_click_ts").isNotNull(), cents
+            ).otherwise(0)
+        ).cast("bigint").alias("click_attributed_cents"),
+    )
+
+
+@register(
+    "time_weighted_value",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, value,
+                   lead(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_ts
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id,
+                   CAST(round(CAST(value AS DOUBLE) * 100)
+                        AS BIGINT)
+                       * date_diff('microsecond', ts, next_ts)
+                       AS wv,
+                   date_diff('microsecond', ts, next_ts) AS dur
+            FROM seq WHERE next_ts IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(sum(CAST(wv AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS weighted_cents_usec,
+               CAST(sum(dur) AS BIGINT) AS total_usec,
+               CAST(sum(CAST(wv AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(sum(dur) AS DOUBLE) AS twap_cents
+        FROM seg GROUP BY user_id
+    """,
+    ops=("O1", "A1"),
+)
+def time_weighted_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user TIME-WEIGHTED average value (TWAP): each event's
+    value held until the user's next event, weighted by the exact
+    microsecond duration — the standard interval-weighted mean of
+    finance/IoT, where a plain AVG over-weights bursts. All
+    integer arithmetic: cent values × µs durations accumulate in
+    DECIMAL(38,0) (cents·µs has no provable 2^63 bound over a
+    year-long trace, rule 11); the final TWAP is one double
+    division of two exact sums. Per-user lead() windows, one
+    aggregate."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    cents = F.round(F.col("value").cast("double") * 100).cast(
+        "bigint"
+    )
+    # timestamp cast to long yields SECONDS; unix_micros gives the
+    # exact µs the parquet stores (matches DuckDB's
+    # date_diff('microsecond'))
+    # NTZ -> LTZ cast first (identity under the pinned-UTC
+    # session, rule 6): unix_micros rejects TIMESTAMP_NTZ
+    dur = (
+        F.unix_micros(F.col("next_ts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    seg = seq.select(
+        "user_id",
+        # decimal BEFORE the multiply: cents x µs-over-a-year is
+        # ~3e18 - no safety margin under the driver's ANSI session
+        # (rule 11)
+        (cents.cast("decimal(38,0)") * dur)
+        .cast("decimal(38,0)")
+        .alias("wv"),
+        dur.alias("dur"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.sum("wv").cast("decimal(38,0)").alias(
+            "weighted_cents_usec"
+        ),
+        F.sum("dur").cast("bigint").alias("total_usec"),
+        (
+            F.sum("wv").cast("double")
+            / F.sum("dur").cast("double")
+        ).alias("twap_cents"),
+    )

@@ -185,6 +185,8 @@ HEADLINE = [
     "dataset_card_report",
     "bm25_persisted",
     "prefix_jaccard_pairs",
+    "purchase_attribution",
+    "time_weighted_value",
     "association_rules",
 ]
 

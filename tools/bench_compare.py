@@ -42,11 +42,17 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    # Oracles whose DuckDB side is the quadratic form the Spark
+    # operator exists to avoid - correctness still runs at sf0.01
+    # (tools/check_correctness.py); timing them at sf0.1 measures
+    # only the brute-force strawman (prefix_jaccard's all-pairs
+    # list_intersect over 20k docs runs for tens of minutes).
+    skip_oracle = {"prefix_jaccard_pairs"}
     rows = []
     for name, q in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
-        if q.oracle is None:
+        if q.oracle is None or name in skip_oracle:
             continue
         # min of 3 after a warm-up: first execution pays whole-stage
         # codegen JIT (observed 5s cold vs 0.5s warm on identical

@@ -121,6 +121,8 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "dataset_card_report",
     "bm25_persisted",
     "prefix_jaccard_pairs",
+    "purchase_attribution",
+    "time_weighted_value",
     "association_rules",
 ]
 
