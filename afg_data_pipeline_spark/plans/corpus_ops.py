@@ -2303,3 +2303,79 @@ def dataset_card_report(
             ).alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "rank_normalize_values",
+    oracle="""
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(round(CAST(value AS DOUBLE) * 100)
+                        AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, cents, c,
+                   SUM(c) OVER (PARTITION BY event_type
+                                ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) - c
+                       AS below,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM counts
+        )
+        SELECT event_type, cents, c AS n_rows,
+               CAST(2 * below + c + 1 AS BIGINT) AS rank2,
+               CAST(2 * n AS BIGINT) AS den2,
+               CAST(2 * below + c + 1 AS DOUBLE)
+                   / CAST(2 * n AS DOUBLE) AS rank_norm
+        FROM cum
+    """,
+    ops=("A2", "O1"),
+)
+def rank_normalize_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank (quantile) normalization per event type — the
+    rank-gauss / quantile-normalize ML-prep primitive: each
+    distinct cent value maps to its MID-RANK fraction
+    (2·below + cnt + 1)/(2·n), tie-aware and exactly the average
+    rank of that value's rows. All rank arithmetic is exact
+    integers (rank2/den2 in the output make the rationals
+    auditable); the normalized fraction is one double division.
+    Scale shape: the heavy pass is one map-side-combinable
+    (type, cent) count; the cumulative window runs over the
+    BOUNDED cent domain (value range × 100 rows max, independent
+    of corpus size), never event rows."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    counts = ev.groupBy(
+        "event_type",
+        F.round(F.col("value").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = counts.withColumn(
+        "below", F.sum("c").over(wc) - F.col("c")
+    ).withColumn("n", F.sum("c").over(wn))
+    rank2 = (
+        F.lit(2) * F.col("below") + F.col("c") + F.lit(1)
+    ).cast("bigint")
+    den2 = (F.lit(2) * F.col("n")).cast("bigint")
+    return cum.select(
+        "event_type",
+        "cents",
+        F.col("c").alias("n_rows"),
+        rank2.alias("rank2"),
+        den2.alias("den2"),
+        (rank2.cast("double") / den2.cast("double")).alias(
+            "rank_norm"
+        ),
+    )

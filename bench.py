@@ -187,6 +187,7 @@ HEADLINE = [
     "prefix_jaccard_pairs",
     "purchase_attribution",
     "time_weighted_value",
+    "rank_normalize_values",
     "association_rules",
 ]
 

@@ -123,6 +123,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "prefix_jaccard_pairs",
     "purchase_attribution",
     "time_weighted_value",
+    "rank_normalize_values",
     "association_rules",
 ]
 
