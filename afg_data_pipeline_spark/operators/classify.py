@@ -1,0 +1,261 @@
+"""Multinomial Naive Bayes text classification — the quality/domain
+classifier of a training-data pipeline (a fastText-style corpus
+filter: train per-class token statistics, score every document,
+keep/route by predicted class), built engine-portably exact.
+
+The reference has no ML classifier; this extends its text surface
+the way a 100 TB curation pipeline needs (CCNet/fastText-style
+source filtering). Design:
+
+- TRAIN is two map-side-combinable aggregates over the exploded
+  token stream: per-(class, token) counts and (derived from them)
+  per-class token totals + the global vocabulary size. The model
+  is vocabulary-sized — tiny relative to any corpus.
+- SCORE is one token-keyed join of the test corpus's (doc, token,
+  count) aggregate against the model (the per-class branch is a
+  broadcast of |classes| rows), one per-(doc, class) sum, and one
+  per-doc argmax via min(struct(...)) — groupBy, never a window
+  (CLAUDE.md rule 19: map-side combine applies).
+- EXACTNESS: each Laplace-smoothed log-likelihood term
+  ln((n_tc+1)/(T_c+V)) is an irrational double — quantized ONCE to
+  the 1e9 integer grid (rule 1c) so per-document accumulation is
+  exact integer arithmetic, order-free and identical across
+  engines; the final reported score is the one correctly-rounded
+  double division score_q/1e9. Accumulation is DECIMAL(38,0): the
+  per-document bound (tokens × 1e10-scale terms) is not provably
+  under 2^63 for arbitrary corpora (rule 11).
+
+Tokens in a scored document that never occur in the training
+vocabulary are ignored (standard OOV handling); tokens in the
+vocabulary but unseen for a class contribute the class's smoothing
+floor ln(1/(T_c+V)) — realised via COALESCE after a left join, so
+no dense classes×vocab grid is ever materialised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.functions.numeric import dsum_expr
+
+GRID = 1_000_000_000  # rule-1c ln() quantization grid (1e9)
+
+
+def _q(x: Column) -> Column:
+    """Quantize an ln-derived double to the exact integer grid."""
+    return F.round(x * F.lit(float(GRID))).cast("bigint")
+
+
+def nb_train(
+    docs: DataFrame,
+    class_col: str,
+    tokens_col: Column,
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB: returns (token_model, class_model).
+
+    token_model: (cls, token, term_q) — quantized smoothed
+      log-likelihood per (class, token) seen in training.
+    class_model: (cls, floor_q, prior_q) — the per-class smoothing
+      floor for vocabulary tokens unseen in the class, and the
+      quantized log prior.
+
+    Both are vocabulary/class-sized. The (class, token) count
+    aggregate feeds three downstream branches (class totals,
+    vocabulary size, the term table), so it is localCheckpointed
+    once (rule 12) — it is narrow (three columns) and its upstream
+    is the full corpus token explode.
+    """
+    counts = (
+        docs.select(
+            F.col(class_col).alias("cls"),
+            F.explode(tokens_col).alias("token"),
+        )
+        .groupBy("cls", "token")
+        .agg(F.count(F.lit(1)).alias("n_tc"))
+        .localCheckpoint(eager=False)
+    )
+    # Class totals + global vocabulary size + doc priors: all from
+    # vocabulary-sized inputs (never the corpus again).
+    totals = counts.groupBy("cls").agg(
+        F.sum("n_tc").alias("t_c")
+    )
+    vocab_n = counts.select("token").distinct().count()
+    n_docs = docs.count()
+    priors = (
+        docs.groupBy(F.col(class_col).alias("cls"))
+        .agg(F.count(F.lit(1)).alias("n_docs_c"))
+    )
+    class_model = (
+        totals.join(priors, "cls")
+        .select(
+            "cls",
+            _q(
+                F.log(
+                    F.lit(1.0)
+                    / (
+                        F.col("t_c").cast("double")
+                        + F.lit(float(vocab_n))
+                    )
+                )
+            ).alias("floor_q"),
+            _q(
+                F.log(
+                    F.col("n_docs_c").cast("double")
+                    / F.lit(float(n_docs))
+                )
+            ).alias("prior_q"),
+            F.col("t_c"),
+        )
+    )
+    token_model = counts.join(
+        F.broadcast(class_model.select("cls", "t_c")), "cls"
+    ).select(
+        "cls",
+        "token",
+        _q(
+            F.log(
+                (F.col("n_tc").cast("double") + F.lit(1.0))
+                / (
+                    F.col("t_c").cast("double")
+                    + F.lit(float(vocab_n))
+                )
+            )
+        ).alias("term_q"),
+    )
+    return token_model, class_model.drop("t_c")
+
+
+def nb_score(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    token_model: DataFrame,
+    class_model: DataFrame,
+) -> DataFrame:
+    """Score documents: (id, pred_cls, score) — argmax class with
+    the quantized-exact log-posterior as a double.
+
+    Per-document token multiplicities aggregate first (map-side
+    combinable), then semi-restrict to the training vocabulary via
+    the token-keyed model join itself. Documents whose tokens are
+    all OOV still score (prior + 0 token terms) via the final left
+    join from the doc spine. Ties break to the lexicographically
+    smallest class via min(struct(-score, cls)).
+    """
+    doc_tokens = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens_col).alias("token"),
+        )
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Vocabulary restriction (semi-join: OOV tokens drop), then a
+    # broadcast fan-out to |classes| rows per token and ONE
+    # token-keyed left join against the term table; classes with
+    # the token unseen take the smoothing floor.
+    vocab = token_model.select("token").distinct()
+    per_class = (
+        doc_tokens.join(vocab, "token", "left_semi")
+        .crossJoin(
+            F.broadcast(class_model.select("cls", "floor_q"))
+        )
+        .join(token_model, ["token", "cls"], "left")
+        .select(
+            "_id",
+            "cls",
+            (
+                F.col("cnt")
+                * F.coalesce(F.col("term_q"), F.col("floor_q"))
+            ).alias("tok_q"),
+        )
+        .groupBy("_id", "cls")
+        .agg(dsum_expr(F.col("tok_q"), "tok_sum_q"))
+    )
+    spine = docs.select(F.col(id_col).alias("_id")).crossJoin(
+        F.broadcast(class_model)
+    )
+    scored = (
+        spine.join(per_class, ["_id", "cls"], "left")
+        .select(
+            "_id",
+            "cls",
+            (
+                F.coalesce(
+                    F.col("tok_sum_q"),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                + F.col("prior_q")
+            ).alias("score_q"),
+        )
+    )
+    best = scored.groupBy("_id").agg(
+        F.min(F.struct((-F.col("score_q")).alias("neg"), "cls"))
+        .alias("b")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("b.cls").alias("pred_cls"),
+        (
+            (-F.col("b.neg")).cast("double")
+            / F.lit(float(GRID))
+        ).alias("score"),
+    )
+
+
+def exact_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney U, mid-rank ties) of a score
+    against a 0/1 label: one row (auc, n_pos, n_neg).
+
+    Scale design: the corpus collapses FIRST to one row per
+    distinct score value (map-side-combinable pos/neg counts); the
+    cumulative negative count runs over that value-space-sized
+    table via sharded_cumsum (bit-identical to the single global
+    window, n_shards-way parallel); U accumulates with the
+    doubled-rank trick in DECIMAL(38,0) — n_pos·n_neg products
+    have no provable 2^63 bound at corpus scale (rule 11). The
+    only float is one final correctly-rounded division.
+    """
+    from afg_data_pipeline_spark.operators.prefixsum import (
+        sharded_cumsum,
+    )
+
+    scored = df.select(
+        F.col(score_col).alias("score"),
+        F.col(label_col).cast("int").alias("is_pos"),
+    )
+    per_value = scored.groupBy("score").agg(
+        F.sum("is_pos").cast("bigint").alias("n_pos_v"),
+        F.sum(1 - F.col("is_pos")).cast("bigint")
+        .alias("n_neg_v"),
+    )
+    cum = sharded_cumsum(
+        per_value,
+        value_col="n_neg_v",
+        order_col="score",
+        out_col="cum_neg_incl",
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    u2 = d("n_pos_v") * (
+        F.lit(2).cast("decimal(38,0)")
+        * (d("cum_neg_incl") - d("n_neg_v"))
+        + d("n_neg_v")
+    )
+    return cum.agg(
+        (
+            dsum_expr(u2, "u2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.sum("n_pos_v").cast("double")
+                * F.sum("n_neg_v").cast("double")
+            )
+        ).alias("auc"),
+        F.sum("n_pos_v").cast("bigint").alias("n_pos"),
+        F.sum("n_neg_v").cast("bigint").alias("n_neg"),
+    )

@@ -20,6 +20,7 @@ from afg_data_pipeline_spark.plans import (  # noqa: F401, E402
     product_analytics,
     corpus_ops,
     clustering,
+    mlops,
 )
 
 __all__ = ["REGISTRY", "Query", "register"]

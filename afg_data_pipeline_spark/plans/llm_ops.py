@@ -2556,3 +2556,87 @@ def prefix_jaccard_pairs_q(
 
     docs = read_star_table(spark, "documents", sf_dir)
     return prefix_filter_jaccard_pairs(docs)
+
+
+@register(
+    "image_phash_near_dup",
+    oracle=None,  # binary media decode — rows-only by design;
+    # tests pin the DCT kernel against a scalar-python replica and
+    # assert container-independence + the exact-text-dup invariant
+    ops=("M-IMG", "DEDUP"),
+)
+def image_phash_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image near-duplicate pairs via perceptual hash (pHash): the
+    image-dedup stage of a LAION-style multimodal curation
+    pipeline. REAL media path — deterministic BMP/PNG bytes per
+    document (operators/multimodal.attach_synth_bmp), a real
+    decode (codecs.py), the classic luma->32x32->DCT->sign-of-AC
+    signature (multimodal.phash_of_rgb), then SimHash-style 16-bit
+    band blocking over the 64-bit signature: candidates only where
+    a band collides (4 exploded rows/image; 65k-key natural
+    parallelism — rule 13 salting not needed), verified with
+    XOR+bit_count <= 10. The corpus never self-joins all-pairs.
+
+    The signature table feeds both sides of the band join — it is
+    the expensive decode+DCT output, so it's localCheckpointed
+    once (rule 12). Identical texts produce identical pixels in
+    BOTH containers, so every exact-text duplicate pair MUST
+    surface at hamming 0 (asserted in tests)."""
+    from afg_data_pipeline_spark.operators.multimodal import (
+        attach_synth_bmp,
+        image_phash,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    sigs = (
+        image_phash(attach_synth_bmp(docs))
+        .localCheckpoint(eager=False)
+    )
+    bands = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(
+                            F.col("phash"), 16 * i
+                        )
+                        .bitwiseAND(F.lit(0xFFFF).cast("bigint"))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id", "phash", "band.band_id", "band.band_val"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(ph_a ^ ph_b)").cast("int"),
+        )
+        .filter(F.col("hamming") <= 10)
+        .select("doc_a", "doc_b", "hamming")
+    )

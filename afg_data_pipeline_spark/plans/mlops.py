@@ -1,0 +1,342 @@
+"""Declared queries: ML-adjacent corpus operators — a trainable
+quality/domain classifier (multinomial Naive Bayes), exact
+classifier evaluation (ROC-AUC), and a Pareto-frontier (skyline)
+selector.
+
+These extend the reference's text surface the way a 100 TB
+training-data pipeline needs: CCNet/fastText-style source filtering
+is a *trained classifier* scoring every document (not just the
+heuristic quality gates in plans/llm_ops.py), and any trained
+filter needs an exact, engine-portable evaluation metric.
+
+Exactness conventions: every ln() is quantized once to the 1e9
+integer grid (CLAUDE.md rule 1c) so accumulation is exact integer
+arithmetic; rank statistics (AUC) are computed from integer counts
+with the doubled-rank trick, so the only float in each output is
+one correctly-rounded final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from afg_data_pipeline_spark.io import read_star_table
+from afg_data_pipeline_spark.operators import text as TX
+from afg_data_pipeline_spark.operators.classify import (
+    nb_score,
+    nb_train,
+)
+from afg_data_pipeline_spark.plans.registry import register
+
+
+@register(
+    "nb_classify_lang",
+    oracle="""
+        WITH train AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE doc_id % 2 = 0
+        ),
+        test AS MATERIALIZED (
+            SELECT doc_id, lang, text FROM documents
+            WHERE doc_id % 2 = 1
+        ),
+        ttok AS (
+            SELECT lang AS cls,
+                   unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS token
+            FROM train
+        ),
+        counts AS MATERIALIZED (
+            SELECT cls, token, CAST(count(*) AS BIGINT) AS n_tc
+            FROM ttok GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT cls, CAST(sum(n_tc) AS BIGINT) AS t_c
+            FROM counts GROUP BY 1
+        ),
+        vocab AS (
+            SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+            FROM counts
+        ),
+        ndocs AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM train
+        ),
+        priors AS (
+            SELECT lang AS cls, CAST(count(*) AS BIGINT)
+                       AS n_docs_c
+            FROM train GROUP BY 1
+        ),
+        cmodel AS MATERIALIZED (
+            SELECT t.cls,
+                   CAST(round(ln(1.0 / (CAST(t.t_c AS DOUBLE)
+                                        + CAST(v.v AS DOUBLE)))
+                              * 1000000000.0) AS BIGINT)
+                       AS floor_q,
+                   CAST(round(ln(CAST(p.n_docs_c AS DOUBLE)
+                                 / CAST(n.n AS DOUBLE))
+                              * 1000000000.0) AS BIGINT)
+                       AS prior_q,
+                   t.t_c
+            FROM totals t
+            JOIN priors p USING (cls), vocab v, ndocs n
+        ),
+        tmodel AS MATERIALIZED (
+            SELECT c.cls, c.token,
+                   CAST(round(ln((CAST(c.n_tc AS DOUBLE) + 1.0)
+                                 / (CAST(m.t_c AS DOUBLE)
+                                    + CAST(v.v AS DOUBLE)))
+                              * 1000000000.0) AS BIGINT)
+                       AS term_q
+            FROM counts c JOIN cmodel m USING (cls), vocab v
+        ),
+        stok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS token
+            FROM test
+        ),
+        dtok AS (
+            SELECT doc_id, token,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM stok GROUP BY 1, 2
+        ),
+        invocab AS (SELECT DISTINCT token FROM tmodel),
+        perclass AS (
+            SELECT d.doc_id, m.cls,
+                   CAST(sum(d.cnt * COALESCE(t.term_q,
+                                             m.floor_q))
+                        AS BIGINT) AS tok_sum_q
+            FROM dtok d
+            JOIN invocab iv USING (token)
+            CROSS JOIN cmodel m
+            LEFT JOIN tmodel t
+                ON t.token = d.token AND t.cls = m.cls
+            GROUP BY 1, 2
+        ),
+        scores AS (
+            SELECT te.doc_id, m.cls,
+                   COALESCE(p.tok_sum_q, 0) + m.prior_q
+                       AS score_q
+            FROM test te
+            CROSS JOIN cmodel m
+            LEFT JOIN perclass p
+                ON p.doc_id = te.doc_id AND p.cls = m.cls
+        ),
+        best AS (
+            SELECT doc_id, cls, score_q,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_q DESC, cls ASC
+                   ) AS rn
+            FROM scores
+        )
+        SELECT b.doc_id, b.cls AS pred_cls,
+               CAST(b.score_q AS DOUBLE) / 1000000000.0
+                   AS score,
+               te.lang AS actual_cls,
+               CAST(CASE WHEN b.cls = te.lang THEN 1 ELSE 0 END
+                    AS INTEGER) AS correct
+        FROM best b JOIN test te USING (doc_id)
+        WHERE b.rn = 1
+    """,
+    ops=("TEXT", "A1", "J1"),
+)
+def nb_classify_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — train on the
+    even-doc_id half of the corpus, score the odd half
+    (operators/classify.py). The trained-filter pattern of a
+    CCNet/fastText curation pipeline, engine-portably exact: every
+    smoothed log-likelihood is quantized once to the 1e9 grid
+    (rule 1c) so per-document accumulation is exact integer math.
+
+    Scale: training is two map-side-combinable aggregates (the
+    model is vocabulary-sized, checkpointed once — rule 12);
+    scoring is one token-keyed join plus a |classes|-row broadcast
+    fan-out; the per-doc argmax is a groupBy min(struct) — never a
+    window (rule 19). No stage touches the corpus twice."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    token_model, class_model = nb_train(
+        train, "lang", TX.tokens("text")
+    )
+    scored = nb_score(
+        test, "doc_id", TX.tokens("text"), token_model,
+        class_model,
+    )
+    return scored.join(
+        test.select(
+            "doc_id", F.col("lang").alias("actual_cls")
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "pred_cls",
+        "score",
+        "actual_cls",
+        (F.col("pred_cls") == F.col("actual_cls"))
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+@register(
+    "classifier_eval_auc",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                   CASE WHEN label >= 5 THEN 1 ELSE 0 END
+                       AS is_pos
+            FROM embeddings
+        ),
+        per_value AS (
+            SELECT score,
+                   CAST(sum(is_pos) AS BIGINT) AS n_pos_v,
+                   CAST(sum(1 - is_pos) AS BIGINT) AS n_neg_v
+            FROM scored GROUP BY 1
+        ),
+        cum AS (
+            SELECT score, n_pos_v, n_neg_v,
+                   CAST(sum(n_neg_v) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW
+                   ) AS BIGINT) AS cum_neg_incl
+            FROM per_value
+        )
+        SELECT
+            CAST(sum(CAST(n_pos_v AS HUGEINT)
+                     * (2 * CAST(cum_neg_incl - n_neg_v
+                                 AS HUGEINT)
+                        + CAST(n_neg_v AS HUGEINT)))
+                 AS DOUBLE)
+                / (2.0 * CAST(sum(n_pos_v) AS DOUBLE)
+                   * CAST(sum(n_neg_v) AS DOUBLE)) AS auc,
+            CAST(sum(n_pos_v) AS BIGINT) AS n_pos,
+            CAST(sum(n_neg_v) AS BIGINT) AS n_neg
+        FROM cum
+    """,
+    ops=("A1", "O1"),
+)
+def classifier_eval_auc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact ROC-AUC of a score column against a binary label
+    (Mann-Whitney U with mid-rank tie handling) — the evaluation
+    half of the trained-filter story. Score = the first embedding
+    component (raw stored float, no arithmetic — bit-identical
+    across engines); positive class = label >= 5.
+
+    Scale: the corpus collapses FIRST to one row per distinct
+    score value (map-side-combinable counts); the cumulative
+    negative count runs over that value-space-sized table via
+    sharded_cumsum (operators/prefixsum.py — bit-identical to the
+    single window, n_shards-way parallel); U is accumulated with
+    the doubled-rank trick in DECIMAL(38,0) (n_pos·n_neg products
+    have no provable 2^63 bound at corpus scale — rule 11); the
+    only float is the one final correctly-rounded division
+    (operators/classify.exact_auc)."""
+    from afg_data_pipeline_spark.operators.classify import (
+        exact_auc,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double")
+        .alias("score"),
+        F.when(F.col("label") >= 5, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_pos"),
+    )
+    return exact_auc(scored, "score", "is_pos")
+
+
+@register(
+    "pareto_frontier",
+    oracle="""
+        WITH pts AS (
+            SELECT p_partkey, p_name, p_retailprice, p_size,
+                   CAST(round(p_retailprice * 100) AS BIGINT)
+                       AS pc
+            FROM part
+        ),
+        pp AS (
+            SELECT pc, min(p_size) AS min_size
+            FROM pts GROUP BY 1
+        ),
+        w AS (
+            SELECT pc, min_size,
+                   min(min_size) OVER (
+                       ORDER BY pc
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING
+                   ) AS runmin_prev
+            FROM pp
+        )
+        SELECT p.p_partkey, p.p_name,
+               p.p_retailprice AS price, p.p_size
+        FROM pts p JOIN w USING (pc)
+        WHERE p.p_size = w.min_size
+          AND (w.runmin_prev IS NULL
+               OR p.p_size < w.runmin_prev)
+    """,
+    ops=("O2", "A1"),
+)
+def pareto_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts not dominated on
+    (retail price, size) — q dominates p iff q is <= on both
+    dimensions and strictly < on at least one. The multi-objective
+    shortlist query of procurement/model-selection dashboards.
+
+    Scale: the corpus collapses to one row per DISTINCT price
+    (cents-exact groupBy min(size) — map-side combinable); the
+    frontier test is a running min over that table, whose size is
+    bounded by the price VALUE SPACE (~100k cent values),
+    constant in corpus size — so the global one-task window is
+    bounded work at any scale, and survivors re-join the corpus
+    on the price key. Equal (price, size) duplicates are mutually
+    non-dominating and all surface, exactly as the dominance
+    definition demands."""
+    from pyspark.sql import Window
+
+    part = read_star_table(spark, "part", sf_dir)
+    pts = part.select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("pc"),
+    )
+    pp = pts.groupBy("pc").agg(
+        F.min("p_size").alias("min_size")
+    )
+    w = (
+        Window.orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_prices = pp.withColumn(
+        "runmin_prev", F.min("min_size").over(w)
+    )
+    return (
+        pts.join(frontier_prices, "pc")
+        .filter(
+            (F.col("p_size") == F.col("min_size"))
+            & (
+                F.col("runmin_prev").isNull()
+                | (F.col("p_size") < F.col("runmin_prev"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").alias("price"),
+            "p_size",
+        )
+    )

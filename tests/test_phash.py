@@ -1,0 +1,136 @@
+"""Perceptual-hash image near-dup (operators/multimodal.phash_of_rgb
++ plans/llm_ops.image_phash_near_dup)."""
+
+import math
+
+import numpy as np
+
+from afg_data_pipeline_spark.operators.codecs import (
+    decode_bmp,
+    encode_png,
+    synth_bmp_for_text,
+)
+from afg_data_pipeline_spark.operators.multimodal import (
+    decode_raster,
+    phash_of_rgb,
+)
+
+
+def _phash_replica(rgb):
+    """Independent scalar-python pHash (no numpy linear algebra):
+    pins the operator kernel value-for-value."""
+    h = len(rgb)
+    w = len(rgb[0])
+    luma = [
+        [
+            (
+                299 * int(rgb[y][x][0])
+                + 587 * int(rgb[y][x][1])
+                + 114 * int(rgb[y][x][2])
+            )
+            // 1000
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    n = 32
+    rb = [(i * h) // n for i in range(n + 1)]
+    cb = [(j * w) // n for j in range(n + 1)]
+    cells = [[0.0] * n for _ in range(n)]
+    for i in range(n):
+        r0, r1 = rb[i], max(rb[i + 1], rb[i] + 1)
+        r0, r1 = min(r0, h - 1), min(r1, h)
+        for j in range(n):
+            c0, c1 = cb[j], max(cb[j + 1], cb[j] + 1)
+            c0, c1 = min(c0, w - 1), min(c1, w)
+            vals = [
+                luma[y][x]
+                for y in range(r0, r1)
+                for x in range(c0, c1)
+            ]
+            cells[i][j] = sum(vals) / len(vals)
+    # 2-D DCT-II, scalar triple loop (top-left 8x8 only)
+    block = []
+    for u in range(8):
+        for v in range(8):
+            if u == 0 and v == 0:
+                continue
+            s = 0.0
+            for y in range(n):
+                for x in range(n):
+                    s += (
+                        cells[y][x]
+                        * math.cos(
+                            math.pi * (2 * y + 1) * u / (2 * n)
+                        )
+                        * math.cos(
+                            math.pi * (2 * x + 1) * v / (2 * n)
+                        )
+                    )
+            block.append(s)
+    srt = sorted(block)
+    med = srt[31]  # np.median of 63 values = middle element
+    sig = 0
+    for i, val in enumerate(block):
+        if val > med:
+            sig |= 1 << i
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    return sig
+
+
+class TestPhashKernel:
+    def test_matches_scalar_replica(self):
+        for text in ["hello world", "the quick brown fox", "x"]:
+            rgb = decode_bmp(synth_bmp_for_text(text))
+            got = phash_of_rgb(rgb)
+            want = _phash_replica(
+                [[list(px) for px in row] for row in rgb]
+            )
+            # float64 matmul vs scalar loop can differ only if an
+            # AC coefficient lands exactly on the median boundary;
+            # require exact equality — the kernel is deterministic
+            assert got == want, text
+
+    def test_container_independent(self):
+        for text in ["same pixels", "another doc"]:
+            bmp = synth_bmp_for_text(text)
+            rgb_bmp = decode_raster(bmp, "image/bmp")
+            rgb_png = decode_raster(
+                encode_png(decode_bmp(bmp)), "image/png"
+            )
+            assert np.array_equal(rgb_bmp, rgb_png)
+            assert phash_of_rgb(rgb_bmp) == phash_of_rgb(rgb_png)
+
+    def test_identical_text_same_hash(self):
+        a = phash_of_rgb(decode_bmp(synth_bmp_for_text("dup")))
+        b = phash_of_rgb(decode_bmp(synth_bmp_for_text("dup")))
+        assert a == b
+
+    def test_signed_64(self):
+        h = phash_of_rgb(decode_bmp(synth_bmp_for_text("neg?")))
+        assert -(1 << 63) <= h < (1 << 63)
+
+
+class TestPhashNearDupQuery:
+    def test_exact_text_dups_surface_at_hamming_zero(self, spark):
+        # plant exact duplicate texts across container parity
+        # (doc 2 even -> BMP, doc 3 odd -> PNG, same pixels)
+        rows = [
+            (0, "alpha beta gamma"),
+            (1, "unrelated text entirely"),
+            (2, "planted duplicate body"),
+            (3, "planted duplicate body"),
+            (5, "another unique document"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        from afg_data_pipeline_spark.operators.multimodal import (
+            attach_synth_bmp,
+            image_phash,
+        )
+
+        sigs = image_phash(attach_synth_bmp(docs))
+        got = {r.doc_id: r.phash for r in sigs.collect()}
+        assert got[2] == got[3]
+        # and distinct texts hash apart (md5-seeded gradients)
+        assert got[0] != got[1]
