@@ -1642,3 +1642,170 @@ def time_weighted_value(
             / F.sum("dur").cast("double")
         ).alias("twap_cents"),
     )
+
+
+@register(
+    "sequence_pattern_counts",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id, event_type,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_total FROM events
+        ),
+        pat AS (
+            SELECT a.event_type AS antecedent,
+                   b.event_type AS consequent,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM spans a
+            JOIN spans b ON a.user_id = b.user_id
+                        AND a.event_type <> b.event_type
+            WHERE a.first_ts < b.last_ts
+            GROUP BY 1, 2
+        )
+        SELECT antecedent, consequent, n_users,
+               CAST(n_users AS DOUBLE)
+                   / CAST(n_total AS DOUBLE) AS support
+        FROM pat, tot
+    """,
+    ops=("A1", "J4"),
+)
+def sequence_pattern_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential-pattern mining, 2-sequences: for every ordered
+    event-type pair (a, b), how many users did SOME a strictly
+    before SOME b (the PrefixSpan L2 table — 'a then b, not
+    necessarily adjacent', unlike event_transition_matrix's
+    adjacent bigrams). 'Exists a before b' is exactly
+    min_ts(a) < max_ts(b), so the corpus collapses FIRST to one
+    row per (user, type) — a map-side-combinable min/max
+    aggregate — and the pair test is a per-user self-join of at
+    most |types| rows a side (bounded fan-out, millions of user
+    keys of natural parallelism; never an event-level pair join).
+    Support = users-with-pattern / total-users, one correctly
+    rounded division."""
+    ev = read_star_table(spark, "events", sf_dir)
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    tot = ev.agg(
+        F.countDistinct("user_id").alias("n_total")
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.first_ts") < F.col("b.last_ts")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    return pat.crossJoin(F.broadcast(tot)).select(
+        "antecedent",
+        "consequent",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("support"),
+    )
+
+
+@register(
+    "top_event_paths",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                   ) AS rn,
+                   ts, event_id
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id) AS path
+            FROM ranked WHERE rn <= 5
+            GROUP BY 1
+        ),
+        counts AS (
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM paths GROUP BY 1
+        )
+        SELECT path, n_users, rnk FROM (
+            SELECT path, n_users,
+                   CAST(row_number() OVER (
+                       ORDER BY n_users DESC, path ASC
+                   ) AS INTEGER) AS rnk
+            FROM counts
+        ) WHERE rnk <= 20
+    """,
+    ops=("O3", "A1"),
+)
+def top_event_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 user journeys: each user's first five events (by
+    ts, event_id — every ranking tie-broken) joined into a '>'
+    path string, counted across users. The funnel-discovery query
+    of product analytics.
+
+    Scale: the row_number window is user-partitioned (full
+    parallelism); path assembly is sort_array(collect_list) of at
+    most 5 structs per user; the final top-20 ranks the path-count
+    table, whose size is bounded by the TYPE-SEQUENCE value space
+    (sum of |types|^k for k<=5), constant in corpus size — so the
+    global window is bounded work at any scale (same argument as
+    pareto_frontier)."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("rn", "event_type")
+                    )
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    wtop = Window.orderBy(
+        F.col("n_users").desc(), F.col("path").asc()
+    )
+    return (
+        counts.withColumn(
+            "rnk", F.row_number().over(wtop).cast("int")
+        )
+        .filter(F.col("rnk") <= 20)
+    )
