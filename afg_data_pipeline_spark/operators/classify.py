@@ -76,18 +76,29 @@ def nb_train(
         .localCheckpoint(eager=False)
     )
     # Class totals + global vocabulary size + doc priors: all from
-    # vocabulary-sized inputs (never the corpus again).
+    # vocabulary-sized inputs (never the corpus again), and all
+    # LAZY — the scalars (V, N) ride 1-row broadcast cross joins
+    # instead of eager .count() actions, so building the model
+    # runs zero driver jobs and the whole train+score pipeline
+    # materializes in one pass.
     totals = counts.groupBy("cls").agg(
         F.sum("n_tc").alias("t_c")
     )
-    vocab_n = counts.select("token").distinct().count()
-    n_docs = docs.count()
+    vocab_n = counts.agg(
+        F.countDistinct("token").alias("v")
+    )
     priors = (
         docs.groupBy(F.col(class_col).alias("cls"))
         .agg(F.count(F.lit(1)).alias("n_docs_c"))
+        .localCheckpoint(eager=False)  # feeds N and the join
+    )
+    n_docs = priors.agg(
+        F.sum("n_docs_c").alias("n")
     )
     class_model = (
         totals.join(priors, "cls")
+        .crossJoin(F.broadcast(vocab_n))
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "cls",
             _q(
@@ -95,21 +106,23 @@ def nb_train(
                     F.lit(1.0)
                     / (
                         F.col("t_c").cast("double")
-                        + F.lit(float(vocab_n))
+                        + F.col("v").cast("double")
                     )
                 )
             ).alias("floor_q"),
             _q(
                 F.log(
                     F.col("n_docs_c").cast("double")
-                    / F.lit(float(n_docs))
+                    / F.col("n").cast("double")
                 )
             ).alias("prior_q"),
             F.col("t_c"),
+            F.col("v"),
         )
     )
     token_model = counts.join(
-        F.broadcast(class_model.select("cls", "t_c")), "cls"
+        F.broadcast(class_model.select("cls", "t_c", "v")),
+        "cls",
     ).select(
         "cls",
         "token",
@@ -118,12 +131,12 @@ def nb_train(
                 (F.col("n_tc").cast("double") + F.lit(1.0))
                 / (
                     F.col("t_c").cast("double")
-                    + F.lit(float(vocab_n))
+                    + F.col("v").cast("double")
                 )
             )
         ).alias("term_q"),
     )
-    return token_model, class_model.drop("t_c")
+    return token_model, class_model.drop("t_c", "v")
 
 
 def nb_score(
@@ -157,11 +170,11 @@ def nb_score(
     # the token unseen take the smoothing floor.
     vocab = token_model.select("token").distinct()
     per_class = (
-        doc_tokens.join(vocab, "token", "left_semi")
+        doc_tokens.join(F.broadcast(vocab), "token", "left_semi")
         .crossJoin(
             F.broadcast(class_model.select("cls", "floor_q"))
         )
-        .join(token_model, ["token", "cls"], "left")
+        .join(F.broadcast(token_model), ["token", "cls"], "left")
         .select(
             "_id",
             "cls",
@@ -173,34 +186,46 @@ def nb_score(
         .groupBy("_id", "cls")
         .agg(dsum_expr(F.col("tok_q"), "tok_sum_q"))
     )
-    spine = docs.select(F.col(id_col).alias("_id")).crossJoin(
-        F.broadcast(class_model)
-    )
-    scored = (
-        spine.join(per_class, ["_id", "cls"], "left")
-        .select(
-            "_id",
-            "cls",
-            (
-                F.coalesce(
-                    F.col("tok_sum_q"),
-                    F.lit(0).cast("decimal(38,0)"),
-                )
-                + F.col("prior_q")
-            ).alias("score_q"),
-        )
+    # Add the prior map-side (broadcast) and take the per-doc
+    # argmax directly over the scored (doc, class) rows — no
+    # doc × |classes| spine expansion. Documents whose tokens are
+    # all OOV are absent here; they fall back to the prior-only
+    # argmax, itself a lazy 1-row broadcast.
+    scored = per_class.join(
+        F.broadcast(class_model.select("cls", "prior_q")), "cls"
+    ).select(
+        "_id",
+        "cls",
+        (F.col("tok_sum_q") + F.col("prior_q")).alias("score_q"),
     )
     best = scored.groupBy("_id").agg(
         F.min(F.struct((-F.col("score_q")).alias("neg"), "cls"))
         .alias("b")
     )
-    return best.select(
-        F.col("_id").alias(id_col),
-        F.col("b.cls").alias("pred_cls"),
-        (
-            (-F.col("b.neg")).cast("double")
-            / F.lit(float(GRID))
-        ).alias("score"),
+    prior_best = class_model.agg(
+        F.min(
+            F.struct(
+                (-F.col("prior_q").cast("decimal(38,0)"))
+                .alias("neg"),
+                "cls",
+            )
+        ).alias("pb")
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(best, "_id", "left")
+        .crossJoin(F.broadcast(prior_best))
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("b.cls"), F.col("pb.cls"))
+            .alias("pred_cls"),
+            (
+                (
+                    -F.coalesce(F.col("b.neg"), F.col("pb.neg"))
+                ).cast("double")
+                / F.lit(float(GRID))
+            ).alias("score"),
+        )
     )
 
 

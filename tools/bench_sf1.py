@@ -125,6 +125,13 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "time_weighted_value",
     "rank_normalize_values",
     "association_rules",
+    # round-6 continuation-4: classifier/eval/skyline/sequences
+    "nb_classify_lang",
+    "classifier_eval_auc",
+    "pareto_frontier",
+    "image_phash_near_dup",
+    "sequence_pattern_counts",
+    "top_event_paths",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
@@ -253,6 +260,44 @@ def build_sf1(spark, src_dir: str, out_dir: str) -> None:
             .drop("__shard")
         )
         big.write.mode("overwrite").parquet(dst)
+
+    # 10× events with per-shard user_id/event_id offsets — "10×
+    # more users, same event-type space": per-user work stays
+    # constant while user-key parallelism scales, the honest
+    # scaling for the sequence/path/session queries. Derive from
+    # read_star_table's CONVERTED frame (µs NTZ), so the written
+    # file carries a plain TIMESTAMP(MICROS, NTZ) column that both
+    # engines read identically — never the raw INT64-nanos column
+    # (CLAUDE.md rule 4).
+    ev_dst = os.path.join(out_dir, "events.parquet")
+    if os.path.islink(ev_dst):
+        os.remove(ev_dst)
+    if not os.path.exists(ev_dst):
+        from afg_data_pipeline_spark.io import read_star_table
+
+        ev = read_star_table(spark, "events", src_dir)
+        uid_stride = 10 ** len(
+            str(ev.agg(F.max("user_id")).collect()[0][0])
+        )
+        eid_stride = 10 ** len(
+            str(ev.agg(F.max("event_id")).collect()[0][0])
+        )
+        big = (
+            ev.repartition(32)
+            .crossJoin(F.broadcast(shards))
+            .withColumn(
+                "user_id",
+                F.col("user_id")
+                + F.col("__shard") * F.lit(uid_stride),
+            )
+            .withColumn(
+                "event_id",
+                F.col("event_id")
+                + F.col("__shard") * F.lit(eid_stride),
+            )
+            .drop("__shard")
+        )
+        big.write.mode("overwrite").parquet(ev_dst)
 
     for t in (
         "region nation customer supplier part orders lineitem events"
