@@ -30,9 +30,10 @@ from afg_data_pipeline_spark.operators.classify import (
 from afg_data_pipeline_spark.plans.registry import register
 
 
-@register(
-    "nb_classify_lang",
-    oracle="""
+# NB oracle CTE chain through the per-doc argmax — shared verbatim
+# by nb_classify_lang and classifier_eval_report so the two oracles
+# can never drift.
+_NB_ORACLE_CTES = """
         WITH train AS (
             SELECT doc_id, lang, text FROM documents
             WHERE doc_id % 2 = 0
@@ -131,6 +132,13 @@ from afg_data_pipeline_spark.plans.registry import register
                    ) AS rn
             FROM scores
         )
+"""
+
+
+@register(
+    "nb_classify_lang",
+    oracle=_NB_ORACLE_CTES
+    + """
         SELECT b.doc_id, b.cls AS pred_cls,
                CAST(b.score_q AS DOUBLE) / 1000000000.0
                    AS score,
@@ -339,4 +347,212 @@ def pareto_frontier(
             F.col("p_retailprice").alias("price"),
             "p_size",
         )
+    )
+
+
+@register(
+    "classifier_eval_report",
+    oracle=_NB_ORACLE_CTES
+    + """
+        , preds AS (
+            SELECT b.cls AS pred_cls, te.lang AS actual_cls
+            FROM best b JOIN test te USING (doc_id)
+            WHERE b.rn = 1
+        ),
+        conf AS (
+            SELECT pred_cls, actual_cls,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM preds GROUP BY 1, 2
+        ),
+        act AS (
+            SELECT actual_cls AS cls,
+                   CAST(sum(n) AS BIGINT) AS n_actual
+            FROM conf GROUP BY 1
+        ),
+        prd AS (
+            SELECT pred_cls AS cls,
+                   CAST(sum(n) AS BIGINT) AS n_pred
+            FROM conf GROUP BY 1
+        ),
+        tp AS (
+            SELECT pred_cls AS cls,
+                   CAST(sum(n) AS BIGINT) AS tp
+            FROM conf WHERE pred_cls = actual_cls GROUP BY 1
+        )
+        SELECT cls,
+               COALESCE(n_actual, 0) AS n_actual,
+               COALESCE(n_pred, 0) AS n_pred,
+               COALESCE(tp, 0) AS tp,
+               CASE WHEN COALESCE(n_pred, 0) > 0 THEN
+                   CAST(COALESCE(tp, 0) AS DOUBLE)
+                       / CAST(n_pred AS DOUBLE) END
+                   AS precision,
+               CASE WHEN COALESCE(n_actual, 0) > 0 THEN
+                   CAST(COALESCE(tp, 0) AS DOUBLE)
+                       / CAST(n_actual AS DOUBLE) END
+                   AS recall,
+               CASE WHEN COALESCE(n_pred, 0)
+                         + COALESCE(n_actual, 0) > 0 THEN
+                   2.0 * CAST(COALESCE(tp, 0) AS DOUBLE)
+                       / CAST(COALESCE(n_pred, 0)
+                              + COALESCE(n_actual, 0)
+                              AS DOUBLE) END
+                   AS f1
+        FROM act
+        FULL JOIN prd USING (cls)
+        LEFT JOIN tp USING (cls)
+    """,
+    ops=("A1", "J1"),
+)
+def classifier_eval_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 of the NB language
+    classifier on the held-out half — the confusion-matrix rollup
+    every trained corpus filter ships with. F1 uses the
+    single-division identity 2·tp/(n_pred + n_actual), so each
+    metric is ONE correctly-rounded division of exact integers;
+    classes never predicted (or never actual) report NULL for the
+    undefined ratio rather than a fake 0.
+
+    Scale: everything after the NB scoring pipeline runs on the
+    |classes|² confusion table."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    token_model, class_model = nb_train(
+        train, "lang", TX.tokens("text")
+    )
+    scored = nb_score(
+        test, "doc_id", TX.tokens("text"), token_model,
+        class_model,
+    )
+    preds = scored.join(
+        test.select(
+            "doc_id", F.col("lang").alias("actual_cls")
+        ),
+        "doc_id",
+    ).select("pred_cls", "actual_cls")
+    # |classes|²-row table whose upstream is the ENTIRE NB
+    # pipeline, feeding three rollup branches — checkpoint once
+    # (rule 12) or the corpus scores three times.
+    conf = (
+        preds.groupBy("pred_cls", "actual_cls")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    act = conf.groupBy(
+        F.col("actual_cls").alias("cls")
+    ).agg(F.sum("n").cast("bigint").alias("n_actual"))
+    prd = conf.groupBy(
+        F.col("pred_cls").alias("cls")
+    ).agg(F.sum("n").cast("bigint").alias("n_pred"))
+    tp = (
+        conf.filter(F.col("pred_cls") == F.col("actual_cls"))
+        .groupBy(F.col("pred_cls").alias("cls"))
+        .agg(F.sum("n").cast("bigint").alias("tp"))
+    )
+    rep = (
+        act.join(prd, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return rep.select(
+        "cls",
+        "n_actual",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.col("tp").cast("double")
+            / F.col("n_pred").cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("n_actual") > 0,
+            F.col("tp").cast("double")
+            / F.col("n_actual").cast("double"),
+        ).alias("recall"),
+        F.when(
+            (F.col("n_pred") + F.col("n_actual")) > 0,
+            F.lit(2.0)
+            * F.col("tp").cast("double")
+            / (
+                F.col("n_pred") + F.col("n_actual")
+            ).cast("double"),
+        ).alias("f1"),
+    )
+
+
+@register(
+    "robust_outlier_flags",
+    oracle="""
+        WITH med AS (
+            SELECT lang,
+                   quantile_cont(n_chars, 0.5) AS median_chars
+            FROM documents GROUP BY 1
+        ),
+        mad AS (
+            SELECT d.lang,
+                   quantile_cont(
+                       abs(CAST(d.n_chars AS DOUBLE)
+                           - m.median_chars), 0.5
+                   ) AS mad_chars
+            FROM documents d JOIN med m USING (lang)
+            GROUP BY 1
+        )
+        SELECT d.doc_id, d.lang, d.n_chars,
+               m.median_chars, a.mad_chars,
+               CAST(CASE WHEN abs(CAST(d.n_chars AS DOUBLE)
+                                  - m.median_chars)
+                              > 3 * a.mad_chars
+                         THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_outlier
+        FROM documents d
+        JOIN med m USING (lang)
+        JOIN mad a USING (lang)
+    """,
+    ops=("A2", "A3"),
+)
+def robust_outlier_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language robust outlier flags on document length:
+    |x − median| > 3·MAD — the heavy-tail-safe data-quality gate
+    (mean/stddev gates break under the power-law lengths real
+    crawls have). operators/robust.py: the corpus compresses to a
+    (lang, n_chars, count) table FIRST (map-side combinable,
+    bounded by the length value space), rank statistics run over
+    that compressed table (never Spark's buffer-everything exact
+    percentile), and the tiny per-group (med2, mad4) model
+    broadcast-joins back. The flag is the pure integer comparison
+    2·|2x − med2| > 3·mad4 — no float straddle; the reported
+    median/MAD doubles are exact halves/quarters, matching
+    DuckDB's quantile_cont bit-for-bit."""
+    from afg_data_pipeline_spark.operators.robust import (
+        robust_outlier_model,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    model = robust_outlier_model(docs, ["lang"], "n_chars")
+    dev2 = F.abs(
+        2 * F.col("n_chars") - F.col("med2")
+    )
+    return docs.join(F.broadcast(model), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("med2").cast("double") / F.lit(2.0)).alias(
+            "median_chars"
+        ),
+        (F.col("mad4").cast("double") / F.lit(4.0)).alias(
+            "mad_chars"
+        ),
+        (2 * dev2 > 3 * F.col("mad4"))
+        .cast("int")
+        .alias("is_outlier"),
     )

@@ -189,6 +189,15 @@ HEADLINE = [
     "time_weighted_value",
     "rank_normalize_values",
     "association_rules",
+    # --- round-6 continuation-4 additions (append-only) ---
+    "nb_classify_lang",
+    "classifier_eval_auc",
+    "classifier_eval_report",
+    "pareto_frontier",
+    "image_phash_near_dup",
+    "sequence_pattern_counts",
+    "top_event_paths",
+    "robust_outlier_flags",
 ]
 
 

@@ -132,6 +132,8 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "image_phash_near_dup",
     "sequence_pattern_counts",
     "top_event_paths",
+    "classifier_eval_report",
+    "robust_outlier_flags",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
