@@ -556,3 +556,170 @@ def robust_outlier_flags(
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+@register(
+    "score_calibration_bins",
+    oracle=_NB_ORACLE_CTES
+    + """
+        , scored2 AS MATERIALIZED (
+            SELECT b.doc_id,
+                   CAST(b.score_q AS DOUBLE) / 1000000000.0
+                       AS score,
+                   CAST(CASE WHEN b.cls = te.lang
+                             THEN 1 ELSE 0 END AS BIGINT)
+                       AS correct
+            FROM best b JOIN test te USING (doc_id)
+            WHERE b.rn = 1
+        ),
+        vcount AS (
+            SELECT score AS v, count(*) AS c
+            FROM scored2 GROUP BY 1
+        ),
+        cum AS (
+            SELECT v,
+                   SUM(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS rc,
+                   SUM(c) OVER () AS n
+            FROM vcount
+        ),
+        cuts AS (
+            SELECT
+                min(CASE WHEN rc >= (n * 10 + 99) // 100
+                         THEN v END) AS c10,
+                min(CASE WHEN rc >= (n * 20 + 99) // 100
+                         THEN v END) AS c20,
+                min(CASE WHEN rc >= (n * 30 + 99) // 100
+                         THEN v END) AS c30,
+                min(CASE WHEN rc >= (n * 40 + 99) // 100
+                         THEN v END) AS c40,
+                min(CASE WHEN rc >= (n * 50 + 99) // 100
+                         THEN v END) AS c50,
+                min(CASE WHEN rc >= (n * 60 + 99) // 100
+                         THEN v END) AS c60,
+                min(CASE WHEN rc >= (n * 70 + 99) // 100
+                         THEN v END) AS c70,
+                min(CASE WHEN rc >= (n * 80 + 99) // 100
+                         THEN v END) AS c80,
+                min(CASE WHEN rc >= (n * 90 + 99) // 100
+                         THEN v END) AS c90
+            FROM cum
+        ),
+        binned AS (
+            SELECT s.doc_id, s.correct,
+                   CAST(round(s.score * 1000000000.0)
+                        AS BIGINT) AS score_q,
+                   CAST(1
+                        + CAST(s.score > c.c10 AS INTEGER)
+                        + CAST(s.score > c.c20 AS INTEGER)
+                        + CAST(s.score > c.c30 AS INTEGER)
+                        + CAST(s.score > c.c40 AS INTEGER)
+                        + CAST(s.score > c.c50 AS INTEGER)
+                        + CAST(s.score > c.c60 AS INTEGER)
+                        + CAST(s.score > c.c70 AS INTEGER)
+                        + CAST(s.score > c.c80 AS INTEGER)
+                        + CAST(s.score > c.c90 AS INTEGER)
+                        AS INTEGER) AS bin
+            FROM scored2 s CROSS JOIN cuts c
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(correct) AS BIGINT) AS n_correct,
+               CAST(sum(correct) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS accuracy,
+               CAST(sum(CAST(score_q AS HUGEINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE)
+                      * 1000000000.0) AS mean_score
+        FROM binned
+        GROUP BY bin
+    """,
+    ops=("A1", "A2"),
+)
+def score_calibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram for the NB classifier: held-out docs
+    bucketed into score DECILES (exact discrete percentile cuts —
+    operators/quantiles machinery over value-compressed counts,
+    ties share a bucket so no row_number over the corpus), each
+    bin reporting accuracy vs mean confidence — the calibration
+    check every production corpus filter needs before its scores
+    gate data.
+
+    Exactness: cut comparison is double equality on grid-snapped
+    scores (identical k/1e9 doubles both engines); mean score
+    re-derives the exact integer score_q = round(score·1e9) and
+    sums it in DECIMAL(38,0) (rule 11 — never a double→decimal
+    cast of the score itself, rule 1b), leaving one final
+    division. The scored table feeds the cuts AND the binning —
+    checkpointed once (rule 12): its upstream is the whole NB
+    pipeline, its width three columns."""
+    from afg_data_pipeline_spark.functions.numeric import (
+        dsum_expr,
+    )
+    from afg_data_pipeline_spark.operators.quantiles import (
+        grouped_percentile_disc,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    token_model, class_model = nb_train(
+        train, "lang", TX.tokens("text")
+    )
+    scored = (
+        nb_score(
+            test, "doc_id", TX.tokens("text"), token_model,
+            class_model,
+        )
+        .join(
+            test.select(
+                "doc_id", F.col("lang").alias("actual_cls")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "score",
+            (F.col("pred_cls") == F.col("actual_cls"))
+            .cast("bigint")
+            .alias("correct"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    cuts = grouped_percentile_disc(
+        scored.withColumn("g0", F.lit(0)), "g0", "score", qs
+    ).select(
+        *[
+            F.col(f"p{int(q * 100)}").alias(f"c{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    bin_col = F.lit(1)
+    for q in qs:
+        bin_col = bin_col + (
+            F.col("score") > F.col(f"c{int(q * 100)}")
+        ).cast("int")
+    binned = scored.crossJoin(F.broadcast(cuts)).select(
+        F.col("correct"),
+        F.round(F.col("score") * F.lit(1e9))
+        .cast("bigint")
+        .alias("score_q"),
+        bin_col.cast("int").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("correct").cast("bigint").alias("n_correct"),
+        (
+            F.sum("correct").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+        (
+            dsum_expr(F.col("score_q"), "sq").cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.lit(1e9)
+            )
+        ).alias("mean_score"),
+    )

@@ -198,6 +198,7 @@ HEADLINE = [
     "sequence_pattern_counts",
     "top_event_paths",
     "robust_outlier_flags",
+    "score_calibration_bins",
 ]
 
 

@@ -174,3 +174,26 @@ class TestParetoFrontier:
             .select("pk")
         )
         assert sorted(r.pk for r in out.collect()) == [1, 3, 4, 7]
+
+
+class TestCalibrationBins:
+    def test_bins_partition_the_held_out_docs(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        rows = REGISTRY["score_calibration_bins"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        # bins form a partition: every bin id in 1..10, counts sum
+        # to the held-out half, accuracy = n_correct/n exactly
+        assert all(1 <= r.bin <= 10 for r in rows)
+        n_test = (
+            spark.read.parquet(
+                "/root/testdata/sf0.001/documents.parquet"
+            )
+            .filter("doc_id % 2 = 1")
+            .count()
+        )
+        assert sum(r.n for r in rows) == n_test
+        for r in rows:
+            assert r.accuracy == r.n_correct / r.n
+            assert 0.0 <= r.accuracy <= 1.0

@@ -134,6 +134,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "top_event_paths",
     "classifier_eval_report",
     "robust_outlier_flags",
+    "score_calibration_bins",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
