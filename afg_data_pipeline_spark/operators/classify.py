@@ -152,9 +152,17 @@ def nb_score(
     Per-document token multiplicities aggregate first (map-side
     combinable), then semi-restrict to the training vocabulary via
     the token-keyed model join itself. Documents whose tokens are
-    all OOV still score (prior + 0 token terms) via the final left
-    join from the doc spine. Ties break to the lexicographically
-    smallest class via min(struct(-score, cls)).
+    all OOV still score (prior only) via a left join from the doc
+    spine with a lazy 1-row prior-argmax fallback. Ties break to
+    the lexicographically smallest class via min(struct(-score,
+    cls)).
+
+    The model joins carry broadcast hints: a text-classifier model
+    is vocabulary-sized (a fastText-scale 2M-token vocabulary ×
+    a handful of classes ≈ tens of MB) — small at any corpus
+    scale. For an out-of-contract model too large to broadcast,
+    drop the hints and let AQE pick a shuffle join; the plan stays
+    correct.
     """
     doc_tokens = (
         docs.select(

@@ -84,6 +84,18 @@ def robust_outlier_model(
     feeds both the median pass and the deviation pass, so it is
     localCheckpointed once (rule 12).
     """
+    from pyspark.sql import types as T
+
+    dt = df.schema[value_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"robust_outlier_model needs an integer value column "
+            f"for exact med2/mad4 arithmetic; {value_col!r} is "
+            f"{dt.simpleString()} — quantize to a grid first "
+            "(CLAUDE.md rule 1b)"
+        )
     g = list(group_cols)
     vc = (
         df.groupBy(*g, value_col)

@@ -85,3 +85,14 @@ class TestEvalReportIdentities:
             )
             single = 2 * tp / (n_pred + n_actual)
             assert abs(classic - single) < 1e-12
+
+
+class TestTypeGuard:
+    def test_double_value_column_rejected(self, spark):
+        import pytest
+
+        df = spark.createDataFrame(
+            [("a", 1.5), ("a", 2.5)], ["g", "x"]
+        )
+        with pytest.raises(TypeError, match="integer value column"):
+            robust_outlier_model(df, ["g"], "x")
