@@ -97,8 +97,13 @@ def robust_outlier_model(
             "(CLAUDE.md rule 1b)"
         )
     g = list(group_cols)
+    # Null values are EXCLUDED (SQL percentile semantics — and
+    # necessarily: Spark windows sort nulls first, DuckDB last,
+    # so a null reaching the cumulative ordering would shift
+    # every rank between engines; see operators/quantiles.py).
     vc = (
-        df.groupBy(*g, value_col)
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*g, value_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .localCheckpoint(eager=False)
     )

@@ -723,3 +723,118 @@ def score_calibration_bins(
             )
         ).alias("mean_score"),
     )
+
+
+@register(
+    "seasonal_anomaly_flags",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, event_type,
+                   CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                   CAST(hour(ts) AS INTEGER) AS hod,
+                   CAST(round(CAST(value AS DOUBLE) * 100)
+                        AS BIGINT) AS cents
+            FROM events
+        ),
+        prof AS (
+            SELECT event_type, dow, hod,
+                   quantile_cont(cents, 0.5) AS med
+            FROM base GROUP BY 1, 2, 3
+        ),
+        resid AS (
+            SELECT b.event_id, b.event_type, b.dow, b.hod,
+                   CAST(2 * b.cents AS DOUBLE) - 2 * p.med
+                       AS res2
+            FROM base b
+            JOIN prof p USING (event_type, dow, hod)
+        ),
+        stats AS (
+            SELECT event_type,
+                   quantile_cont(res2, 0.5) AS med_r
+            FROM resid GROUP BY 1
+        ),
+        mads AS (
+            SELECT r.event_type,
+                   quantile_cont(abs(r.res2 - s.med_r), 0.5)
+                       AS mad_r
+            FROM resid r JOIN stats s USING (event_type)
+            GROUP BY 1
+        )
+        SELECT r.event_id, r.event_type, r.dow, r.hod,
+               r.res2 / 2 AS residual,
+               CAST(CASE WHEN abs(r.res2 - s.med_r)
+                              > 3 * m.mad_r
+                         THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_anomaly
+        FROM resid r
+        JOIN stats s USING (event_type)
+        JOIN mads m USING (event_type)
+    """,
+    ops=("A2", "W2"),
+)
+def seasonal_anomaly_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: each event's value is
+    compared to the exact median of its (event_type, day-of-week,
+    hour) cell — the W2 seasonal-profile idea — and the residual
+    is flagged per event_type with the robust median/MAD gate
+    (operators/robust.py). The composition a monitoring pipeline
+    runs: 'is this value unusual FOR a Tuesday 3pm purchase',
+    not 'unusual overall'.
+
+    Exactness: values quantize once to cents (rule 1b); the
+    seasonal median is med2 = v_lo + v_hi (exact BIGINT), so
+    residuals res2 = 2·cents − med2 are exact integers; the
+    anomaly test is the pure integer comparison
+    2·|2·res2 − med2_r| > 3·mad4_r. Scale: both median layers run
+    on value-compressed counts (profile cells are bounded by
+    |types|·7·24 and broadcast back); the corpus is only ever
+    scanned and aggregated, never sorted."""
+    from afg_data_pipeline_spark.operators.robust import (
+        median2_from_counts,
+        robust_outlier_model,
+    )
+
+    ev = read_star_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    keys = ["event_type", "dow", "hod"]
+    vc = base.groupBy(*keys, "cents").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    prof = median2_from_counts(vc, keys, "cents", "_cnt")
+    resid = base.join(F.broadcast(prof), keys).select(
+        "event_id",
+        "event_type",
+        "dow",
+        "hod",
+        (2 * F.col("cents") - F.col("med2")).alias("res2"),
+    )
+    model = robust_outlier_model(
+        resid, ["event_type"], "res2"
+    ).withColumnRenamed("med2", "med2_r").withColumnRenamed(
+        "mad4", "mad4_r"
+    )
+    return resid.join(F.broadcast(model), "event_type").select(
+        "event_id",
+        "event_type",
+        "dow",
+        "hod",
+        (F.col("res2").cast("double") / F.lit(2.0)).alias(
+            "residual"
+        ),
+        (
+            2 * F.abs(2 * F.col("res2") - F.col("med2_r"))
+            > 3 * F.col("mad4_r")
+        )
+        .cast("int")
+        .alias("is_anomaly"),
+    )

@@ -199,6 +199,7 @@ HEADLINE = [
     "top_event_paths",
     "robust_outlier_flags",
     "score_calibration_bins",
+    "seasonal_anomaly_flags",
 ]
 
 

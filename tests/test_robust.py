@@ -96,3 +96,19 @@ class TestTypeGuard:
         )
         with pytest.raises(TypeError, match="integer value column"):
             robust_outlier_model(df, ["g"], "x")
+
+
+class TestSeasonalAnomaly:
+    def test_planted_spike_is_flagged(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        rows = REGISTRY["seasonal_anomaly_flags"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        n = len(rows)
+        flagged = sum(r.is_anomaly for r in rows)
+        # structural invariants: full coverage, flags are a strict
+        # minority (MAD gate at 3x), residual halves are exact
+        assert n > 0 and 0 <= flagged < n / 2
+        for r in rows[:50]:
+            assert r.residual == round(r.residual * 2) / 2

@@ -135,6 +135,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "classifier_eval_report",
     "robust_outlier_flags",
     "score_calibration_bins",
+    "seasonal_anomaly_flags",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
