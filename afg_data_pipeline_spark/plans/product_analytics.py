@@ -1809,3 +1809,205 @@ def top_event_paths(
         )
         .filter(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "survival_curve_km",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS s_ts
+            FROM events WHERE event_type = 'signup'
+            GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS p_ts
+            FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND e.ts >= s.s_ts
+            GROUP BY 1
+        ),
+        obs AS (SELECT max(ts) AS end_ts FROM events),
+        durs AS (
+            SELECT s.user_id,
+                   date_diff('day', CAST(s.s_ts AS DATE),
+                             CAST(COALESCE(p.p_ts, o.end_ts)
+                                  AS DATE)) AS t,
+                   CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END
+                       AS ev
+            FROM s LEFT JOIN p USING (user_id), obs o
+        ),
+        daily AS (
+            SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                   CAST(sum(1 - ev) AS BIGINT) AS c
+            FROM durs GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(d + c) AS BIGINT) AS n_all
+            FROM daily
+        ),
+        risk AS (
+            SELECT t, d, c,
+                   n_all - COALESCE(CAST(sum(d + c) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS n_at_risk
+            FROM daily, tot
+        ),
+        fac AS (
+            SELECT t, d, c, n_at_risk,
+                   CASE WHEN d < n_at_risk THEN
+                       CAST(round(ln(1.0
+                           - CAST(d AS DOUBLE)
+                             / CAST(n_at_risk AS DOUBLE))
+                           * 1000000000.0) AS BIGINT)
+                   ELSE 0 END AS f_q,
+                   CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END
+                       AS hits_zero
+            FROM risk
+        ),
+        cum AS (
+            SELECT t, d, c, n_at_risk,
+                   CAST(sum(f_q) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW
+                   ) AS BIGINT) AS cum_q,
+                   max(hits_zero) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW
+                   ) AS hit
+            FROM fac
+        )
+        SELECT t AS duration_days, n_at_risk,
+               d AS n_events, c AS n_censored,
+               CASE WHEN hit = 1 THEN 0.0
+                    ELSE round(exp(CAST(cum_q AS DOUBLE)
+                                   / 1000000000.0)
+                               * 1000000000.0)
+                         / 1000000000.0 END AS survival
+        FROM cum WHERE d > 0
+    """,
+    ops=("A1", "O1", "W2"),
+)
+def survival_curve_km(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase
+    after signup, right-censored at the observation end — the
+    retention/time-to-event analysis every product team runs.
+    One KM step row per event day: (duration_days, n_at_risk,
+    n_events, n_censored, survival).
+
+    Scale: the corpus collapses to per-user (duration, event)
+    in two aggregates, then to one row per distinct DAY — every
+    window after that runs on the day-value-space-bounded table.
+    Exactness: each KM factor ln(1 − d/n) is quantized once to
+    the 1e9 grid (rule 1c) and summed exactly; survival =
+    exp(sum) is snapped back to the same grid on both engines
+    (exp's ≤1-ulp engine divergence cannot straddle after the
+    snap except with ~1e-7/row probability); a day where the
+    whole risk set fails (d = n) pins survival to exactly 0.0
+    from that step on — never ln(0)."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    obs = ev.agg(F.max("ts").alias("end_ts"))
+    durs = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.datediff(
+                F.to_date(
+                    F.coalesce(F.col("p_ts"), F.col("end_ts"))
+                ),
+                F.to_date("s_ts"),
+            ).alias("t"),
+            F.when(F.col("p_ts").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("ev"),
+        )
+    )
+    daily = durs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    tot = daily.agg(
+        F.sum(F.col("d") + F.col("c"))
+        .cast("bigint")
+        .alias("n_all")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        F.col("n_all")
+        - F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(w_prev),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    fac = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d").cast("double")
+                    / F.col("n_at_risk").cast("double")
+                )
+                * F.lit(1e9)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("f_q"),
+        (F.col("d") >= F.col("n_at_risk"))
+        .cast("int")
+        .alias("hits_zero"),
+    )
+    cum = fac.select(
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
+        F.sum("f_q").over(w_cum).cast("bigint").alias("cum_q"),
+        F.max("hits_zero").over(w_cum).alias("hit"),
+    )
+    return cum.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration_days"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("hit") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.col("cum_q").cast("double") / F.lit(1e9)
+                )
+                * F.lit(1e9)
+            )
+            / F.lit(1e9)
+        )
+        .alias("survival"),
+    )

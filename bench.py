@@ -200,6 +200,7 @@ HEADLINE = [
     "robust_outlier_flags",
     "score_calibration_bins",
     "seasonal_anomaly_flags",
+    "survival_curve_km",
 ]
 
 

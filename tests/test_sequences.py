@@ -117,3 +117,86 @@ class TestTopEventPaths:
         }
         assert got[1] == "a>b>c>d>e"
         assert got[2] == "a"
+
+
+class TestSurvivalCurveKm:
+    def test_km_matches_lifelines_free_replica(self, spark):
+        import datetime as dt
+        import math
+
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        rows = REGISTRY["survival_curve_km"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows, "no KM steps"
+        # replicate KM in plain python from the same parquet
+        import duckdb
+
+        con = duckdb.connect()
+        durs = con.execute("""
+            WITH s AS (SELECT user_id, min(ts) s_ts
+                       FROM '/root/testdata/sf0.001/events.parquet'
+                       WHERE event_type='signup' GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) p_ts
+                  FROM '/root/testdata/sf0.001/events.parquet' e
+                  JOIN s USING (user_id)
+                  WHERE e.event_type='purchase' AND e.ts >= s.s_ts
+                  GROUP BY 1),
+            o AS (SELECT max(ts) end_ts
+                  FROM '/root/testdata/sf0.001/events.parquet')
+            SELECT date_diff('day', CAST(s.s_ts AS DATE),
+                   CAST(COALESCE(p.p_ts, o.end_ts) AS DATE)) t,
+                   CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END ev
+            FROM s LEFT JOIN p USING (user_id), o
+        """).fetchall()
+        from collections import Counter
+
+        d = Counter()
+        c = Counter()
+        for t, ev in durs:
+            (d if ev else c)[t] += 1
+        days = sorted(set(d) | set(c))
+        n = len(durs)
+        want = {}
+        cum_q = 0
+        hit_zero = False
+        for t in days:
+            if d[t] >= n:
+                hit_zero = True
+            if d[t] > 0:
+                if not hit_zero:
+                    cum_q += int(round(
+                        math.log(1.0 - d[t] / n) * 1e9
+                    ))
+                s_val = (
+                    0.0
+                    if hit_zero
+                    else round(math.exp(cum_q / 1e9) * 1e9)
+                    / 1e9
+                )
+                want[t] = (n, d[t], c[t], s_val)
+            n -= d[t] + c[t]
+        got = {
+            r.duration_days: (
+                r.n_at_risk,
+                r.n_events,
+                r.n_censored,
+                r.survival,
+            )
+            for r in rows
+        }
+        assert got == want
+
+    def test_survival_monotone_nonincreasing(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        rows = sorted(
+            REGISTRY["survival_curve_km"].fn(
+                spark, "/root/testdata/sf0.001"
+            ).collect(),
+            key=lambda r: r.duration_days,
+        )
+        vals = [r.survival for r in rows]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+        assert all(0.0 <= v <= 1.0 for v in vals)

@@ -136,6 +136,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "robust_outlier_flags",
     "score_calibration_bins",
     "seasonal_anomaly_flags",
+    "survival_curve_km",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
