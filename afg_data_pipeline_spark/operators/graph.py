@@ -66,13 +66,17 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        # DECIMAL(38,0) accumulation: vertex ids may be 64-bit
-        # hash-derived, and the driver's session runs ANSI-on where
-        # a BIGINT sum overflow is a hard ARITHMETIC_OVERFLOW
-        # (CLAUDE.md rule 1/11) — never a bare long sum of
-        # unbounded ids.
+        # Type-agnostic fixpoint probe: sum of xxhash64(component)
+        # — works for numeric AND string vertex ids (entity
+        # resolution components are canonical NAMES). DECIMAL(38,0)
+        # accumulation: xxhash64 is uniform over ±2^63, a BIGINT
+        # sum overflows almost surely and the driver's ANSI-on
+        # session makes that a hard ARITHMETIC_OVERFLOW
+        # (CLAUDE.md rule 11) — never a bare long sum.
         cur_sum = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            F.sum(
+                F.xxhash64("component").cast("decimal(38,0)")
+            ).alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:
             break

@@ -2011,3 +2011,97 @@ def survival_curve_km(
         )
         .alias("survival"),
     )
+
+
+@register(
+    "entity_resolution_clusters",
+    oracle="""
+        WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+        cand AS (
+            SELECT a.p_name AS na, b.p_name AS nb
+            FROM names a JOIN names b
+              ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+             AND abs(length(a.p_name) - length(b.p_name)) <= 1
+             AND a.p_name < b.p_name
+        ),
+        edges AS (
+            SELECT na, nb FROM cand
+            WHERE levenshtein(na, nb) <= 3
+        ),
+        sym AS (
+            SELECT na AS src, nb AS dst FROM edges
+            UNION ALL
+            SELECT nb, na FROM edges
+        ),
+        reach AS (
+            SELECT src AS v, src AS r FROM sym
+            UNION
+            SELECT reach.v, s.dst
+            FROM reach JOIN sym s ON reach.r = s.src
+        ),
+        comp AS (SELECT v, min(r) AS c FROM reach GROUP BY v),
+        ent AS (
+            SELECT p.p_partkey, p.p_name,
+                   COALESCE(comp.c, p.p_name) AS entity_name
+            FROM part p LEFT JOIN comp ON comp.v = p.p_name
+        ),
+        sizes AS (
+            SELECT entity_name,
+                   CAST(count(*) AS BIGINT) AS entity_size
+            FROM ent GROUP BY 1
+        )
+        SELECT e.p_partkey, e.p_name, e.entity_name,
+               s.entity_size
+        FROM ent e JOIN sizes s USING (entity_name)
+    """,
+    ops=("J1", "DEDUP"),
+)
+def entity_resolution_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching
+    (operators/joins.fuzzy_join_blocked — first-char block +
+    length band, levenshtein <= 3 on the reduced pair set) feeds
+    connected components (operators/graph.py min-label), and every
+    part resolves to its cluster's canonical name — the composed
+    record-linkage pipeline (pair scoring alone can't collapse
+    transitive chains A~B~C). Exact-duplicate names join the same
+    entity through the name key itself; unmatched names are their
+    own singleton entity.
+
+    Scale: the pair space never materializes (blocking), the
+    match graph is name-keyed (distinct values, not rows), and
+    component resolution is the O(diameter) min-label loop with
+    decimal convergence probes — the corpus only joins the final
+    name -> entity map. Verified against the WITH RECURSIVE
+    transitive-closure oracle, same contract as
+    near_dup_components."""
+    from afg_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+    from afg_data_pipeline_spark.operators.joins import (
+        fuzzy_join_blocked,
+    )
+
+    p = read_star_table(spark, "part", sf_dir)
+    matches = fuzzy_join_blocked(p, p, "p_name", "p_name")
+    comps = connected_components(
+        matches, src="name_a", dst="name_b"
+    )
+    ent = p.join(
+        comps,
+        p.p_name == comps.vertex,
+        "left",
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.coalesce(F.col("component"), F.col("p_name")).alias(
+            "entity_name"
+        ),
+    )
+    sizes = ent.groupBy("entity_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("entity_size")
+    )
+    return ent.join(sizes, "entity_name").select(
+        "p_partkey", "p_name", "entity_name", "entity_size"
+    )

@@ -201,6 +201,7 @@ HEADLINE = [
     "score_calibration_bins",
     "seasonal_anomaly_flags",
     "survival_curve_km",
+    "entity_resolution_clusters",
 ]
 
 

@@ -200,3 +200,35 @@ class TestSurvivalCurveKm:
         vals = [r.survival for r in rows]
         assert all(a >= b for a, b in zip(vals, vals[1:]))
         assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+class TestEntityResolution:
+    def test_transitive_chain_collapses(self, spark):
+        from afg_data_pipeline_spark.operators.graph import (
+            connected_components,
+        )
+        from afg_data_pipeline_spark.operators.joins import (
+            fuzzy_join_blocked,
+        )
+
+        # chain: abcd ~ abce ~ abcf (pairwise dist 1); zzzz isolated
+        rows = [
+            (1, "abcd"), (2, "abce"), (3, "abcf"), (4, "zzzz"),
+            (5, "abcd"),  # exact duplicate of 1 joins via the name
+        ]
+        p = spark.createDataFrame(rows, ["pk", "name"])
+        m = fuzzy_join_blocked(p, p, "name", "name")
+        comps = connected_components(
+            m, src="name_a", dst="name_b"
+        )
+        from pyspark.sql import functions as F
+
+        ent = p.join(
+            comps, p.name == comps.vertex, "left"
+        ).select(
+            "pk",
+            F.coalesce("component", "name").alias("entity"),
+        )
+        got = {r.pk: r.entity for r in ent.collect()}
+        assert got[1] == got[2] == got[3] == got[5] == "abcd"
+        assert got[4] == "zzzz"

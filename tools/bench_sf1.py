@@ -137,6 +137,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "score_calibration_bins",
     "seasonal_anomaly_flags",
     "survival_curve_km",
+    "entity_resolution_clusters",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
