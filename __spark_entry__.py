@@ -122,6 +122,14 @@ def _coverage_order(names: list[str]) -> list[str]:
         # round-6 token-id additions (never driver-checked yet,
         # listed for clarity; zero prior rows sorts them first
         # anyway): bpe_vocab, bpe_tokenize, bpe_encode_stats_fast.
+        # round-6 continuation-4: connected_components' fixpoint
+        # probe generalized to the xxhash64 checksum (string vertex
+        # ids for entity resolution) — bit-identical outputs,
+        # re-verified locally, but pre-change driver rows don't
+        # certify the current code (consumers with prior rows):
+        "near_dup_components": 6,
+        "dedup_keep_best": 6,
+        "corpus_after_dedup": 6,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}
