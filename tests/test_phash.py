@@ -134,3 +134,15 @@ class TestPhashNearDupQuery:
         assert got[2] == got[3]
         # and distinct texts hash apart (md5-seeded gradients)
         assert got[0] != got[1]
+
+
+class TestPhashQueryLevel:
+    def test_registered_query_runs_and_orders_pairs(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        rows = REGISTRY["image_phash_near_dup"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        for r in rows:
+            assert r.doc_a < r.doc_b
+            assert 0 <= r.hamming <= 10

@@ -350,3 +350,56 @@ class TestRound4PlanShapes:
         df = REGISTRY["winnow_fingerprints"].fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "unboundedfollowing" not in plan.lower()
+
+
+class TestContinuation4Shapes:
+    def test_nb_score_joins_are_broadcast(self, spark):
+        plan = plan_of(
+            REGISTRY["nb_classify_lang"].fn(spark, SF_DIR)
+        )
+        # the vocabulary semi-join, class fan-out and term join all
+        # broadcast the vocabulary-sized model — the corpus side
+        # never shuffles for them; no cartesian anywhere
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "BroadcastNestedLoopJoin" in plan  # |classes| fan-out
+
+    def test_pareto_window_runs_on_distinct_prices(self, spark):
+        plan = plan_of(
+            REGISTRY["pareto_frontier"].fn(spark, SF_DIR)
+        )
+        # the global window must sit ABOVE the distinct-price
+        # aggregate (tree prints parents first: Window textually
+        # precedes its HashAggregate child), and the tiny frontier
+        # table broadcasts back to the corpus — never the reverse
+        tree = plan.split("(1) Scan")[0]
+        assert "Window" in tree and "HashAggregate" in tree
+        assert tree.index("Window") > tree.index(
+            "BroadcastExchange"
+        )  # window output is what gets broadcast
+        assert tree.index("Window") < tree.index("HashAggregate")
+        assert "CartesianProduct" not in plan
+
+    def test_sequence_patterns_no_event_level_pairs(self, spark):
+        plan = plan_of(
+            REGISTRY["sequence_pattern_counts"].fn(spark, SF_DIR)
+        )
+        # the self-join is an EQUI-join on user_id over the
+        # (user,type) span aggregate (hash/merge keyed — AQE may
+        # broadcast the small aggregated side at this sf); the
+        # only nested-loop is the 1-row total cross join
+        assert "CartesianProduct" not in plan
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
+
+    def test_seasonal_anomaly_model_joins_broadcast(self, spark):
+        plan = plan_of(
+            REGISTRY["seasonal_anomaly_flags"].fn(spark, SF_DIR)
+        )
+        # the profile and the per-type model join back via
+        # broadcast — corpus rows never shuffle for either
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
