@@ -838,3 +838,120 @@ def seasonal_anomaly_flags(
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "winsorized_stats",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(round(CAST(value AS DOUBLE) * 100)
+                        AS BIGINT) AS cents
+            FROM events
+        ),
+        cum AS (
+            SELECT event_type, cents AS v,
+                   SUM(c) OVER (PARTITION BY event_type
+                       ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS rc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM (SELECT event_type, cents, count(*) AS c
+                  FROM base GROUP BY 1, 2)
+        ),
+        cuts AS (
+            SELECT event_type,
+                   min(CASE WHEN rc >= (n * 5 + 99) // 100
+                            THEN v END) AS p5_cents,
+                   min(CASE WHEN rc >= (n * 95 + 99) // 100
+                            THEN v END) AS p95_cents
+            FROM cum GROUP BY 1
+        ),
+        w AS (
+            SELECT b.event_type, b.cents,
+                   c.p5_cents, c.p95_cents,
+                   least(greatest(b.cents, c.p5_cents),
+                         c.p95_cents) AS clipped,
+                   CASE WHEN b.cents < c.p5_cents
+                         OR b.cents > c.p95_cents
+                        THEN 1 ELSE 0 END AS is_clip
+            FROM base b JOIN cuts c USING (event_type)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(is_clip) AS BIGINT) AS n_clipped,
+               min(p5_cents) AS p5_cents,
+               min(p95_cents) AS p95_cents,
+               CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0)
+                   AS mean_raw,
+               CAST(sum(CAST(clipped AS HUGEINT)) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0)
+                   AS mean_winsorized
+        FROM w GROUP BY event_type
+    """,
+    ops=("A1", "A2"),
+)
+def winsorized_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winsorized per-group statistics: values clipped at the
+    exact discrete p5/p95 cuts before averaging — the standard
+    robust-mean gate for heavy-tailed numeric columns (a handful
+    of whale transactions otherwise dominate a plain mean).
+
+    Exactness: cents grid (rule 1b), exact percentile_disc cuts
+    from value-compressed counts (operators/quantiles machinery),
+    DECIMAL(38,0)-accumulated sums (rule 11) with ONE final
+    division each. Scale: cut computation runs on the
+    value-space-bounded count table; the corpus pays one scan,
+    one broadcast join of the |groups|-row cut table, and one
+    map-side-combinable aggregate."""
+    from afg_data_pipeline_spark.operators.quantiles import (
+        grouped_percentile_disc,
+    )
+
+    ev = read_star_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cuts = grouped_percentile_disc(
+        base, "event_type", "cents", [0.05, 0.95]
+    ).select(
+        "event_type",
+        F.col("p5").alias("p5_cents"),
+        F.col("p95").alias("p95_cents"),
+    )
+    w = base.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "cents",
+        "p5_cents",
+        "p95_cents",
+        F.least(
+            F.greatest(F.col("cents"), F.col("p5_cents")),
+            F.col("p95_cents"),
+        ).alias("clipped"),
+        (
+            (F.col("cents") < F.col("p5_cents"))
+            | (F.col("cents") > F.col("p95_cents"))
+        )
+        .cast("int")
+        .alias("is_clip"),
+    )
+    dec = "decimal(38,0)"
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_clip").cast("bigint").alias("n_clipped"),
+        F.min("p5_cents").alias("p5_cents"),
+        F.min("p95_cents").alias("p95_cents"),
+        (
+            F.sum(F.col("cents").cast(dec)).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(100.0))
+        ).alias("mean_raw"),
+        (
+            F.sum(F.col("clipped").cast(dec)).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(100.0))
+        ).alias("mean_winsorized"),
+    )

@@ -202,6 +202,7 @@ HEADLINE = [
     "seasonal_anomaly_flags",
     "survival_curve_km",
     "entity_resolution_clusters",
+    "winsorized_stats",
 ]
 
 

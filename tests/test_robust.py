@@ -112,3 +112,24 @@ class TestSeasonalAnomaly:
         assert n > 0 and 0 <= flagged < n / 2
         for r in rows[:50]:
             assert r.residual == round(r.residual * 2) / 2
+
+
+class TestWinsorizedStats:
+    def test_clipping_bounds_and_counts(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        rows = REGISTRY["winsorized_stats"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r.p5_cents <= r.p95_cents
+            # winsorized mean sits inside the clip bounds
+            assert (
+                r.p5_cents / 100.0
+                <= r.mean_winsorized
+                <= r.p95_cents / 100.0
+            )
+            # clipping at p5/p95 touches at most ~10% of rows
+            # (plus ties); never the majority
+            assert r.n_clipped < r.n / 2

@@ -138,6 +138,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "seasonal_anomaly_flags",
     "survival_curve_km",
     "entity_resolution_clusters",
+    "winsorized_stats",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
