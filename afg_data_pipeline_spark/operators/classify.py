@@ -37,9 +37,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from afg_data_pipeline_spark.functions.numeric import dsum_expr
-
 GRID = 1_000_000_000  # rule-1c ln() quantization grid (1e9)
+
+# NB/AUC integer accumulations use DECIMAL(38,0) explicitly — NOT
+# functions/numeric.dsum_expr, whose DECIMAL(18,6) bounds |values|
+# under 1e12: a single high-multiplicity token's cnt·term_q
+# (~1e3·2e10) or an AUC U-term (n_pos_v·2·cum_neg at millions of
+# rows per class) exceeds that at realistic corpus sizes and would
+# ARITHMETIC_OVERFLOW under the driver's ANSI-on session (rule 11).
+_D38 = "decimal(38,0)"
 
 
 def _q(x: Column) -> Column:
@@ -187,12 +193,13 @@ def nb_score(
             "_id",
             "cls",
             (
-                F.col("cnt")
+                F.col("cnt").cast(_D38)
                 * F.coalesce(F.col("term_q"), F.col("floor_q"))
+                .cast(_D38)
             ).alias("tok_q"),
         )
         .groupBy("_id", "cls")
-        .agg(dsum_expr(F.col("tok_q"), "tok_sum_q"))
+        .agg(F.sum("tok_q").alias("tok_sum_q"))
     )
     # Add the prior map-side (broadcast) and take the per-doc
     # argmax directly over the scored (doc, class) rows — no
@@ -273,16 +280,16 @@ def exact_auc(
     )
 
     def d(c: str) -> Column:
-        return F.col(c).cast("decimal(38,0)")
+        return F.col(c).cast(_D38)
 
     u2 = d("n_pos_v") * (
-        F.lit(2).cast("decimal(38,0)")
+        F.lit(2).cast(_D38)
         * (d("cum_neg_incl") - d("n_neg_v"))
         + d("n_neg_v")
     )
     return cum.agg(
         (
-            dsum_expr(u2, "u2").cast("double")
+            F.sum(u2).cast("double")
             / (
                 F.lit(2.0)
                 * F.sum("n_pos_v").cast("double")

@@ -654,9 +654,6 @@ def score_calibration_bins(
     division. The scored table feeds the cuts AND the binning —
     checkpointed once (rule 12): its upstream is the whole NB
     pipeline, its width three columns."""
-    from afg_data_pipeline_spark.functions.numeric import (
-        dsum_expr,
-    )
     from afg_data_pipeline_spark.operators.quantiles import (
         grouped_percentile_disc,
     )
@@ -716,7 +713,10 @@ def score_calibration_bins(
             / F.count(F.lit(1)).cast("double")
         ).alias("accuracy"),
         (
-            dsum_expr(F.col("score_q"), "sq").cast("double")
+            # DECIMAL(38,0) sum — score_q per row reaches ~1e14,
+            # past dsum_expr's DECIMAL(18,6) 1e12 bound (rule 11)
+            F.sum(F.col("score_q").cast("decimal(38,0)"))
+            .cast("double")
             / (
                 F.count(F.lit(1)).cast("double")
                 * F.lit(1e9)
