@@ -2105,3 +2105,106 @@ def entity_resolution_clusters(
     return ent.join(sizes, "entity_name").select(
         "p_partkey", "p_name", "entity_name", "entity_size"
     )
+
+
+@register(
+    "sequence_pattern3_counts",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id, event_type,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_total FROM events
+        ),
+        triples AS (
+            SELECT DISTINCT
+                   b.user_id,
+                   a.event_type AS t1,
+                   b.event_type AS t2,
+                   c.event_type AS t3
+            FROM events b
+            JOIN spans a ON a.user_id = b.user_id
+                        AND a.event_type <> b.event_type
+                        AND a.first_ts < b.ts
+            JOIN spans c ON c.user_id = b.user_id
+                        AND c.event_type <> b.event_type
+                        AND c.event_type <> a.event_type
+                        AND b.ts < c.last_ts
+        ),
+        pat AS (
+            SELECT t1, t2, t3,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM triples GROUP BY 1, 2, 3
+        )
+        SELECT t1, t2, t3, n_users,
+               CAST(n_users AS DOUBLE)
+                   / CAST(n_total AS DOUBLE) AS support
+        FROM pat, tot
+    """,
+    ops=("A1", "J4"),
+)
+def sequence_pattern3_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential-pattern mining, 3-sequences: users who did SOME
+    t1, then SOME t2, then SOME t3 (strictly ordered in time,
+    pairwise-distinct types — the PrefixSpan L3 table).
+    'exists a<b<c' reduces to: exists a t2-EVENT strictly inside
+    the open interval (min_ts(t1), max_ts(t3)) — so only the t2
+    occurrence needs event granularity; t1 and t3 collapse to the
+    (user, type) span aggregate.
+
+    Scale: events join the per-user span table twice (bounded
+    fan-out ≤ (|types|−1)² per event, user-keyed parallelism);
+    the DISTINCT collapses to ≤ |types|³ rows per user map-side
+    before any shuffle. Support = one correctly-rounded
+    division."""
+    ev = read_star_table(spark, "events", sf_dir)
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    tot = ev.agg(
+        F.countDistinct("user_id").alias("n_total")
+    )
+    b = ev.select("user_id", "event_type", "ts").alias("b")
+    a = spans.alias("a")
+    c = spans.alias("c")
+    triples = (
+        b.join(
+            a,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.first_ts") < F.col("b.ts")),
+        )
+        .join(
+            c,
+            (F.col("c.user_id") == F.col("b.user_id"))
+            & (F.col("c.event_type") != F.col("b.event_type"))
+            & (F.col("c.event_type") != F.col("a.event_type"))
+            & (F.col("b.ts") < F.col("c.last_ts")),
+        )
+        .select(
+            F.col("b.user_id").alias("user_id"),
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+            F.col("c.event_type").alias("t3"),
+        )
+        .distinct()
+    )
+    pat = triples.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return pat.crossJoin(F.broadcast(tot)).select(
+        "t1",
+        "t2",
+        "t3",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("support"),
+    )

@@ -203,6 +203,7 @@ HEADLINE = [
     "survival_curve_km",
     "entity_resolution_clusters",
     "winsorized_stats",
+    "sequence_pattern3_counts",
 ]
 
 

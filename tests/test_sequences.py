@@ -232,3 +232,77 @@ class TestEntityResolution:
         got = {r.pk: r.entity for r in ent.collect()}
         assert got[1] == got[2] == got[3] == got[5] == "abcd"
         assert got[4] == "zzzz"
+
+
+class TestSequencePattern3:
+    def _pat3(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        ev = _ev(spark, rows)
+        spans = ev.groupBy("user_id", "event_type").agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        b = ev.select("user_id", "event_type", "ts").alias("b")
+        a, c = spans.alias("a"), spans.alias("c")
+        triples = (
+            b.join(
+                a,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.event_type") != F.col("b.event_type"))
+                & (F.col("a.first_ts") < F.col("b.ts")),
+            )
+            .join(
+                c,
+                (F.col("c.user_id") == F.col("b.user_id"))
+                & (F.col("c.event_type") != F.col("b.event_type"))
+                & (F.col("c.event_type") != F.col("a.event_type"))
+                & (F.col("b.ts") < F.col("c.last_ts")),
+            )
+            .select(
+                F.col("b.user_id").alias("u"),
+                F.col("a.event_type").alias("t1"),
+                F.col("b.event_type").alias("t2"),
+                F.col("c.event_type").alias("t3"),
+            )
+            .distinct()
+        )
+        return {
+            (r.t1, r.t2, r.t3)
+            for r in triples.collect()
+        }
+
+    def test_ordered_triple_found_unordered_not(self, spark):
+        rows = [
+            (1, 1, "a", 0),
+            (2, 1, "b", 10),
+            (3, 1, "c", 20),
+        ]
+        got = self._pat3(spark, rows)
+        assert ("a", "b", "c") in got
+        assert ("c", "b", "a") not in got
+        assert ("b", "a", "c") not in got
+
+    def test_non_adjacent_middle(self, spark):
+        # a .. x .. b .. y .. c: (a,b,c) holds through gaps
+        rows = [
+            (1, 1, "a", 0),
+            (2, 1, "x", 5),
+            (3, 1, "b", 10),
+            (4, 1, "y", 15),
+            (5, 1, "c", 20),
+        ]
+        assert ("a", "b", "c") in self._pat3(spark, rows)
+
+    def test_middle_event_must_be_strictly_inside(self, spark):
+        # b only BEFORE a and AFTER c -> no a<b<c
+        rows = [
+            (1, 1, "b", 0),
+            (2, 1, "a", 10),
+            (3, 1, "c", 20),
+            (4, 1, "b", 30),
+        ]
+        got = self._pat3(spark, rows)
+        assert ("a", "b", "c") not in got
+        # but c<b ordering means (a, c, b)? a(10)<c(20)<b(30): yes
+        assert ("a", "c", "b") in got

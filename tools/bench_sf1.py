@@ -139,6 +139,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "survival_curve_km",
     "entity_resolution_clusters",
     "winsorized_stats",
+    "sequence_pattern3_counts",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
@@ -151,7 +152,16 @@ N_SHARDS = round(10 * SFN)
 # that in the salted/banded joins; DuckDB's quadratic SQL replica
 # (already 110s at sf0.1, 21x behind Spark) extrapolates to hours.
 # Spark timings still print; the row carries duck_s = None.
-ORACLE_SKIP = {"ngram_jaccard_dups", "prefix_jaccard_pairs"}
+ORACLE_SKIP = {
+    "ngram_jaccard_dups",
+    "prefix_jaccard_pairs",
+    # sequence_pattern3_counts: the triples CTE streams tens of
+    # millions of (user, t1, t2, t3) rows into a full hash
+    # DISTINCT; DuckDB ran >510s at sf1 (killed) where Spark's
+    # map-side partial-aggregated DISTINCT finishes in 14.3s
+    # (measured 2026-08-15) — correctness pins at sf0.01/sf0.1.
+    "sequence_pattern3_counts",
+}
 if SFN >= 10:
     # pack_token_sequences' oracle rebuilds every 256-token chunk
     # with list(ORDER BY) over a 44M-row exploded token table —
