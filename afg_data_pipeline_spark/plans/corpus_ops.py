@@ -2379,3 +2379,36 @@ def rank_normalize_values(
             "rank_norm"
         ),
     )
+
+
+@register(
+    "wordpiece_encode_stats",
+    oracle=None,  # likelihood-ratio merge argmax is not
+    # SQL-expressible (rows-only by design, like
+    # unigram_tokenize); tests pin a full python replica of
+    # train + greedy encode and the published BERT semantics
+    ops=("TOKENIZE",),
+)
+def wordpiece_encode_stats_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WordPiece (Schuster–Nakajima / BERT) encode statistics per
+    document — completes the tokenizer trio next to BPE and the
+    unigram LM. Training maximizes count(ab)/(count(a)·count(b))
+    per merge (EXACT integer cross-product comparisons, lexical
+    tie-break — bit-deterministic); encoding is greedy
+    longest-match-first with '##' continuations and [UNK] words
+    (operators/wordpiece.py).
+
+    Scale split (the fast-BPE pattern): ONE map-side-combinable
+    (word, freq) aggregate, vocabulary-sized driver training with
+    an explicit collect bound, one Arrow-batched encode pass over
+    DISTINCT words with the piece set broadcast, and a broadcast
+    join back to per-(doc, word) counts — the corpus never sees
+    per-row python."""
+    from afg_data_pipeline_spark.operators.wordpiece import (
+        wordpiece_encode_stats,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return wordpiece_encode_stats(docs, n_merges=50)

@@ -204,6 +204,7 @@ HEADLINE = [
     "entity_resolution_clusters",
     "winsorized_stats",
     "sequence_pattern3_counts",
+    "wordpiece_encode_stats",
 ]
 
 

@@ -140,6 +140,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "entity_resolution_clusters",
     "winsorized_stats",
     "sequence_pattern3_counts",
+    "wordpiece_encode_stats",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
