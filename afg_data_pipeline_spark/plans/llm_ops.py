@@ -2640,3 +2640,91 @@ def image_phash_near_dup(
         .filter(F.col("hamming") <= 10)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "readability_scores",
+    oracle=r"""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> len(x) > 0)) AS BIGINT) AS w,
+                   CAST(len(list_filter(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       x -> regexp_matches(x, '\S')))
+                       AS BIGINT) AS s,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '[aeiouy]+')) AS BIGINT) AS y
+            FROM documents
+        )
+        SELECT doc_id, lang, w AS n_words, s AS n_sentences,
+               y AS n_syllables,
+               (206835.0 * CAST(s AS DOUBLE) * CAST(w AS DOUBLE)
+                - 1015.0 * CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+                - 84600.0 * CAST(y AS DOUBLE)
+                  * CAST(s AS DOUBLE))
+               / (1000.0 * CAST(s AS DOUBLE)
+                  * CAST(w AS DOUBLE)) AS flesch
+        FROM m WHERE w > 0 AND s > 0
+    """,
+    ops=("TEXT", "F6"),
+)
+def readability_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    gate of a text-quality pipeline (alongside the Gopher/C4
+    heuristics in this module). Words = non-empty whitespace
+    tokens, sentences = non-blank [.!?]+ segments (≥1 for
+    punctuation-less text), syllables = [aeiouy]+ vowel groups
+    (the standard counting heuristic).
+
+    Exactness without quantization: Flesch is RATIONAL in the
+    three integer counts, so both engines evaluate the identical
+    single expression (206835·s·w − 1015·w² − 84600·y·s)/(1000·s·w)
+    — every intermediate is an integer-valued double multiplied/
+    subtracted in the same order, IEEE-deterministic even past
+    2^53. Scale: a pure scan-projection; zero shuffles, zero UDFs
+    (the lambdas are oracle-checked per rule 10)."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    w = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    ).cast("bigint")
+    s = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda x: x.rlike(r"\S"),
+        )
+    ).cast("bigint")
+    y = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)
+        )
+    ).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        "lang",
+        w.alias("w"),
+        s.alias("s"),
+        y.alias("y"),
+    ).filter((F.col("w") > 0) & (F.col("s") > 0))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        "doc_id",
+        "lang",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("y").alias("n_syllables"),
+        (
+            (
+                F.lit(206835.0) * d("s") * d("w")
+                - F.lit(1015.0) * d("w") * d("w")
+                - F.lit(84600.0) * d("y") * d("s")
+            )
+            / (F.lit(1000.0) * d("s") * d("w"))
+        ).alias("flesch"),
+    )

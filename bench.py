@@ -205,6 +205,7 @@ HEADLINE = [
     "winsorized_stats",
     "sequence_pattern3_counts",
     "wordpiece_encode_stats",
+    "readability_scores",
 ]
 
 

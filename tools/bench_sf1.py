@@ -141,6 +141,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "winsorized_stats",
     "sequence_pattern3_counts",
     "wordpiece_encode_stats",
+    "readability_scores",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
