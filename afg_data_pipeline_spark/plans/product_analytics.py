@@ -2208,3 +2208,162 @@ def sequence_pattern3_counts(
             / F.col("n_total").cast("double")
         ).alias("support"),
     )
+
+
+_MSS_GRID = 1_000_000_000_000  # pagerank-convention 1e12 grid
+_MSS_ITERS = 20
+
+
+def _mss_oracle() -> str:
+    """Unrolled 20-iteration power-method oracle (AS MATERIALIZED
+    per CLAUDE.md rule 5; HUGEINT products — v·c reaches 1e12·c,
+    far past BIGINT at corpus scale)."""
+    head = """
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        trans AS MATERIALIZED (
+            SELECT event_type AS src, next_type AS dst,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM ordered WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rt AS MATERIALIZED (
+            SELECT src, CAST(sum(c) AS BIGINT) AS r
+            FROM trans GROUP BY 1
+        ),
+        types AS MATERIALIZED (
+            SELECT DISTINCT event_type AS ty FROM events
+        ),
+        ntypes AS (
+            SELECT CAST(count(*) AS BIGINT) AS k FROM types
+        ),
+        v0 AS MATERIALIZED (
+            SELECT ty, CAST(1000000000000 // k AS HUGEINT) AS p
+            FROM types, ntypes
+        ),
+    """
+    its = []
+    for i in range(1, _MSS_ITERS + 1):
+        its.append(
+            f"""v{i} AS MATERIALIZED (
+            SELECT t.dst AS ty,
+                   CAST(sum((v.p * CAST(t.c AS HUGEINT))
+                        // CAST(rt.r AS HUGEINT)) AS HUGEINT)
+                       AS p
+            FROM trans t
+            JOIN v{i - 1} v ON v.ty = t.src
+            JOIN rt ON rt.src = t.src
+            GROUP BY 1
+        ),"""
+        )
+    tail = f"""
+        emp AS (
+            SELECT event_type AS ty,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_all
+            FROM events
+        )
+        SELECT e.ty AS event_type,
+               CAST(COALESCE(v.p, 0) AS DOUBLE)
+                   / 1000000000000.0 AS steady_prob,
+               CAST(e.n AS DOUBLE) / CAST(tot.n_all AS DOUBLE)
+                   AS empirical_prob,
+               CAST(COALESCE(v.p, 0) AS DOUBLE)
+                   / 1000000000000.0
+               - CAST(e.n AS DOUBLE) / CAST(tot.n_all AS DOUBLE)
+                   AS prob_gap
+        FROM emp e
+        LEFT JOIN v{_MSS_ITERS} v ON v.ty = e.ty, tot
+    """
+    return head + "\n".join(its) + tail
+
+
+@register(
+    "markov_steady_state",
+    oracle=_mss_oracle(),
+    ops=("O1", "A1"),
+)
+def markov_steady_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the first-order event-type
+    Markov chain (power method, 20 iterations), compared per type
+    against the EMPIRICAL type distribution — 'where does user
+    behavior converge vs where is it today', the drift-detection
+    companion to event_transition_matrix.
+
+    The pagerank conventions exactly (operators/graph.py): mass on
+    the exact 1e12 integer grid, per-edge contributions
+    floor((v·c)/r) summed as integers — bit-identical to the
+    unrolled AS-MATERIALIZED CTE oracle; types that only ever end
+    sequences absorb their mass deterministically (no outgoing
+    row). The transition matrix is |types|²-bounded, so the model
+    iterates DRIVER-SIDE on collected counts (the kmeans
+    literal-model pattern — the corpus pays one lead() window and
+    two aggregates; the 20 rounds cost zero jobs)."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans_rows = (
+        seq.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    if len(trans_rows) > 100_000:
+        raise ValueError(
+            "event-type transition matrix exceeds the bounded-"
+            f"collect guard ({len(trans_rows)} cells); the "
+            "driver-side iteration contract assumes a small "
+            "type space"
+        )
+    types = [
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    ]
+    trans = {(r["src"], r["dst"]): r["c"] for r in trans_rows}
+    r_tot: dict[str, int] = {}
+    for (s, _), c in trans.items():
+        r_tot[s] = r_tot.get(s, 0) + c
+    v = {t: _MSS_GRID // len(types) for t in types}
+    for _ in range(_MSS_ITERS):
+        nv: dict[str, int] = {}
+        for (s, dst), c in trans.items():
+            if s in v:
+                nv[dst] = nv.get(dst, 0) + (v[s] * c) // r_tot[s]
+        v = nv
+    steady = spark.createDataFrame(
+        [(t, int(v.get(t, 0))) for t in sorted(types)],
+        "event_type string, p long",
+    )
+    emp = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n_all"))
+    sp = F.col("p").cast("double") / F.lit(float(_MSS_GRID))
+    ep = F.col("n").cast("double") / F.col("n_all").cast(
+        "double"
+    )
+    return (
+        emp.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(steady), "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(sp, F.lit(0.0)).alias("steady_prob"),
+            ep.alias("empirical_prob"),
+            (F.coalesce(sp, F.lit(0.0)) - ep).alias("prob_gap"),
+        )
+    )

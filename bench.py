@@ -206,6 +206,7 @@ HEADLINE = [
     "sequence_pattern3_counts",
     "wordpiece_encode_stats",
     "readability_scores",
+    "markov_steady_state",
 ]
 
 

@@ -57,3 +57,50 @@ class TestTransitionMatrix:
             by_from.setdefault(f, [0, tot])[0] += n
         for f, (s, tot) in by_from.items():
             assert s == tot, f
+
+
+class TestMarkovSteadyState:
+    def test_matches_python_replica_and_bounds(self, spark):
+        import duckdb
+
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        rows = REGISTRY["markov_steady_state"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        got = {r.event_type: r.steady_prob for r in rows}
+        # replica from the same parquet
+        con = duckdb.connect()
+        trans = con.execute("""
+            WITH o AS (SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+                   FROM '/root/testdata/sf0.001/events.parquet')
+            SELECT event_type, nxt, count(*) FROM o
+            WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """).fetchall()
+        types = sorted(
+            {t for t, _, _ in trans} | {d for _, d, _ in trans}
+            | set(got)
+        )
+        r_tot = {}
+        for s, _, c in trans:
+            r_tot[s] = r_tot.get(s, 0) + c
+        g = 1_000_000_000_000
+        v = {t: g // len(types) for t in types}
+        for _ in range(20):
+            nv = {}
+            for s, d, c in trans:
+                if s in v:
+                    nv[d] = nv.get(d, 0) + (v[s] * c) // r_tot[s]
+            v = nv
+        want = {t: v.get(t, 0) / g for t in got}
+        assert got == want
+        # mass bounded by 1 (floors only shed mass)
+        assert 0.0 < sum(got.values()) <= 1.0
+        for r in rows:
+            assert abs(
+                r.prob_gap
+                - (r.steady_prob - r.empirical_prob)
+            ) == 0.0

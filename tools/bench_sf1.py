@@ -142,6 +142,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "sequence_pattern3_counts",
     "wordpiece_encode_stats",
     "readability_scores",
+    "markov_steady_state",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
