@@ -130,6 +130,13 @@ def _coverage_order(names: list[str]) -> list[str]:
         "near_dup_components": 6,
         "dedup_keep_best": 6,
         "corpus_after_dedup": 6,
+        # round-7 driver-canonicalization fixes (r6 red rows):
+        # token_ids now a space-joined string projection, exposed
+        # DECIMAL(38,0) columns string-cast on both sides — the
+        # r6 ERR/FAIL rows predate the fix, re-enter the window:
+        "bpe_tokenize": 7,
+        "pack_token_sequences": 7,
+        "join_key_skew": 7,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

@@ -1579,7 +1579,9 @@ def bpe_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE length(t[wpos]) > 0
         )
         SELECT doc_id,
-               flatten(list(ids ORDER BY wpos)) AS token_ids
+               COALESCE(array_to_string(
+                   flatten(list(ids ORDER BY wpos)), ' '), '')
+                   AS token_ids
         FROM dw JOIN word_ids USING (word)
         GROUP BY doc_id
     """,
@@ -1598,7 +1600,14 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_star_table(spark, "documents", sf_dir)
     return bpe_tokenize(docs, n_merges=3).select(
-        F.col("id").alias("doc_id"), "token_ids"
+        F.col("id").alias("doc_id"),
+        # space-joined STRING, not array<int>: the driver's pandas
+        # canonicalizer cannot sort numpy-array cells (r6 ERR) --
+        # pipelines wanting real id arrays call operators/bpe
+        # directly; cast-then-concat_ws stays codegen'd (no HOF)
+        F.concat_ws(
+            " ", F.col("token_ids").cast("array<string>")
+        ).alias("token_ids"),
     )
 
 
@@ -1654,7 +1663,8 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang, CAST(chunk_id AS BIGINT) AS chunk_id,
                CAST(count(*) AS BIGINT) AS n_filled,
-               list(tid ORDER BY off) AS token_ids
+               COALESCE(array_to_string(
+                   list(tid ORDER BY off), ' '), '') AS token_ids
         FROM ex GROUP BY lang, chunk_id
     """,
     ops=("TEXT", "A6"),
@@ -1673,7 +1683,14 @@ def pack_token_sequences_q(
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    return pack_token_sequences(docs, n_merges=3, seq_len=256)
+    return pack_token_sequences(
+        docs, n_merges=3, seq_len=256
+    ).withColumn(
+        # driver-canonicalizable STRING projection of the id array
+        # (r6 ERR class; see bpe_tokenize)
+        "token_ids",
+        F.concat_ws(" ", F.col("token_ids").cast("array<string>")),
+    )
 
 
 @register(

@@ -325,12 +325,14 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pk
         )
         SELECT pk.key, pk.cnt_left, pk.cnt_right,
-               CAST(pk.joined_rows AS DECIMAL(38,0))
-                   AS joined_rows,
+               CAST(CAST(pk.joined_rows AS DECIMAL(38,0))
+                    AS VARCHAR) AS joined_rows,
                CAST(pk.joined_rows AS DOUBLE)
                    / CAST(g.predicted_rows AS DOUBLE)
                    AS contribution_share,
-               g.predicted_rows, g.n_join_keys
+               CAST(g.predicted_rows AS VARCHAR)
+                   AS predicted_rows,
+               g.n_join_keys
         FROM pk, g
         ORDER BY pk.joined_rows DESC, pk.key ASC
         LIMIT 5
@@ -348,8 +350,19 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from afg_data_pipeline_spark.operators.skew import join_key_skew
 
     li = read_star_table(spark, "lineitem", sf_dir)
-    return join_key_skew(
+    out = join_key_skew(
         li, "l_partkey", li, "l_partkey", top_k=5
+    )
+    # DECIMAL(38,0) stays internal (rule 11 accumulation); the
+    # EXPOSED columns are string-cast identically on both engine
+    # sides -- raw decimals ride different pandas conversion paths
+    # in the driver (decimal.Decimal vs float64) and hash-mismatch
+    # even when bit-equal (the r6 join_key_skew red row; values
+    # exceed 2^53 at corpus scale so a double cast would be lossy).
+    return out.withColumn(
+        "joined_rows", F.col("joined_rows").cast("string")
+    ).withColumn(
+        "predicted_rows", F.col("predicted_rows").cast("string")
     )
 
 

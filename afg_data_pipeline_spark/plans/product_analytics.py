@@ -1579,8 +1579,9 @@ def purchase_attribution(
             FROM seq WHERE next_ts IS NOT NULL
         )
         SELECT user_id,
-               CAST(sum(CAST(wv AS DECIMAL(38,0)))
-                    AS DECIMAL(38,0)) AS weighted_cents_usec,
+               CAST(CAST(sum(CAST(wv AS DECIMAL(38,0)))
+                         AS DECIMAL(38,0)) AS VARCHAR)
+                   AS weighted_cents_usec,
                CAST(sum(dur) AS BIGINT) AS total_usec,
                CAST(sum(CAST(wv AS DECIMAL(38,0))) AS DOUBLE)
                    / CAST(sum(dur) AS DOUBLE) AS twap_cents
@@ -1633,9 +1634,14 @@ def time_weighted_value(
         dur.alias("dur"),
     )
     return seg.groupBy("user_id").agg(
-        F.sum("wv").cast("decimal(38,0)").alias(
-            "weighted_cents_usec"
-        ),
+        # decimal accumulation (rule 11), STRING exposure: the
+        # driver's two pandas paths render raw decimals unequally
+        # (r6 join_key_skew class) and ~3e18 exceeds 2^53 so a
+        # double cast would be lossy -- cast VARCHAR on both sides
+        F.sum("wv")
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("weighted_cents_usec"),
         F.sum("dur").cast("bigint").alias("total_usec"),
         (
             F.sum("wv").cast("double")
