@@ -137,6 +137,14 @@ def _coverage_order(names: list[str]) -> list[str]:
         "bpe_tokenize": 7,
         "pack_token_sequences": 7,
         "join_key_skew": 7,
+        # round-7 ADVICE fixes: connected_components' fixpoint
+        # probe hardened with count_distinct (outputs identical,
+        # code changed — re-certify consumers with prior rows);
+        # seasonal_anomaly_flags null-convention alignment:
+        "near_dup_components": 7,
+        "dedup_keep_best": 7,
+        "corpus_after_dedup": 7,
+        "seasonal_anomaly_flags": 7,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

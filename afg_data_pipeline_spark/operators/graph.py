@@ -16,9 +16,14 @@ Scale notes:
   plans otherwise stack joins into an ever-deeper lineage that
   grows the optimizer's work quadratically and breaks past ~20
   rounds.
-- Convergence is detected from sum(label), a single scalar
-  aggregate per round: labels only ever decrease, so an unchanged
-  sum IS the fixpoint — no expensive frame-vs-frame anti-join.
+- Convergence is detected from a per-round CHECKSUM probe —
+  (sum(xxhash64(label)), count(distinct label)) in one scalar
+  aggregate — not an expensive frame-vs-frame anti-join. The probe
+  is type-agnostic (numeric AND string vertex ids). It is a
+  checksum, not a proof: a cross-round collision (equal hash sum
+  AND equal distinct count while labels changed, ~2^-64) would
+  terminate a round early with unmerged components — negligible
+  but nonzero, stated honestly.
 """
 
 from __future__ import annotations
@@ -73,11 +78,16 @@ def connected_components(
         # sum overflows almost surely and the driver's ANSI-on
         # session makes that a hard ARITHMETIC_OVERFLOW
         # (CLAUDE.md rule 11) — never a bare long sum.
-        cur_sum = labels.agg(
+        probe_row = labels.agg(
             F.sum(
                 F.xxhash64("component").cast("decimal(38,0)")
-            ).alias("s")
-        ).collect()[0]["s"]
+            ).alias("s"),
+            # cheap hardening of the checksum: distinct-label
+            # count only ever decreases under min-propagation, so
+            # a collision must ALSO preserve it to fool the probe
+            F.count_distinct("component").alias("d"),
+        ).collect()[0]
+        cur_sum = (probe_row["s"], probe_row["d"])
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -83,6 +83,13 @@ def robust_outlier_model(
     runs on value-space-bounded tables. The compressed count table
     feeds both the median pass and the deviation pass, so it is
     localCheckpointed once (rule 12).
+
+    Precondition: |value| < 2^62. med2 = v_lo + v_hi and the
+    deviation 2·x − med2 double the value range, so a LongType
+    input within a factor 2 of the 2^63 bound would
+    ARITHMETIC_OVERFLOW under the driver's ANSI-on session. Every
+    in-repo caller quantizes to cents/grid units first (≤ ~1e15);
+    callers with genuinely 2^62-scale integers must pre-scale.
     """
     from pyspark.sql import types as T
 
@@ -92,6 +99,7 @@ def robust_outlier_model(
     ):
         raise TypeError(
             f"robust_outlier_model needs an integer value column "
+            f"(|value| < 2^62: med2/dev2 double the range) "
             f"for exact med2/mad4 arithmetic; {value_col!r} is "
             f"{dt.simpleString()} — quantize to a grid first "
             "(CLAUDE.md rule 1b)"

@@ -739,7 +739,8 @@ def score_calibration_bins(
         prof AS (
             SELECT event_type, dow, hod,
                    quantile_cont(cents, 0.5) AS med
-            FROM base GROUP BY 1, 2, 3
+            FROM base WHERE cents IS NOT NULL
+            GROUP BY 1, 2, 3
         ),
         resid AS (
             SELECT b.event_id, b.event_type, b.dow, b.hod,
@@ -807,8 +808,16 @@ def seasonal_anomaly_flags(
         .alias("cents"),
     )
     keys = ["event_type", "dow", "hod"]
-    vc = base.groupBy(*keys, "cents").agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # Null cents are EXCLUDED from the profile (quantile_cont
+    # semantics; Spark's cumulative rank would sort them FIRST and
+    # shift every median cross-engine — the documented convention
+    # of operators/robust.py and operators/quantiles.py). Latent
+    # today (no null values in the generated events), load-bearing
+    # the day there are.
+    vc = (
+        base.filter(F.col("cents").isNotNull())
+        .groupBy(*keys, "cents")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     prof = median2_from_counts(vc, keys, "cents", "_cnt")
     resid = base.join(F.broadcast(prof), keys).select(
@@ -831,12 +840,16 @@ def seasonal_anomaly_flags(
         (F.col("res2").cast("double") / F.lit(2.0)).alias(
             "residual"
         ),
-        (
-            2 * F.abs(2 * F.col("res2") - F.col("med2_r"))
-            > 3 * F.col("mad4_r")
-        )
-        .cast("int")
-        .alias("is_anomaly"),
+        # coalesce: a null residual (null cents) must flag 0 on
+        # both engines (DuckDB CASE WHEN NULL -> ELSE 0; Spark's
+        # bare null>x cast would stay null)
+        F.coalesce(
+            (
+                2 * F.abs(2 * F.col("res2") - F.col("med2_r"))
+                > 3 * F.col("mad4_r")
+            ).cast("int"),
+            F.lit(0),
+        ).alias("is_anomaly"),
     )
 
 

@@ -87,10 +87,15 @@ class TestPhashKernel:
             want = _phash_replica(
                 [[list(px) for px in row] for row in rgb]
             )
-            # float64 matmul vs scalar loop can differ only if an
-            # AC coefficient lands exactly on the median boundary;
-            # require exact equality — the kernel is deterministic
-            assert got == want, text
+            # The operator DCT is a BLAS matmul, the replica a
+            # scalar triple loop: the summation ORDERS differ, so
+            # a coefficient within ulps of the median can flip a
+            # bit on a different BLAS build/platform. Pin hamming
+            # distance <= 2 rather than bit-exact equality (the
+            # near-dup operator's own threshold is <= 10, so a
+            # 2-bit platform wobble cannot change pairing).
+            ham = bin((got ^ want) & ((1 << 64) - 1)).count("1")
+            assert ham <= 2, (text, got, want, ham)
 
     def test_container_independent(self):
         for text in ["same pixels", "another doc"]:
