@@ -445,6 +445,81 @@ def simhash_of_texts(texts, bits: int = 64) -> list[int]:
     return sigs
 
 
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """SimHash-style banded near-dup join over ANY 64-bit signature
+    column: explode each signature into ``n_bands`` fixed-width
+    bands, candidates are id-ordered pairs sharing at least one
+    exact (band_id, band_val), verified with XOR + bit_count <=
+    ``max_hamming``. Output: (doc_a, doc_b, hamming).
+
+    This is the signature->pairs half of both image pHash dedup
+    and SimHash text dedup — factored out so the SQL-replicable
+    SimHash path can certify the exact code the non-SQL pHash path
+    runs (the minhash_near_dup precedent, CLAUDE.md rule 10).
+
+    Scale shape: the corpus never self-joins all-pairs — the band
+    join has 2^band_bits natural keys (65k at 16 bits; rule-13
+    salting unnecessary), candidate dedup is a distinct on id
+    pairs, and the verify is one codegen'd XOR per candidate. The
+    pigeonhole guarantee: hamming < n_bands is ALWAYS found; above
+    that, banding is the documented probabilistic LSH trade.
+    """
+    if n_bands * band_bits > 64:
+        raise ValueError("n_bands * band_bits must be <= 64")
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(
+                            F.col(sig_col), band_bits * i
+                        )
+                        .bitwiseAND(F.lit(mask).cast("bigint"))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_sig", "band.band_id", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(sig_a ^ sig_b)").cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     k: int = 5,

@@ -964,9 +964,10 @@ def tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, min_sim=0.3, max_df=50)
 
 
-@register(
-    "simhash_signatures",
-    oracle="""
+# SimHash SQL replica (per-token md5 -> 64 nibble-arithmetic bit
+# votes -> signed-int64 reassembly from two 32-bit halves), shared
+# by the signature oracle and the banded near-dup oracle below.
+_SIMHASH_CTES = """
         WITH toks AS (
             SELECT doc_id,
                    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
@@ -990,15 +991,25 @@ def tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(CASE WHEN i >= 32 AND votes > 0
                             THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS hi
             FROM bitvotes GROUP BY doc_id
+        ),
+        sims AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                             THEN u - CAST(18446744073709551616 AS HUGEINT)
+                             ELSE u END AS BIGINT) AS simhash
+            FROM (SELECT doc_id,
+                         CAST(hi AS HUGEINT) * 4294967296
+                             + CAST(lo AS HUGEINT) AS u
+                  FROM halves)
         )
-        SELECT doc_id,
-               CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
-                         THEN u - CAST(18446744073709551616 AS HUGEINT)
-                         ELSE u END AS BIGINT) AS simhash
-        FROM (SELECT doc_id,
-                     CAST(hi AS HUGEINT) * 4294967296
-                         + CAST(lo AS HUGEINT) AS u
-              FROM halves)
+"""
+
+
+@register(
+    "simhash_signatures",
+    oracle=_SIMHASH_CTES
+    + """
+        SELECT doc_id, simhash FROM sims
     """,
     ops=("DEDUP",),
 )
@@ -1009,6 +1020,73 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit halves (HUGEINT wraparound for bit 63)."""
     docs = read_star_table(spark, "documents", sf_dir)
     return simhash_signatures(docs)
+
+
+@register(
+    "simhash_band_near_dup",
+    oracle=_SIMHASH_CTES
+    + """,
+        u AS (
+            SELECT doc_id, simhash,
+                   CASE WHEN simhash < 0
+                        THEN CAST(simhash AS HUGEINT)
+                             + CAST(18446744073709551616
+                                    AS HUGEINT)
+                        ELSE CAST(simhash AS HUGEINT)
+                   END AS usig
+            FROM sims
+        ),
+        bands AS (
+            SELECT doc_id, simhash, b.band_id,
+                   CAST((usig // b.divisor) % 65536 AS BIGINT)
+                       AS band_val
+            FROM u, (VALUES
+                (0, CAST(1 AS HUGEINT)),
+                (1, CAST(65536 AS HUGEINT)),
+                (2, CAST(4294967296 AS HUGEINT)),
+                (3, CAST(281474976710656 AS HUGEINT))
+            ) b(band_id, divisor)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a,
+                   b.doc_id AS doc_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id
+             AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER)
+                   AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= 10
+    """,
+    ops=("DEDUP",),
+)
+def simhash_band_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash near-duplicate pairs: the SQL-CERTIFIED twin of
+    image_phash_near_dup's signature->pairs half. Both queries run
+    the SAME operator (operators/dedup.banded_hamming_pairs: 16-bit
+    band explode -> bucket join -> distinct -> XOR+bit_count <= 10
+    verify); here the input signatures are SimHash, whose SQL
+    replica is already driver-certified (simhash_signatures), so
+    the full pipeline gets a hash-exact oracle — the pHash path's
+    banding/verify code can never regress silently (rule 10: the
+    minhash_near_dup precedent). Band blocking has 65k natural
+    keys; the corpus never self-joins all-pairs."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    sigs = simhash_signatures(docs).localCheckpoint(eager=False)
+    return banded_hamming_pairs(
+        sigs, "simhash", id_col="doc_id",
+        n_bands=4, band_bits=16, max_hamming=10,
+    )
 
 
 @register(
@@ -2583,10 +2661,17 @@ def image_phash_near_dup(
     the expensive decode+DCT output, so it's localCheckpointed
     once (rule 12). Identical texts produce identical pixels in
     BOTH containers, so every exact-text duplicate pair MUST
-    surface at hamming 0 (asserted in tests)."""
+    surface at hamming 0 (asserted in tests). The signature->pairs
+    half is the shared operators/dedup.banded_hamming_pairs, whose
+    exact SQL oracle rides simhash_band_near_dup — only the decode
+    half is rows-only."""
     from afg_data_pipeline_spark.operators.multimodal import (
         attach_synth_bmp,
         image_phash,
+    )
+
+    from afg_data_pipeline_spark.operators.dedup import (
+        banded_hamming_pairs,
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
@@ -2594,51 +2679,9 @@ def image_phash_near_dup(
         image_phash(attach_synth_bmp(docs))
         .localCheckpoint(eager=False)
     )
-    bands = sigs.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned(
-                            F.col("phash"), 16 * i
-                        )
-                        .bitwiseAND(F.lit(0xFFFF).cast("bigint"))
-                        .alias("band_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select(
-        "doc_id", "phash", "band.band_id", "band.band_val"
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.expr("bit_count(ph_a ^ ph_b)").cast("int"),
-        )
-        .filter(F.col("hamming") <= 10)
-        .select("doc_a", "doc_b", "hamming")
+    return banded_hamming_pairs(
+        sigs, "phash", id_col="doc_id",
+        n_bands=4, band_bits=16, max_hamming=10,
     )
 
 

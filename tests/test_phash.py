@@ -151,3 +151,55 @@ class TestPhashQueryLevel:
         for r in rows:
             assert r.doc_a < r.doc_b
             assert 0 <= r.hamming <= 10
+
+
+class TestBandedHammingPairs:
+    """The shared signature->pairs operator (certified with a full
+    SQL oracle via simhash_band_near_dup; pHash rides the same
+    code)."""
+
+    def test_pigeonhole_guarantee_and_verify(self, spark):
+        from afg_data_pipeline_spark.operators.dedup import (
+            banded_hamming_pairs,
+        )
+
+        rows = [
+            (1, 0x0123456789ABCDEF),
+            (2, 0x0123456789ABCDEF),          # identical -> ham 0
+            (3, 0x0123456789ABCDEC),          # 2 low bits flipped
+            (4, 0x0123456789ABCDEF ^ 0x7),    # ham 3 < n_bands
+            (5, -0x7FEDCBA987654321),         # negative sig, far
+            # ham 12 from doc 1 (> max_hamming, shares 3 bands):
+            (6, 0x0123456789ABCDEF ^ 0xFFF),
+        ]
+        sigs = spark.createDataFrame(rows, ["doc_id", "sig"])
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in banded_hamming_pairs(
+                sigs, "sig", n_bands=4, band_bits=16,
+                max_hamming=10,
+            ).collect()
+        }
+        # pigeonhole: hamming < n_bands pairs MUST surface
+        assert got[(1, 2)] == 0
+        assert got[(1, 3)] == 2
+        assert got[(2, 3)] == 2
+        assert got[(1, 4)] == 3
+        assert got[(3, 4)] == 1
+        # candidate found (3 shared bands) but verify-rejected
+        assert (1, 6) not in got
+        # far signature pairs with nothing
+        assert not any(5 in p for p in got)
+
+    def test_band_width_guard(self, spark):
+        import pytest as _pytest
+
+        from afg_data_pipeline_spark.operators.dedup import (
+            banded_hamming_pairs,
+        )
+
+        sigs = spark.createDataFrame([(1, 0)], ["doc_id", "sig"])
+        with _pytest.raises(ValueError):
+            banded_hamming_pairs(
+                sigs, "sig", n_bands=5, band_bits=16
+            )
