@@ -145,6 +145,12 @@ def _coverage_order(names: list[str]) -> list[str]:
         "dedup_keep_best": 7,
         "corpus_after_dedup": 7,
         "seasonal_anomaly_flags": 7,
+        # round-7 boilerplate count rewrite (hash groupBy +
+        # broadcast flag; r6 window rows predate it):
+        "boilerplate_line_dedup": 7,
+        # round-7 image_phash_near_dup refactor onto the shared
+        # banded_hamming_pairs operator (rows-only, re-record):
+        "image_phash_near_dup": 7,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

@@ -1409,22 +1409,15 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the line-windowing lambda slices that column — inlining
     split() into the lambda body re-ran the regex split per line,
     O(tokens²/10) per doc, and cost 2.06s → 1.16s at sf0.1); the
-    corpus-wide occurrence count is a COUNT window partitioned by
-    line (single evaluation of the line stream, one shuffle — the
-    duplicate_spans pattern), SKEW-GATED via
-    operators/corpuscount.corpus_key_count: a sampled probe detects
-    pathologically hot lines (empty/"---" boilerplate at crawl
-    scale — AQE cannot split window partitions) and routes only
-    those keys through a map-side-combinable groupBy + broadcast
-    join, bit-identically. The ordered rebuild is a per-doc
-    sort of that doc's own line structs, never a global sort.
-    All-lines-removed docs survive via the left join (empty text,
-    full removed-count).
+    corpus-wide occurrence count is a map-side-combined groupBy
+    over xxhash64 line keys whose cnt >= 3 survivors broadcast
+    back as a flag — the line strings never shuffle for counting,
+    and a hot boilerplate line is one grouped row, so no skew
+    probe is needed (details at the implementation comment). The
+    ordered rebuild is a per-doc sort of that doc's own line
+    structs, never a global sort. All-lines-removed docs survive
+    (empty text, full removed-count).
     """
-    from afg_data_pipeline_spark.operators.corpuscount import (
-        corpus_key_count,
-    )
-
     docs = read_star_table(spark, "documents", sf_dir)
 
     # Line construction is a CODEGEN'D regex chunker, not HOF
@@ -1461,23 +1454,46 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.col("pos0") + 1).alias("pos"), "line"
         )
 
-    # ONE doc-level aggregate over the UNFILTERED counted stream:
-    # collect_list skips nulls, so the CASE inside it is the
-    # keep-filter, the kept-line rebuild and the removed-line count
-    # ride the same pass, and the former second regex pass
-    # (n_lines from a fresh _lines_arr scan) plus its left join
-    # disappear — sf10 5.87s → measured below. Every doc owns ≥1
-    # line row (empty text keeps its single empty line), so
-    # doc-level coverage needs no outer join.
-    counted = corpus_key_count(docs, _lines, "line", out_col="cnt")
+    # The corpus-wide occurrence count NEVER shuffles line strings
+    # (r7; the r6 count-window shuffled all 3M lines, 1.2s at sf10,
+    # plus a 0.6s skew probe): count by xxhash64(line) — groupBy
+    # map-side-combines to one (hash, cnt) row per distinct line
+    # per partition (rule 19; a window has no partial aggregation),
+    # filter to the cnt >= 3 BOILERPLATE keys (by definition
+    # <= total_lines/3, in practice a few thousand 8-byte keys),
+    # and broadcast-left-join the flag back. Skew-proof by
+    # construction: a pathologically hot line is ONE grouped row
+    # and a broadcast lookup, so the corpus_key_count probe gate is
+    # unnecessary here. Hashed count keys follow the
+    # duplicate_spans precedent (oracle-checked: a 64-bit collision
+    # merging two distinct lines' counts would be a red row, never
+    # silent). The line stream is evaluated twice (count + rebuild)
+    # — recomputing the 0.35s regex pass beats checkpointing 3M
+    # rows (rule 17).
+    lines = _lines(docs)
+    boil = (
+        lines.groupBy(F.xxhash64("line").alias("lh"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+        .select("lh", F.lit(1).alias("is_boiler"))
+    )
+    counted = lines.withColumn(
+        "lh", F.xxhash64("line")
+    ).join(F.broadcast(boil), "lh", "left")
+    # ONE doc-level aggregate: collect_list skips nulls, so the
+    # CASE inside it is the keep-filter and the rebuild + removed-
+    # count ride the same pass. Every doc owns >= 1 line row
+    # (empty text keeps its single empty line), so doc-level
+    # coverage needs no outer join.
     return counted.groupBy("doc_id").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list("
-            " CASE WHEN cnt < 3 THEN struct(pos, line) END)),"
-            " x -> x.line), '\\n')"
+            " CASE WHEN is_boiler IS NULL THEN struct(pos, line)"
+            " END)), x -> x.line), '\\n')"
         ).alias("clean_text"),
         F.sum(
-            F.when(F.col("cnt") >= 3, F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("is_boiler").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
         )
         .cast("bigint")
         .alias("n_lines_removed"),
