@@ -1694,6 +1694,116 @@ def pack_token_sequences_q(
 
 
 @register(
+    "tokenizer_fertility",
+    oracle=_bpe_oracle(3, through_final=True)
+    + _BPE_VOCAB_SQL
+    + """,
+        word_ids AS (
+            SELECT word,
+                   list(token_id ORDER BY pos) AS ids
+            FROM (
+                SELECT word, pos, arr[pos] AS sub
+                FROM (SELECT word, arr,
+                             unnest(generate_series(1, len(arr)))
+                                 AS pos
+                      FROM s4)) s
+            JOIN vocab v ON s.sub = v.token
+            GROUP BY word
+        ),
+        dw AS (
+            SELECT doc_id, wpos, t[wpos] AS word
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text),
+                                               '\\s+') AS t
+                  FROM documents),
+                 LATERAL unnest(generate_series(1, len(t)))
+                     AS u(wpos)
+            WHERE length(t[wpos]) > 0
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(len(ids)) AS BIGINT) AS n_tok,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM dw JOIN word_ids USING (word)
+            GROUP BY doc_id
+        )
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(COALESCE(p.n_words, 0)) AS BIGINT)
+                   AS n_words,
+               CAST(SUM(COALESCE(p.n_tok, 0)) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(COALESCE(p.n_tok, 0)) AS DOUBLE)
+                   / CAST(SUM(COALESCE(p.n_words, 0)) AS DOUBLE)
+                   AS fertility,
+               CAST(SUM(d.n_chars) AS DOUBLE)
+                   / CAST(SUM(COALESCE(p.n_tok, 0)) AS DOUBLE)
+                   AS chars_per_token
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        GROUP BY d.lang
+    """,
+    ops=("TEXT", "A1"),
+)
+def tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY report — tokens/word and
+    chars/token under the trained BPE — the standard metric for
+    judging whether a tokenizer under-serves a language (high
+    fertility = more tokens per word = shorter effective context
+    and higher serving cost for that language; the multilingual-
+    tokenizer-fairness literature's headline table).
+
+    Rides the certified BPE machinery: bpe_tokenize's broadcast
+    word->ids encode, one per-doc size aggregate, one per-lang
+    rollup. All counts are exact BIGINT sums (total tokens are
+    bounded by total corpus characters — provably < 2^63 for any
+    corpus under ~9 exabytes); the two ratios are single double
+    divisions of exact integers (portable, rule 1). Docs with no
+    words contribute zero counts via the left join."""
+    from afg_data_pipeline_spark.operators import text as TX
+    from afg_data_pipeline_spark.operators.bpe import (
+        bpe_tokenize,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        # split('') yields [''] (size 1) while the oracle's dw
+        # filters zero-length words — guard the empty/whitespace-
+        # only doc explicitly (codegen'd CASE, no HOF filter);
+        # trimmed non-empty text splits into only non-empty tokens
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(TX.tokens("text")))
+        .cast("bigint")
+        .alias("n_words"),
+    )
+    toks = bpe_tokenize(docs, n_merges=3).select(
+        F.col("id").alias("doc_id"),
+        F.size("token_ids").cast("bigint").alias("n_tok"),
+    )
+    j = base.join(toks, "doc_id", "left")
+    n_words = F.sum(F.coalesce(F.col("n_words"), F.lit(0)))
+    n_tok = F.sum(F.coalesce(F.col("n_tok"), F.lit(0)))
+    n_chars = F.sum("n_chars")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        n_words.cast("bigint").alias("n_words"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        (n_tok.cast("double") / n_words.cast("double")).alias(
+            "fertility"
+        ),
+        (n_chars.cast("double") / n_tok.cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
     "per_group_sample_k",
     oracle="""
         SELECT doc_id, lang, n_chars

@@ -1023,6 +1023,198 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_minhash_similarity",
+    oracle="""
+        WITH tokd AS (
+            SELECT lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        shl AS (
+            SELECT lang,
+                   unnest(CASE WHEN len(t) < 2
+                               THEN [concat_ws(' ', t)]
+                          ELSE list_transform(
+                              generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1])
+                          END) AS s
+            FROM tokd
+        ),
+        sh AS (SELECT DISTINCT lang, s FROM shl),
+        sizes AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM sh GROUP BY lang
+        ),
+        inter AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b
+              ON a.s = b.s AND a.lang < b.lang
+            GROUP BY 1, 2
+        ),
+        hx AS (
+            SELECT lang, i,
+                   min(md5(CAST(i AS VARCHAR) || '|' || s)) AS mh
+            FROM sh, (SELECT unnest(generate_series(0, 15)) AS i)
+            GROUP BY lang, i
+        ),
+        est AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(SUM(CASE WHEN a.mh = b.mh
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_matches
+            FROM hx a JOIN hx b
+              ON a.i = b.i AND a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+               sa.n AS n_shingles_a, sb.n AS n_shingles_b,
+               COALESCE(i.n_shared, 0) AS n_shared,
+               CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+                   / CAST(sa.n + sb.n - COALESCE(i.n_shared, 0)
+                          AS DOUBLE) AS exact_jaccard,
+               CAST(e.n_matches AS DOUBLE) / 16.0
+                   AS est_jaccard
+        FROM sizes sa
+        JOIN sizes sb ON sa.lang < sb.lang
+        LEFT JOIN inter i
+          ON i.lang_a = sa.lang AND i.lang_b = sb.lang
+        JOIN est e
+          ON e.lang_a = sa.lang AND e.lang_b = sb.lang
+    """,
+    ops=("DEDUP", "A1"),
+)
+def corpus_minhash_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CORPUS-level overlap audit: pairwise Jaccard similarity of
+    the per-language bigram-shingle SETS — both the k=16 MinHash
+    ESTIMATE (matching-coordinate fraction, the number a 100 TB
+    deployment would publish without ever joining shingle tables)
+    and the exact value beside it, so the estimator's error is
+    visible in the same row. The cross-corpus dedup/contamination
+    planning signal: which language/domain slices share content.
+
+    Scale shape: everything is distinct-shingle-vocabulary sized —
+    one map-side-combinable distinct, one 16x seed explode with a
+    partial-aggregated min per (lang, seed) (lambda-free, rule
+    10), a shingle-keyed equi-join for the exact intersection
+    (many keys, natural parallelism; per-key fan-out bounded by
+    |langs|), and |langs|^2-sized finals. MinHash seeds follow
+    minhash_near_dup's md5('i|' || shingle) convention — the SQL
+    replica is exact, so the estimate itself is hash-certified."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    k = 16
+    sh = (
+        docs.select(
+            "lang", TX.tokens("text").alias("__toks")
+        )
+        .select(
+            "lang",
+            F.explode(
+                TX.shingle_expr("__toks", 2)
+            ).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    seeds = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.md5(
+                        F.concat(F.lit(f"{i}|"), F.col("s"))
+                    ).alias("h"),
+                )
+                for i in range(k)
+            ]
+        )
+    ).alias("x")
+    hx = (
+        sh.select("lang", seeds)
+        .select("lang", "x.i", "x.h")
+        .groupBy("lang", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    ha, hb = hx.alias("ha"), hx.alias("hb")
+    est = (
+        ha.join(
+            hb,
+            (F.col("ha.i") == F.col("hb.i"))
+            & (F.col("ha.lang") < F.col("hb.lang")),
+        )
+        .groupBy(
+            F.col("ha.lang").alias("lang_a"),
+            F.col("hb.lang").alias("lang_b"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ha.mh") == F.col("hb.mh"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_matches")
+        )
+    )
+    sa = sizes.select(
+        F.col("lang").alias("lang_a"),
+        F.col("n").alias("n_shingles_a"),
+    )
+    sb = sizes.select(
+        F.col("lang").alias("lang_b"),
+        F.col("n").alias("n_shingles_b"),
+    )
+    pairs = sa.crossJoin(sb).filter(
+        F.col("lang_a") < F.col("lang_b")
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast(
+        "bigint"
+    )
+    return (
+        pairs.join(
+            F.broadcast(inter), ["lang_a", "lang_b"], "left"
+        )
+        .join(F.broadcast(est), ["lang_a", "lang_b"])
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shingles_a",
+            "n_shingles_b",
+            shared.alias("n_shared"),
+            (
+                shared.cast("double")
+                / (
+                    F.col("n_shingles_a")
+                    + F.col("n_shingles_b")
+                    - shared
+                ).cast("double")
+            ).alias("exact_jaccard"),
+            (
+                F.col("n_matches").cast("double") / F.lit(16.0)
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+@register(
     "simhash_band_near_dup",
     oracle=_SIMHASH_CTES
     + """,
