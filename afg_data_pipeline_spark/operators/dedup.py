@@ -1434,29 +1434,62 @@ def prefix_filter_jaccard_pairs(
             F.col("doc_id_a").alias("id_a"),
             F.col("doc_id_b").alias("id_b"),
         )
-        # per-pair array_intersect on the joined shingle arrays —
+        # per-pair array_intersect on HASHED shingle arrays —
         # measured faster here than the (pairs × shingles) token
         # join (44.8s → the ngram fallback's regime): the pair
         # stream shuffles once per side with the arrays riding
-        # along, instead of exploding candidates × |d| rows
-        sa = raw.select(
+        # along, instead of exploding candidates × |d| rows.
+        # Two scale levers (r7; the sf10 sharded corpus measured
+        # 461M candidates and the STRING-array verify spilled
+        # >60 GB of shuffle):
+        # 1. arrays ride as xxhash64 longs (8 B/shingle vs ~20 B
+        #    string cells) built lambda-free via explode +
+        #    collect_list (rule 10 — no HOF transform in an
+        #    oracle-light path; the recall test value-pins n_shared
+        #    against the exact tier, so a 64-bit collision is a
+        #    red row, same contract as duplicate_spans' keys);
+        # 2. the AllPairs SIZE FILTER runs before any array rides:
+        #    J >= tnum/tden forces tden·min(|a|,|b|) >=
+        #    tnum·max(|a|,|b|) — pairs failing it carry 16 bytes,
+        #    not two arrays.
+        hsh = (
+            raw.select("id", F.explode("sh").alias("s"))
+            .select("id", F.xxhash64("s").alias("h"))
+            .groupBy("id")
+            .agg(F.collect_list("h").alias("hs"))
+        )
+        sz_a = raw.select(
             F.col("id").alias("id_a"),
-            F.col("sh").alias("sh_a"),
             F.col("sz").alias("size_a"),
         )
-        sb = raw.select(
+        sz_b = raw.select(
             F.col("id").alias("id_b"),
-            F.col("sh").alias("sh_b"),
             F.col("sz").alias("size_b"),
         )
+        sized = (
+            lsh.join(sz_a, "id_a")
+            .join(sz_b, "id_b")
+            .filter(
+                F.least("size_a", "size_b") * tden
+                >= F.greatest("size_a", "size_b") * tnum
+            )
+        )
+        sa = hsh.select(
+            F.col("id").alias("id_a"),
+            F.col("hs").alias("hs_a"),
+        )
+        sb = hsh.select(
+            F.col("id").alias("id_b"),
+            F.col("hs").alias("hs_b"),
+        )
         shared = (
-            lsh.join(sa, "id_a")
+            sized.join(sa, "id_a")
             .join(sb, "id_b")
             .withColumn(
                 "n_shared",
                 F.size(
                     F.array_intersect(
-                        F.col("sh_a"), F.col("sh_b")
+                        F.col("hs_a"), F.col("hs_b")
                     )
                 ).cast("bigint"),
             )

@@ -86,14 +86,26 @@ def _canon_pandas(pdf):
     """Driver-replica canonicalization: sort columns by name,
     sort_values over ALL columns (raises TypeError on unhashable
     cells — exactly the driver's array<...> ERR), stringify cells.
+
+    DATE columns arrive as datetime.date objects from Spark's
+    toPandas but as midnight datetime64 from DuckDB's .df();
+    the real driver equates them (date_parts has green driver
+    rows), so midnight timestamps stringify as their date.
     """
+    import pandas as pd
+
+    def _cell(v):
+        if isinstance(v, pd.Timestamp) and v == v.normalize():
+            return str(v.date())
+        return str(v)
+
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     if len(pdf):
         pdf = pdf.sort_values(
             by=list(pdf.columns), kind="mergesort"
         ).reset_index(drop=True)
     return [
-        tuple(str(v) for v in row)
+        tuple(_cell(v) for v in row)
         for row in pdf.itertuples(index=False, name=None)
     ]
 
