@@ -207,6 +207,10 @@ HEADLINE = [
     "wordpiece_encode_stats",
     "readability_scores",
     "markov_steady_state",
+    # round-7 additions
+    "simhash_band_near_dup",
+    "tokenizer_fertility",
+    "corpus_minhash_similarity",
 ]
 
 
