@@ -151,6 +151,11 @@ def _coverage_order(names: list[str]) -> list[str]:
         # round-7 image_phash_near_dup refactor onto the shared
         # banded_hamming_pairs operator (rows-only, re-record):
         "image_phash_near_dup": 7,
+        # round-7 classify.py refactor (_scored_pairs extraction,
+        # same plan, re-certify consumers with prior rows):
+        "nb_classify_lang": 7,
+        "classifier_eval_report": 7,
+        "classifier_eval_auc": 7,
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}

@@ -145,6 +145,99 @@ def nb_train(
     return token_model, class_model.drop("t_c", "v")
 
 
+def _scored_pairs(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    token_model: DataFrame,
+    class_model: DataFrame,
+) -> DataFrame:
+    """Per-(doc, class) quantized log-posterior frame
+    (_id, cls, score_q DECIMAL) for documents with at least one
+    in-vocabulary token. Shared by nb_score (argmax on top) and
+    nb_class_scores (full frame for calibration / label-noise
+    consumers) so the scoring plan can never drift between them.
+
+    Vocabulary restriction (semi-join: OOV tokens drop), then a
+    broadcast fan-out to |classes| rows per token and ONE
+    token-keyed left join against the term table; classes with
+    the token unseen take the smoothing floor.
+    """
+    doc_tokens = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens_col).alias("token"),
+        )
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = token_model.select("token").distinct()
+    per_class = (
+        doc_tokens.join(F.broadcast(vocab), "token", "left_semi")
+        .crossJoin(
+            F.broadcast(class_model.select("cls", "floor_q"))
+        )
+        .join(F.broadcast(token_model), ["token", "cls"], "left")
+        .select(
+            "_id",
+            "cls",
+            (
+                F.col("cnt").cast(_D38)
+                * F.coalesce(F.col("term_q"), F.col("floor_q"))
+                .cast(_D38)
+            ).alias("tok_q"),
+        )
+        .groupBy("_id", "cls")
+        .agg(F.sum("tok_q").alias("tok_sum_q"))
+    )
+    # Add the prior map-side (broadcast); no doc × |classes| spine
+    # expansion — documents whose tokens are all OOV are absent
+    # here (callers handle the prior-only fallback).
+    return per_class.join(
+        F.broadcast(class_model.select("cls", "prior_q")), "cls"
+    ).select(
+        "_id",
+        "cls",
+        (F.col("tok_sum_q") + F.col("prior_q")).alias("score_q"),
+    )
+
+
+def nb_class_scores(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    token_model: DataFrame,
+    class_model: DataFrame,
+) -> DataFrame:
+    """FULL per-(doc, class) score frame (id, cls, score_q
+    DECIMAL(38,0) on the 1e9 log grid): every document gets a row
+    for every class — the frame calibration and label-noise
+    analyses need. All-OOV documents (no in-vocabulary token)
+    score prior-only; they are completed by an anti-join of the
+    doc spine against the scored ids crossed with the
+    |classes|-row broadcast model — a spine expansion over ONLY
+    the OOV stragglers, never the corpus (nb_score's no-spine rule
+    holds for the hot path)."""
+    scored = _scored_pairs(
+        docs, id_col, tokens_col, token_model, class_model
+    )
+    spine = docs.select(F.col(id_col).alias("_id"))
+    missing = spine.join(
+        scored.select("_id").distinct(), "_id", "left_anti"
+    )
+    prior_rows = missing.crossJoin(
+        F.broadcast(
+            class_model.select(
+                "cls", F.col("prior_q").cast(_D38).alias("score_q")
+            )
+        )
+    ).select("_id", "cls", "score_q")
+    return (
+        scored.unionByName(prior_rows)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def nb_score(
     docs: DataFrame,
     id_col: str,
@@ -170,48 +263,8 @@ def nb_score(
     drop the hints and let AQE pick a shuffle join; the plan stays
     correct.
     """
-    doc_tokens = (
-        docs.select(
-            F.col(id_col).alias("_id"),
-            F.explode(tokens_col).alias("token"),
-        )
-        .groupBy("_id", "token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # Vocabulary restriction (semi-join: OOV tokens drop), then a
-    # broadcast fan-out to |classes| rows per token and ONE
-    # token-keyed left join against the term table; classes with
-    # the token unseen take the smoothing floor.
-    vocab = token_model.select("token").distinct()
-    per_class = (
-        doc_tokens.join(F.broadcast(vocab), "token", "left_semi")
-        .crossJoin(
-            F.broadcast(class_model.select("cls", "floor_q"))
-        )
-        .join(F.broadcast(token_model), ["token", "cls"], "left")
-        .select(
-            "_id",
-            "cls",
-            (
-                F.col("cnt").cast(_D38)
-                * F.coalesce(F.col("term_q"), F.col("floor_q"))
-                .cast(_D38)
-            ).alias("tok_q"),
-        )
-        .groupBy("_id", "cls")
-        .agg(F.sum("tok_q").alias("tok_sum_q"))
-    )
-    # Add the prior map-side (broadcast) and take the per-doc
-    # argmax directly over the scored (doc, class) rows — no
-    # doc × |classes| spine expansion. Documents whose tokens are
-    # all OOV are absent here; they fall back to the prior-only
-    # argmax, itself a lazy 1-row broadcast.
-    scored = per_class.join(
-        F.broadcast(class_model.select("cls", "prior_q")), "cls"
-    ).select(
-        "_id",
-        "cls",
-        (F.col("tok_sum_q") + F.col("prior_q")).alias("score_q"),
+    scored = _scored_pairs(
+        docs, id_col, tokens_col, token_model, class_model
     )
     best = scored.groupBy("_id").agg(
         F.min(F.struct((-F.col("score_q")).alias("neg"), "cls"))

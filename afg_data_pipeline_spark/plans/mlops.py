@@ -351,6 +351,105 @@ def pareto_frontier(
 
 
 @register(
+    "label_noise_report",
+    oracle=_NB_ORACLE_CTES
+    + """,
+        conf AS (
+            SELECT te.lang AS cls,
+                   CAST(count(*) AS BIGINT) AS n_c,
+                   CAST(sum(CAST(s.score_q AS HUGEINT))
+                        AS HUGEINT) AS sum_q
+            FROM test te
+            JOIN scores s
+              ON s.doc_id = te.doc_id AND s.cls = te.lang
+            GROUP BY 1
+        ),
+        above AS (
+            SELECT s.doc_id, s.cls, s.score_q
+            FROM scores s JOIN conf c ON c.cls = s.cls
+            WHERE CAST(s.score_q AS HUGEINT)
+                      * CAST(c.n_c AS HUGEINT) >= c.sum_q
+        ),
+        sugg AS (
+            SELECT doc_id, cls AS suggested_cls,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_q DESC, cls ASC
+                   ) AS rn
+            FROM above
+        )
+        SELECT te.lang AS given_cls, g.suggested_cls,
+               CAST(count(*) AS BIGINT) AS n_flagged
+        FROM test te
+        JOIN sugg g ON g.doc_id = te.doc_id AND g.rn = 1
+        WHERE g.suggested_cls <> te.lang
+        GROUP BY 1, 2
+    """,
+    ops=("A1", "J1"),
+)
+def label_noise_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LABEL-NOISE detection (confident-learning shape, Northcutt
+    et al.): for each class j, the confidence threshold t_j is the
+    mean model score of held-out documents GIVEN label j; a
+    document is flagged as likely-mislabeled i→j when its score
+    for some other class j clears t_j (argmax over clearing
+    classes, ties to the smallest class). Output: the off-diagonal
+    (given_cls, suggested_cls, n_flagged) joint counts — the table
+    that decides whether a labeled corpus needs re-annotation
+    before training a filter on it.
+
+    Exactness: scores live on the 1e9-quantized log grid (rule
+    1c), so the threshold test is pure integer arithmetic —
+    score_q · n_j >= Σ score_q over class j (never a mean as a
+    double). Scale: thresholds are one |classes|-row aggregate;
+    the clearing test is a broadcast join against it; the per-doc
+    argmax is groupBy min(struct) (rule 19); all-OOV documents
+    enter via nb_class_scores' straggler-only prior completion."""
+    from afg_data_pipeline_spark.operators.classify import (
+        nb_class_scores,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    token_model, class_model = nb_train(
+        train, "lang", TX.tokens("text")
+    )
+    full = nb_class_scores(
+        test, "doc_id", TX.tokens("text"), token_model,
+        class_model,
+    ).localCheckpoint(eager=False)
+    labels = test.select("doc_id", F.col("lang").alias("given"))
+    conf = (
+        full.join(labels, "doc_id")
+        .filter(F.col("cls") == F.col("given"))
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_c"),
+            F.sum("score_q").alias("sum_q"),
+        )
+    )
+    above = full.join(F.broadcast(conf), "cls").filter(
+        F.col("score_q") * F.col("n_c") >= F.col("sum_q")
+    )
+    sugg = above.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("score_q")).alias("neg"), "cls")
+        ).alias("b")
+    ).select("doc_id", F.col("b.cls").alias("suggested_cls"))
+    return (
+        sugg.join(labels, "doc_id")
+        .filter(F.col("suggested_cls") != F.col("given"))
+        .groupBy(
+            F.col("given").alias("given_cls"), "suggested_cls"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
+    )
+
+
+@register(
     "classifier_eval_report",
     oracle=_NB_ORACLE_CTES
     + """
