@@ -351,6 +351,198 @@ def pareto_frontier(
 
 
 @register(
+    "bootstrap_ci_mean",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, event_type,
+                   CAST(round(CAST(value AS DOUBLE) * 100)
+                        AS BIGINT) AS cents
+            FROM events
+        ),
+        rs AS (
+            SELECT s.b, base.event_type, base.cents,
+                   md5(CAST(s.b AS VARCHAR) || ':'
+                       || CAST(base.event_id AS VARCHAR)) AS h
+            FROM base,
+                 (SELECT unnest(generate_series(0, 47))
+                      AS b) s
+        ),
+        um AS (
+            SELECT event_type, b, cents,
+                   (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+                   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+                   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+                   + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS u32
+            FROM rs
+        ),
+        mm AS (
+            SELECT event_type, b, cents,
+                   CASE WHEN u32 < 1580030168 THEN 0
+                        WHEN u32 < 3160060337 THEN 1
+                        WHEN u32 < 3950075421 THEN 2
+                        WHEN u32 < 4213413783 THEN 3
+                        WHEN u32 < 4279248373 THEN 4
+                        ELSE 5 END AS m
+            FROM um
+        ),
+        agg AS (
+            SELECT event_type, b,
+                   CAST(sum(m) AS BIGINT) AS n_eff,
+                   CAST(sum(m * cents) AS BIGINT) AS wsum
+            FROM mm GROUP BY 1, 2
+        ),
+        means AS (
+            SELECT event_type, b,
+                   CAST(wsum AS DOUBLE) / CAST(n_eff AS DOUBLE)
+                       AS mean_b,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(wsum AS DOUBLE)
+                                / CAST(n_eff AS DOUBLE) ASC,
+                                b ASC) AS rn
+            FROM agg WHERE n_eff > 0
+        ),
+        ci AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = 2 THEN mean_b END)
+                       AS ci_lo_cents,
+                   max(CASE WHEN rn = 47 THEN mean_b END)
+                       AS ci_hi_cents
+            FROM means GROUP BY 1
+        ),
+        fullm AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mean_cents
+            FROM base GROUP BY 1
+        )
+        SELECT f.event_type, f.n, f.mean_cents,
+               c.ci_lo_cents, c.ci_hi_cents
+        FROM fullm f JOIN ci c USING (event_type)
+    """,
+    ops=("A1", "O1"),
+)
+def bootstrap_ci_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DETERMINISTIC Poisson-bootstrap 95% confidence interval for
+    the per-event-type mean value — the resampling machinery of a
+    large-scale eval pipeline with the randomness replaced by hash
+    arithmetic, so two engines (and two runs) produce identical
+    intervals. Each of B=48 resamples draws row multiplicity
+    m ~ Poisson(1) (capped at 5) from the first 32 bits of
+    md5(b:event_id), compared against exact integer CDF
+    thresholds (floor(CDF_k * 2^32) literals — never a double
+    comparison); resample means are single divisions of exact
+    BIGINT sums; the CI picks ranks 2 and 47 of the 48
+    sorted means (2.5/97.5%). Poisson bootstrap (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams") is THE
+    bootstrap that distributes: each row draws its multiplicity
+    independently — no global-n resampling, one pass, map-side
+    combinable.
+
+    Scale shape: the B-fold explode runs AFTER a round-robin
+    repartition (rule 3 — AQE sizes partitions from pre-expansion
+    bytes); u32 is materialized as a column BEFORE the CASE chain
+    branches on it (rule 18c — CSE does not reach conditional
+    branches); the rank window runs on the B-rows-per-group means
+    table, never the corpus."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).repartition(par)
+    rs = base.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(48)])
+        ).alias("b"),
+    )
+    um = rs.select(
+        "event_type",
+        "b",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u32"),
+    )
+    u = F.col("u32")
+    m = (
+        F.when(u < 1580030168, 0)
+        .when(u < 3160060337, 1)
+        .when(u < 3950075421, 2)
+        .when(u < 4213413783, 3)
+        .when(u < 4279248373, 4)
+        .otherwise(5)
+    )
+    agg = (
+        um.select("event_type", "b", "cents", m.alias("m"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_eff"),
+            F.sum(F.col("m") * F.col("cents"))
+            .cast("bigint")
+            .alias("wsum"),
+        )
+    )
+    means = agg.filter(F.col("n_eff") > 0).select(
+        "event_type",
+        "b",
+        (
+            F.col("wsum").cast("double")
+            / F.col("n_eff").cast("double")
+        ).alias("mean_b"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("mean_b").asc(), F.col("b").asc()
+    )
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    ci = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == 2, F.col("mean_b"))
+        ).alias("ci_lo_cents"),
+        F.max(
+            F.when(F.col("rn") == 47, F.col("mean_b"))
+        ).alias("ci_hi_cents"),
+    )
+    fullm = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("cents").cast("bigint").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_cents"),
+    )
+    return fullm.join(ci, "event_type")
+
+
+@register(
     "label_noise_report",
     oracle=_NB_ORACLE_CTES
     + """,
