@@ -585,6 +585,157 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlation_matrix",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS h,
+                   CAST(round(CAST(value AS DOUBLE) * 100)
+                        AS BIGINT) AS cents
+            FROM events
+        ),
+        buckets AS (
+            SELECT event_type, h,
+                   CAST(sum(cents) AS BIGINT) AS v
+            FROM pts GROUP BY 1, 2
+        ),
+        hours AS (SELECT DISTINCT h FROM pts),
+        types AS (SELECT DISTINCT event_type FROM pts),
+        series AS (
+            SELECT t.event_type, hh.h,
+                   COALESCE(b.v, 0) AS v
+            FROM types t CROSS JOIN hours hh
+            LEFT JOIN buckets b
+              ON b.event_type = t.event_type AND b.h = hh.h
+        ),
+        s AS (
+            SELECT a.event_type AS type_a,
+                   b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(CAST(a.v AS HUGEINT)) AS HUGEINT)
+                       AS sx,
+                   CAST(SUM(CAST(b.v AS HUGEINT)) AS HUGEINT)
+                       AS sy,
+                   SUM(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+                   SUM(CAST(b.v AS HUGEINT) * b.v) AS syy,
+                   SUM(CAST(a.v AS HUGEINT) * b.v) AS sxy
+            FROM series a
+            JOIN series b
+              ON a.h = b.h AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_buckets,
+               CASE WHEN (CAST(n_buckets AS DOUBLE)
+                              * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)
+                              * CAST(sx AS DOUBLE))
+                         * (CAST(n_buckets AS DOUBLE)
+                                * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE)
+                                * CAST(sy AS DOUBLE)) = 0.0
+                    THEN NULL
+                    ELSE (CAST(n_buckets AS DOUBLE)
+                              * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE)
+                              * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n_buckets AS DOUBLE)
+                                     * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                * (CAST(n_buckets AS DOUBLE)
+                                       * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE)))
+               END AS pearson_r
+        FROM s
+    """,
+    ops=("A1", "J4", "F10"),
+)
+def correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Pearson CORRELATION MATRIX of the event types'
+    hourly value series (zero-filled over the common hour grid) —
+    the co-movement table behind metric dashboards and redundant-
+    signal pruning. Exactness: hourly sums are exact BIGINT cents;
+    all five moment sums accumulate in DECIMAL(38,0) (an hourly
+    cell's square has no provable 2^63 bound at corpus scale,
+    rule 11); Pearson is the textbook closed form evaluated once
+    in doubles (sqrt is IEEE correctly-rounded — portable, the
+    value_hour_correlation convention), NULL for zero variance.
+
+    Scale shape: the corpus collapses FIRST to the (type, hour)
+    bucket table (map-side combinable); the zero-filled grid and
+    the pair join live entirely in (|types| x hours) value space —
+    the |types|^2/2 pair fan-out never touches event rows."""
+    ev = read_star_table(spark, "events", sf_dir)
+    pts = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.round(F.col("value").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    buckets = pts.groupBy("event_type", "h").agg(
+        F.sum("cents").cast("bigint").alias("v")
+    )
+    hours = pts.select("h").distinct()
+    types = pts.select("event_type").distinct()
+    series = (
+        types.crossJoin(hours)
+        .join(buckets, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("v"), F.lit(0)).alias("v"),
+        )
+    )
+    a, b = series.alias("a"), series.alias("b")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(dec(F.col("a.v"))).alias("sx"),
+            F.sum(dec(F.col("b.v"))).alias("sy"),
+            F.sum(dec(F.col("a.v")) * dec(F.col("a.v"))).alias(
+                "sxx"
+            ),
+            F.sum(dec(F.col("b.v")) * dec(F.col("b.v"))).alias(
+                "syy"
+            ),
+            F.sum(dec(F.col("a.v")) * dec(F.col("b.v"))).alias(
+                "sxy"
+            ),
+        )
+    )
+    n = F.col("n_buckets").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return s.select(
+        "type_a",
+        "type_b",
+        "n_buckets",
+        F.when(varx * vary == 0.0, F.lit(None)).otherwise(
+            (n * sxy - sx * sy) / F.sqrt(varx * vary)
+        ).alias("pearson_r"),
+    )
+
+
+@register(
     "value_hour_correlation",
     oracle="""
         WITH pts AS (
