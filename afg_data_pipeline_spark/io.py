@@ -200,6 +200,35 @@ def read_excel_driver_side(
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def read_orc(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """ORC scan (columnar interchange with Hive/Trino warehouses —
+    the S-family beyond the reference's parquet/CSV/Excel). Spark's
+    native vectorized ORC reader applies the same predicate
+    pushdown and column pruning as parquet; ``merge_schema``
+    reconciles files written under evolving schemas (off by
+    default — it reads every footer)."""
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower())
+        .orc(path)
+    )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, partitioned for pruning (same contract as
+    write_parquet; zlib default compression)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -252,3 +252,50 @@ class TestZOrder:
         # Every file bounds both dimensions well below the global
         # span of 63 — 16 Z-tiles of a 64x64 grid are 16x16 blocks.
         assert all(sx <= 31 and sy <= 31 for sx, sy in spans), spans
+
+
+class TestOrcRoundtrip:
+    """S-family: ORC interchange (read_orc/write_orc) — full value
+    roundtrip, partition pruning, and filter pushdown parity with
+    the parquet path."""
+
+    def test_roundtrip_and_pruning(self, spark, tmp_path):
+        from afg_data_pipeline_spark.io import (
+            read_orc,
+            read_star_table,
+            write_orc,
+        )
+
+        src = read_star_table(
+            spark, "nation", "/root/testdata/sf0.001"
+        )
+        path = str(tmp_path / "nation_orc")
+        write_orc(src, path, partition_by=["n_regionkey"])
+        back = read_orc(spark, path)
+        want = {
+            tuple(r) for r in src.select(
+                "n_nationkey", "n_name", "n_regionkey"
+            ).collect()
+        }
+        got = {
+            tuple(r) for r in back.select(
+                "n_nationkey", "n_name", "n_regionkey"
+            ).collect()
+        }
+        assert got == want
+        # partition pruning: the filtered plan must read only the
+        # matching partition directory
+        import pyspark.sql.functions as F
+
+        plan = (
+            back.filter(F.col("n_regionkey") == 0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan
+        assert back.filter(
+            F.col("n_regionkey") == 0
+        ).count() == src.filter(
+            F.col("n_regionkey") == 0
+        ).count()
