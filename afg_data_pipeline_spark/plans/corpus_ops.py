@@ -1804,6 +1804,97 @@ def tokenizer_fertility(
 
 
 @register(
+    "k_anonymity_report",
+    oracle="""
+        WITH q AS (
+            SELECT lang, source,
+                   CAST(n_chars // 100 AS BIGINT)
+                       AS size_bucket,
+                   CAST(count(*) AS BIGINT) AS grp_n
+            FROM documents
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT CAST(sum(grp_n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM q
+        )
+        SELECT k.k,
+               CAST(sum(CASE WHEN q.grp_n < k.k
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS groups_below_k,
+               CAST(sum(CASE WHEN q.grp_n < k.k
+                             THEN q.grp_n ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(sum(CASE WHEN q.grp_n < k.k
+                             THEN q.grp_n ELSE 0 END)
+                    AS DOUBLE)
+                   / CAST(t.n_rows AS DOUBLE)
+                   AS share_at_risk,
+               t.n_groups, t.n_rows
+        FROM q, tot t,
+             (SELECT unnest([2, 5, 10, 25]) AS k) k
+        GROUP BY k.k, t.n_groups, t.n_rows
+    """,
+    ops=("A1",),
+)
+def k_anonymity_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K-ANONYMITY audit over the quasi-identifier tuple
+    (lang, source, size-bucket): for each policy threshold k in
+    {2, 5, 10, 25}, how many equivalence classes are smaller than
+    k and what share of the corpus sits in them — the governance
+    gate a dataset release runs before publishing metadata-rich
+    corpora (a document whose QI tuple is shared by fewer than k
+    others is re-identifiable from metadata alone).
+
+    Scale shape: one map-side-combinable groupBy collapses the
+    corpus to the equivalence-class table; the four thresholds fan
+    out over THAT table (a broadcast-size literal array), and the
+    corpus total rides a 1-row broadcast cross join. Exact BIGINT
+    counts; one double division per row."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    q = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100)
+        .cast("bigint")
+        .alias("size_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("grp_n"))
+    tot = q.agg(
+        F.sum("grp_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in (2, 5, 10, 25)])
+    ).alias("k")
+    fanned = q.select("grp_n", ks).crossJoin(F.broadcast(tot))
+    below = F.when(F.col("grp_n") < F.col("k"), F.col("grp_n"))
+    return fanned.groupBy("k", "n_groups", "n_rows").agg(
+        F.sum(
+            F.when(F.col("grp_n") < F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("groups_below_k"),
+        F.sum(F.coalesce(below, F.lit(0)))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        (
+            F.sum(F.coalesce(below, F.lit(0))).cast("double")
+            / F.max("n_rows").cast("double")
+        ).alias("share_at_risk"),
+    ).select(
+        "k",
+        "groups_below_k",
+        "rows_at_risk",
+        "share_at_risk",
+        "n_groups",
+        "n_rows",
+    )
+
+
+@register(
     "per_group_sample_k",
     oracle="""
         SELECT doc_id, lang, n_chars

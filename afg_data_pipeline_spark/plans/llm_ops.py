@@ -1023,6 +1023,150 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zipf_fit_report",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS t
+            FROM documents
+        ),
+        freqs AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS freq
+            FROM toks GROUP BY t
+        ),
+        ranked AS (
+            SELECT freq,
+                   row_number() OVER (
+                       ORDER BY freq DESC, t ASC) AS rank
+            FROM freqs
+        ),
+        pts AS (
+            SELECT CAST(round(ln(CAST(rank AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(freq AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS y
+            FROM ranked
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT)
+                       AS sx,
+                   CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT)
+                       AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM pts
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks
+        )
+        SELECT s.n AS n_types, tot.n_tokens,
+               -((CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                  - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                 / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                    - CAST(s.sx AS DOUBLE)
+                        * CAST(s.sx AS DOUBLE)))
+                   AS zipf_slope,
+               (CAST(s.sy AS DOUBLE)
+                - CAST(s.sx AS DOUBLE)
+                  * ((CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                      - CAST(s.sx AS DOUBLE)
+                          * CAST(s.sy AS DOUBLE))
+                     / (CAST(s.n AS DOUBLE)
+                            * CAST(s.sxx AS DOUBLE)
+                        - CAST(s.sx AS DOUBLE)
+                            * CAST(s.sx AS DOUBLE))))
+                   / (CAST(s.n AS DOUBLE) * 1000000000.0)
+                   AS intercept_ln,
+               ((CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                 - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                * (CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                   - CAST(s.sx AS DOUBLE)
+                       * CAST(s.sy AS DOUBLE)))
+               / ((CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                   - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+                  * (CAST(s.n AS DOUBLE) * CAST(s.syy AS DOUBLE)
+                     - CAST(s.sy AS DOUBLE)
+                         * CAST(s.sy AS DOUBLE)))
+                   AS r_squared
+        FROM s, tot
+    """,
+    ops=("TEXT", "A1", "O2"),
+)
+def zipf_fit_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ZIPF-LAW fit of the corpus token-frequency distribution:
+    least-squares slope of ln(freq) against ln(rank) over the full
+    vocabulary, with the intercept and R² — the one-row corpus
+    fingerprint that detects synthetic/templated text (vocabulary
+    too flat or too steep) and drives vocabulary-size planning
+    (the Zipf exponent governs how fast the tail thins, the same
+    assumption behind the tokenizer collect guards).
+
+    Exactness: each ln value is quantized ONCE to the 1e9 integer
+    grid (rule 1c) and every regression moment accumulates in
+    DECIMAL(38,0) (grid products reach 1e20+, rule 11); the slope,
+    intercept, and R² are closed-form double expressions over
+    those exact sums. Scale: one map-side-combinable vocabulary
+    count; the rank window runs over the VOCABULARY (freq DESC,
+    token ASC tie-break), never the corpus; the fit is a 1-row
+    aggregate."""
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(TX.tokens("text")).alias("t"))
+    freqs = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("t").asc())
+    ranked = freqs.select(
+        "freq", F.row_number().over(w).alias("rank")
+    )
+    grid = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double")) * 1e9
+    ).cast("bigint")
+    pts = ranked.select(
+        grid(F.col("rank")).alias("x"),
+        grid(F.col("freq")).alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_types"),
+        "n_tokens",
+        (-slope).alias("zipf_slope"),
+        ((sy - sx * slope) / (n * F.lit(1e9))).alias(
+            "intercept_ln"
+        ),
+        (
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r_squared"),
+    )
+
+
+@register(
     "corpus_minhash_similarity",
     oracle="""
         WITH tokd AS (
