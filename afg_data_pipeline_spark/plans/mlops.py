@@ -351,6 +351,99 @@ def pareto_frontier(
 
 
 @register(
+    "ols_multifeature",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS x1,
+                   -- DuckDB dayofweek is 0-6, Spark 1-7 (the
+                   -- seasonal_anomaly_flags convention): shift +1
+                   CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+                   CAST(round(CAST(value AS DOUBLE) * 100)
+                        AS BIGINT) AS y
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(CAST(sum(x1) AS HUGEINT) AS DOUBLE)
+                       AS sx1,
+                   CAST(CAST(sum(x2) AS HUGEINT) AS DOUBLE)
+                       AS sx2,
+                   CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE)
+                       AS sxx1,
+                   CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE)
+                       AS sxx2,
+                   CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE)
+                       AS sx12,
+                   CAST(CAST(sum(y) AS HUGEINT) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE)
+                       AS sx1y,
+                   CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE)
+                       AS sx2y
+            FROM base GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_obs,
+               (sy*(sxx1*sxx2 - sx12*sx12) - sx1*(sx1y*sxx2 - sx12*sx2y) + sx2*(sx1y*sx12 - sxx1*sx2y)) / nullif((n*(sxx1*sxx2 - sx12*sx12) - sx1*(sx1*sxx2 - sx12*sx2) + sx2*(sx1*sx12 - sxx1*sx2)), 0.0) AS b0,
+               (n*(sx1y*sxx2 - sx12*sx2y) - sy*(sx1*sxx2 - sx12*sx2) + sx2*(sx1*sx2y - sx2*sx1y)) / nullif((n*(sxx1*sxx2 - sx12*sx12) - sx1*(sx1*sxx2 - sx12*sx2) + sx2*(sx1*sx12 - sxx1*sx2)), 0.0) AS b1_hour,
+               (n*(sxx1*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx2*sx1y) + sy*(sx1*sx12 - sx2*sxx1)) / nullif((n*(sxx1*sxx2 - sx12*sx12) - sx1*(sx1*sxx2 - sx12*sx2) + sx2*(sx1*sx12 - sxx1*sx2)), 0.0) AS b2_dow
+        FROM m
+    """,
+    ops=("A1", "F10"),
+)
+def ols_multifeature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-FEATURE closed-form OLS per group: cents ~ b0 +
+    b1·hour-of-day + b2·day-of-week per event_type, solved by
+    Cramer's rule on the 3x3 normal equations — the M1 forecast
+    family generalized beyond one regressor, still with zero
+    iteration and zero collect. Collinear groups (singular normal
+    matrix) yield NULL coefficients via nullif, the
+    ols_forecast convention.
+
+    Exactness: all nine moment sums are exact integer aggregates
+    (DECIMAL(38,0) accumulation — x·y products have no provable
+    2^63 bound at corpus scale, rule 11); the Cramer determinants
+    are evaluated from ONE SHARED infix formula string parsed by
+    both engines (identical double operation order, the
+    ols_forecast_sql twin-expression discipline). Scale: one
+    map-side-combinable aggregate; the solve is per-group constant
+    work."""
+    ev = read_star_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x1"),
+        F.dayofweek("ts").cast("bigint").alias("x2"),
+        F.round(F.col("value").cast("double") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("x1")).cast("double").alias("sx1"),
+        F.sum(dec("x2")).cast("double").alias("sx2"),
+        F.sum(dec("x1") * dec("x1")).cast("double").alias("sxx1"),
+        F.sum(dec("x2") * dec("x2")).cast("double").alias("sxx2"),
+        F.sum(dec("x1") * dec("x2")).cast("double").alias("sx12"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x1") * dec("y")).cast("double").alias("sx1y"),
+        F.sum(dec("x2") * dec("y")).cast("double").alias("sx2y"),
+    )
+    # ONE shared infix string per coefficient, parsed by BOTH
+    # engines — identical double evaluation order by construction.
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.expr("(sy*(sxx1*sxx2 - sx12*sx12) - sx1*(sx1y*sxx2 - sx12*sx2y) + sx2*(sx1y*sx12 - sxx1*sx2y)) / nullif((n*(sxx1*sxx2 - sx12*sx12) - sx1*(sx1*sxx2 - sx12*sx2) + sx2*(sx1*sx12 - sxx1*sx2)), 0.0)").alias("b0"),
+        F.expr("(n*(sx1y*sxx2 - sx12*sx2y) - sy*(sx1*sxx2 - sx12*sx2) + sx2*(sx1*sx2y - sx2*sx1y)) / nullif((n*(sxx1*sxx2 - sx12*sx12) - sx1*(sx1*sxx2 - sx12*sx2) + sx2*(sx1*sx12 - sxx1*sx2)), 0.0)").alias("b1_hour"),
+        F.expr("(n*(sxx1*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx2*sx1y) + sy*(sx1*sx12 - sx2*sxx1)) / nullif((n*(sxx1*sxx2 - sx12*sx12) - sx1*(sx1*sxx2 - sx12*sx2) + sx2*(sx1*sx12 - sxx1*sx2)), 0.0)").alias("b2_dow"),
+    )
+
+
+@register(
     "bootstrap_ci_mean",
     oracle="""
         WITH base AS (
