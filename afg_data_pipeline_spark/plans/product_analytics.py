@@ -585,6 +585,121 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_step_latency",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_type,
+                   lead(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_ts
+            FROM events
+        ),
+        trans AS (
+            SELECT event_type || '>' || to_type AS transition,
+                   date_diff('microsecond', ts, to_ts) AS delta
+            FROM seq WHERE to_ts IS NOT NULL
+        ),
+        counts AS (
+            SELECT transition AS g, delta AS v, count(*) AS c
+            FROM trans GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT g, v,
+                   SUM(c) OVER (PARTITION BY g ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER (PARTITION BY g) AS n
+            FROM counts
+        ),
+        pct AS (
+            SELECT g AS transition,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2
+                                 THEN v END) AS BIGINT)
+                       AS p50_usec,
+                   CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10
+                                 THEN v END) AS BIGINT)
+                       AS p90_usec
+            FROM cum GROUP BY g
+        ),
+        mu AS (
+            SELECT transition,
+                   CAST(sum(CAST(delta AS HUGEINT)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)
+                       AS mean_delta_usec
+            FROM trans GROUP BY 1
+        )
+        SELECT p.transition, p.n, m.mean_delta_usec,
+               p.p50_usec, p.p90_usec
+        FROM pct p JOIN mu m USING (transition)
+    """,
+    ops=("O1", "A2"),
+)
+def funnel_step_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-TO-NEXT-STEP latency per event-type transition: for
+    every consecutive (from>to) pair in each user's stream, the
+    exact microsecond gap — count, mean, and discrete p50/p90 per
+    transition. The product-analytics companion to
+    event_transition_matrix (WHICH step follows) and
+    funnel_conversion (whether) — this is HOW LONG it takes.
+
+    Exactness: gaps are exact µs integers (unix_micros under the
+    pinned-UTC session, the time_weighted_value convention); the
+    mean divides a DECIMAL(38,0) sum once (rule 11 — µs gaps over
+    a year-long trace have no provable 2^63 sum bound); p50/p90
+    use ceil(q·n) ranks in exact integer arithmetic
+    (operators/quantiles.grouped_percentile_disc). Scale: one
+    user-partitioned lead window over the corpus, then everything
+    runs on the (transition, delta)-distinct count table."""
+    from pyspark.sql import Window
+
+    from afg_data_pipeline_spark.operators.quantiles import (
+        grouped_percentile_disc,
+    )
+
+    ev = read_star_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("to_type"),
+        F.lead("ts").over(w).alias("to_ts"),
+    ).filter(F.col("to_ts").isNotNull())
+    trans = seq.select(
+        F.concat(
+            F.col("event_type"), F.lit(">"), F.col("to_type")
+        ).alias("transition"),
+        (
+            F.unix_micros(F.col("to_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("delta_usec"),
+    ).localCheckpoint(eager=False)
+    pct = grouped_percentile_disc(
+        trans, "transition", "delta_usec", [0.5, 0.9]
+    ).select(
+        "transition",
+        "n",
+        F.col("p50").cast("bigint").alias("p50_usec"),
+        F.col("p90").cast("bigint").alias("p90_usec"),
+    )
+    mu = trans.groupBy("transition").agg(
+        (
+            F.sum(F.col("delta_usec").cast("decimal(38,0)"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_delta_usec")
+    )
+    return pct.join(mu, "transition").select(
+        "transition", "n", "mean_delta_usec", "p50_usec",
+        "p90_usec",
+    )
+
+
+@register(
     "correlation_matrix",
     oracle="""
         WITH pts AS (
