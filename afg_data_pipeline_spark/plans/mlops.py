@@ -351,6 +351,123 @@ def pareto_frontier(
 
 
 @register(
+    "ab_test_welch",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(user_id % 2 AS INTEGER) AS grp,
+                   CAST(round(CAST(value AS DOUBLE) * 100)
+                        AS BIGINT) AS x
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS na,
+                   CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS nb,
+                   CAST(CAST(sum(CASE WHEN grp = 0 THEN x
+                                      ELSE 0 END) AS HUGEINT)
+                        AS DOUBLE) AS sxa,
+                   CAST(CAST(sum(CASE WHEN grp = 1 THEN x
+                                      ELSE 0 END) AS HUGEINT)
+                        AS DOUBLE) AS sxb,
+                   CAST(SUM(CASE WHEN grp = 0
+                                 THEN CAST(x AS HUGEINT) * x
+                                 ELSE 0 END) AS DOUBLE) AS sxxa,
+                   CAST(SUM(CASE WHEN grp = 1
+                                 THEN CAST(x AS HUGEINT) * x
+                                 ELSE 0 END) AS DOUBLE) AS sxxb
+            FROM base GROUP BY event_type
+        ),
+        mm AS (
+            SELECT event_type, na, nb,
+                   (sxa / na) AS ma, (sxb / nb) AS mb,
+                   ((na * sxxa - sxa * sxa) / (na * (na - 1.0))) AS va, ((nb * sxxb - sxb * sxb) / (nb * (nb - 1.0))) AS vb
+            FROM m WHERE na > 1 AND nb > 1
+        )
+        SELECT event_type,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               ma AS mean_a_cents, mb AS mean_b_cents,
+               ((ma - mb) / sqrt(va / na + vb / nb)) AS t_stat,
+               (pow(va / na + vb / nb, 2.0) / (pow(va / na, 2.0) / (na - 1.0) + pow(vb / nb, 2.0) / (nb - 1.0))) AS welch_df
+        FROM mm
+    """,
+    ops=("A1", "F10"),
+)
+def ab_test_welch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WELCH two-sample t-test per event_type between the two
+    deterministic user cohorts (user_id parity — the A/B hash
+    split of an experimentation pipeline): cohort sizes, means,
+    the t statistic, and the Welch–Satterthwaite degrees of
+    freedom. The unequal-variance test is the default of modern
+    experiment analysis (never pooled-variance Student t).
+
+    Exactness: per-cohort count/sum/sum-of-squares are exact
+    integer aggregates in one map-side-combinable pass
+    (DECIMAL(38,0) for the squares, rule 11); every double
+    formula — means, sample variances, t, df — is ONE SHARED infix
+    string parsed by both engines (the ols_multifeature
+    discipline), so operation order is identical by construction.
+    Types with a degenerate cohort (n <= 1) are excluded rather
+    than reported with fake zeros."""
+    ev = read_star_table(spark, "events", sf_dir)
+    x = F.round(F.col("value").cast("double") * 100).cast(
+        "bigint"
+    )
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        x.alias("x"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    is_a = F.col("grp") == 0
+    m = base.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+        F.sum(F.when(is_a, dx).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("sxa"),
+        F.sum(F.when(~is_a, dx).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("sxb"),
+        F.sum(F.when(is_a, dx * dx).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("sxxa"),
+        F.sum(F.when(~is_a, dx * dx).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("double")
+        .alias("sxxb"),
+    )
+    mm = m.filter(
+        (F.col("na") > 1) & (F.col("nb") > 1)
+    ).select(
+        "event_type",
+        "na",
+        "nb",
+        F.expr("(sxa / na)").alias("ma"),
+        F.expr("(sxb / nb)").alias("mb"),
+        F.expr("((na * sxxa - sxa * sxa) / (na * (na - 1.0)))").alias("va"),
+        F.expr("((nb * sxxb - sxb * sxb) / (nb * (nb - 1.0)))").alias("vb"),
+    )
+    return mm.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("ma").alias("mean_a_cents"),
+        F.col("mb").alias("mean_b_cents"),
+        F.expr("((ma - mb) / sqrt(va / na + vb / nb))").alias("t_stat"),
+        F.expr("(pow(va / na + vb / nb, 2.0) / (pow(va / na, 2.0) / (na - 1.0) + pow(vb / nb, 2.0) / (nb - 1.0)))").alias("welch_df"),
+    )
+
+
+@register(
     "ols_multifeature",
     oracle="""
         WITH base AS (

@@ -585,6 +585,135 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gini_user_spend",
+    oracle="""
+        WITH totals AS (
+            SELECT event_type, user_id,
+                   CAST(sum(CAST(round(CAST(value AS DOUBLE)
+                                       * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        counts AS (
+            SELECT event_type, v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM totals GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, v, c,
+                   SUM(c) OVER (PARTITION BY event_type
+                                ORDER BY v
+                                ROWS UNBOUNDED PRECEDING)
+                       AS cum
+            FROM counts
+        ),
+        blocks AS (
+            SELECT event_type, c, v,
+                   CAST(v AS HUGEINT)
+                       * ((CAST(cum AS HUGEINT) * (cum + 1)) // 2
+                          - (CAST(cum - c AS HUGEINT)
+                             * (cum - c + 1)) // 2) AS s_block,
+                   CAST(v AS HUGEINT) * c AS t_block
+            FROM cum
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(sum(c) AS HUGEINT) AS n,
+                   CAST(sum(t_block) AS HUGEINT) AS t,
+                   CAST(sum(s_block) AS HUGEINT) AS s
+            FROM blocks GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_users,
+               CAST(t AS DOUBLE) / 100.0 AS total_value,
+               (2.0 * CAST(s AS DOUBLE)
+                - (CAST(n AS DOUBLE) + 1.0) * CAST(t AS DOUBLE))
+                   / nullif(CAST(n AS DOUBLE)
+                            * CAST(t AS DOUBLE), 0.0) AS gini
+        FROM g
+    """,
+    ops=("A1", "O1"),
+)
+def gini_user_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GINI concentration of per-user spend within each event
+    type — the inequality measure behind "do 1% of users drive 90%
+    of volume" dashboards (and, in corpus curation, "do 1% of
+    domains contribute 90% of documents"). Computed exactly from
+    the classic rank identity G = (2·Σ iᐧxᵢ − (n+1)·Σx)/(n·Σx)
+    with ties collapsed: equal totals contribute their rank-range
+    sum in closed form (rank-block arithmetic on the
+    value-compressed count table — tie order provably cancels),
+    so there is never a per-user global sort. All sums are exact
+    integers in DECIMAL(38,0) (rule 11); one double division at
+    the end, NULL when total spend is zero.
+
+    Scale: corpus → per-user totals (map-side combinable) →
+    per-(type, value) counts → a cumulative window over the
+    value-compressed table only (the quantiles-operator shape)."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value").cast("double") * 100).cast(
+        "bigint"
+    )
+    totals = ev.select(
+        "event_type", "user_id", cents.alias("cents")
+    ).groupBy("event_type", "user_id").agg(
+        F.sum("cents").cast("bigint").alias("v")
+    )
+    counts = totals.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    tri = lambda c: (dec(c) * dec(c + 1)).cast(  # noqa: E731
+        "decimal(38,0)"
+    ) / 2
+    blocks = cum.select(
+        "event_type",
+        "c",
+        (
+            dec(F.col("v"))
+            * (
+                (dec(F.col("cum")) * dec(F.col("cum") + 1)).cast(
+                    "decimal(38,0)"
+                )
+                - (
+                    dec(F.col("cum") - F.col("c"))
+                    * dec(F.col("cum") - F.col("c") + 1)
+                ).cast("decimal(38,0)")
+            )
+            / 2
+        ).cast("decimal(38,0)").alias("s_block"),
+        (dec(F.col("v")) * dec(F.col("c"))).alias("t_block"),
+    )
+    g = blocks.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("t_block").cast("decimal(38,0)").alias("t"),
+        F.sum("s_block").cast("decimal(38,0)").alias("s"),
+    )
+    n = F.col("n").cast("double")
+    t = F.col("t").cast("double")
+    s = F.col("s").cast("double")
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        (t / F.lit(100.0)).alias("total_value"),
+        (
+            (F.lit(2.0) * s - (n + F.lit(1.0)) * t)
+            / F.nullif(n * t, F.lit(0.0))
+        ).alias("gini"),
+    )
+
+
+@register(
     "funnel_step_latency",
     oracle="""
         WITH seq AS (
