@@ -570,40 +570,110 @@ def ols_multifeature(
             FROM events
         ),
         rs AS (
-            SELECT s.b, base.event_type, base.cents,
-                   md5(CAST(s.b AS VARCHAR) || ':'
+            SELECT s.g, base.event_type, base.cents,
+                   md5(CAST(s.g AS VARCHAR) || ':'
                        || CAST(base.event_id AS VARCHAR)) AS h
             FROM base,
-                 (SELECT unnest(generate_series(0, 47))
-                      AS b) s
+                 (SELECT unnest(generate_series(0, 5))
+                      AS g) s
         ),
         um AS (
-            SELECT event_type, b, cents,
-                   (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
-                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
-                   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
-                   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
-                   + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
-                   + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
-                   + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS u32
+            SELECT event_type, g, cents,
+                   substr(h, 1, 4) AS s0,
+                   substr(h, 5, 4) AS s1,
+                   substr(h, 9, 4) AS s2,
+                   substr(h, 13, 4) AS s3,
+                   substr(h, 17, 4) AS s4,
+                   substr(h, 21, 4) AS s5,
+                   substr(h, 25, 4) AS s6,
+                   substr(h, 29, 4) AS s7
             FROM rs
         ),
         mm AS (
-            SELECT event_type, b, cents,
-                   CASE WHEN u32 < 1580030168 THEN 0
-                        WHEN u32 < 3160060337 THEN 1
-                        WHEN u32 < 3950075421 THEN 2
-                        WHEN u32 < 4213413783 THEN 3
-                        WHEN u32 < 4279248373 THEN 4
-                        ELSE 5 END AS m
+            SELECT event_type, g, cents,
+                   CASE WHEN s0 < '5e2d' THEN 0
+                        WHEN s0 < 'bc5a' THEN 1
+                        WHEN s0 < 'eb71' THEN 2
+                        WHEN s0 < 'fb23' THEN 3
+                        WHEN s0 < 'ff10' THEN 4
+                        ELSE 5 END AS m0,
+                   CASE WHEN s1 < '5e2d' THEN 0
+                        WHEN s1 < 'bc5a' THEN 1
+                        WHEN s1 < 'eb71' THEN 2
+                        WHEN s1 < 'fb23' THEN 3
+                        WHEN s1 < 'ff10' THEN 4
+                        ELSE 5 END AS m1,
+                   CASE WHEN s2 < '5e2d' THEN 0
+                        WHEN s2 < 'bc5a' THEN 1
+                        WHEN s2 < 'eb71' THEN 2
+                        WHEN s2 < 'fb23' THEN 3
+                        WHEN s2 < 'ff10' THEN 4
+                        ELSE 5 END AS m2,
+                   CASE WHEN s3 < '5e2d' THEN 0
+                        WHEN s3 < 'bc5a' THEN 1
+                        WHEN s3 < 'eb71' THEN 2
+                        WHEN s3 < 'fb23' THEN 3
+                        WHEN s3 < 'ff10' THEN 4
+                        ELSE 5 END AS m3,
+                   CASE WHEN s4 < '5e2d' THEN 0
+                        WHEN s4 < 'bc5a' THEN 1
+                        WHEN s4 < 'eb71' THEN 2
+                        WHEN s4 < 'fb23' THEN 3
+                        WHEN s4 < 'ff10' THEN 4
+                        ELSE 5 END AS m4,
+                   CASE WHEN s5 < '5e2d' THEN 0
+                        WHEN s5 < 'bc5a' THEN 1
+                        WHEN s5 < 'eb71' THEN 2
+                        WHEN s5 < 'fb23' THEN 3
+                        WHEN s5 < 'ff10' THEN 4
+                        ELSE 5 END AS m5,
+                   CASE WHEN s6 < '5e2d' THEN 0
+                        WHEN s6 < 'bc5a' THEN 1
+                        WHEN s6 < 'eb71' THEN 2
+                        WHEN s6 < 'fb23' THEN 3
+                        WHEN s6 < 'ff10' THEN 4
+                        ELSE 5 END AS m6,
+                   CASE WHEN s7 < '5e2d' THEN 0
+                        WHEN s7 < 'bc5a' THEN 1
+                        WHEN s7 < 'eb71' THEN 2
+                        WHEN s7 < 'fb23' THEN 3
+                        WHEN s7 < 'ff10' THEN 4
+                        ELSE 5 END AS m7
             FROM um
         ),
-        agg AS (
-            SELECT event_type, b,
-                   CAST(sum(m) AS BIGINT) AS n_eff,
-                   CAST(sum(m * cents) AS BIGINT) AS wsum
+        agg0 AS (
+            SELECT event_type, g,
+                   CAST(sum(m0) AS BIGINT) AS n0,
+                   CAST(sum(m0 * cents) AS BIGINT) AS w0,
+                   CAST(sum(m1) AS BIGINT) AS n1,
+                   CAST(sum(m1 * cents) AS BIGINT) AS w1,
+                   CAST(sum(m2) AS BIGINT) AS n2,
+                   CAST(sum(m2 * cents) AS BIGINT) AS w2,
+                   CAST(sum(m3) AS BIGINT) AS n3,
+                   CAST(sum(m3 * cents) AS BIGINT) AS w3,
+                   CAST(sum(m4) AS BIGINT) AS n4,
+                   CAST(sum(m4 * cents) AS BIGINT) AS w4,
+                   CAST(sum(m5) AS BIGINT) AS n5,
+                   CAST(sum(m5 * cents) AS BIGINT) AS w5,
+                   CAST(sum(m6) AS BIGINT) AS n6,
+                   CAST(sum(m6 * cents) AS BIGINT) AS w6,
+                   CAST(sum(m7) AS BIGINT) AS n7,
+                   CAST(sum(m7 * cents) AS BIGINT) AS w7
             FROM mm GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT event_type,
+                   g * 8 + j.j AS b,
+                   CASE j.j WHEN 0 THEN n0 WHEN 1 THEN n1
+                            WHEN 2 THEN n2 WHEN 3 THEN n3
+                            WHEN 4 THEN n4 WHEN 5 THEN n5
+                            WHEN 6 THEN n6 ELSE n7 END AS n_eff,
+                   CASE j.j WHEN 0 THEN w0 WHEN 1 THEN w1
+                            WHEN 2 THEN w2 WHEN 3 THEN w3
+                            WHEN 4 THEN w4 WHEN 5 THEN w5
+                            WHEN 6 THEN w6 ELSE w7 END AS wsum
+            FROM agg0,
+                 (SELECT unnest(generate_series(0, 7)) AS j) j
         ),
         means AS (
             SELECT event_type, b,
@@ -645,10 +715,14 @@ def bootstrap_ci_mean(
     large-scale eval pipeline with the randomness replaced by hash
     arithmetic, so two engines (and two runs) produce identical
     intervals. Each of B=48 resamples draws row multiplicity
-    m ~ Poisson(1) (capped at 5) from the first 32 bits of
-    md5(b:event_id), compared against exact integer CDF
-    thresholds (floor(CDF_k * 2^32) literals — never a double
-    comparison); resample means are single divisions of exact
+    m ~ Poisson(1) (capped at 5) from one of eight 16-bit slices
+    of md5(g:event_id) (g = b div 8 — eight resamples per hash,
+    8x less hashing than one md5 per resample; md5 throughput is
+    the measured bottleneck on both engines), compared against
+    exact CDF thresholds as fixed-width HEX-STRING literals
+    (floor(CDF_k * 2^16) rendered '%04x' — same-width lowercase
+    hex orders lexicographically like its value, so neither
+    engine converts hex to int); resample means are single divisions of exact
     BIGINT sums; the CI picks ranks 2 and 47 of the 48
     sorted means (2.5/97.5%). Poisson bootstrap (Chamandy et al.,
     "Estimating Uncertainty for Massive Data Streams") is THE
@@ -672,55 +746,98 @@ def bootstrap_ci_mean(
         F.round(F.col("value").cast("double") * 100)
         .cast("bigint")
         .alias("cents"),
-    ).repartition(par)
+    )
+    # rule-3 pre-expansion repartition, rule-20 stats-gated: only
+    # when the scan's natural split count underfills the cores —
+    # a well-split source skips a full-corpus shuffle. Hash once
+    # per (row, g in 0..5); eight 16-bit slices per md5 ride the
+    # (row, g) stream as columns into a 16-sum aggregate, and the
+    # tiny (|types| x 6)-row result unpivots to (type, b) — the
+    # 48-way row expansion never materializes.
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
     rs = base.select(
         "event_id",
         "event_type",
         "cents",
         F.explode(
-            F.array(*[F.lit(b) for b in range(48)])
-        ).alias("b"),
+            F.array(*[F.lit(g) for g in range(6)])
+        ).alias("g"),
+    ).select(
+        "event_type",
+        "g",
+        "cents",
+        F.md5(
+            F.concat(
+                F.col("g").cast("string"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        ).alias("h"),
     )
+    # Threshold compares run DIRECTLY on fixed-width lowercase hex
+    # slices: same-width hex orders lexicographically like its
+    # value on BOTH engines, so no hex->int conversion anywhere
+    # (Spark conv measured 0.74s at sf1); 16-bit slices give 8
+    # resamples per md5 — the md5 count (the measured bottleneck:
+    # Spark ~22M md5/s) is 6/row, not 48.
     um = rs.select(
         "event_type",
-        "b",
+        "g",
         "cents",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("b").cast("string"),
-                        F.lit(":"),
-                        F.col("event_id").cast("string"),
+        *[
+            F.substring("h", 1 + 4 * j, 4).alias(f"s{j}")
+            for j in range(8)
+        ],
+    )
+
+    def _m(c):
+        return (
+            F.when(c < "5e2d", 0)
+            .when(c < "bc5a", 1)
+            .when(c < "eb71", 2)
+            .when(c < "fb23", 3)
+            .when(c < "ff10", 4)
+            .otherwise(5)
+        )
+
+    mm = um.select(
+        "event_type",
+        "g",
+        "cents",
+        *[_m(F.col(f"s{j}")).alias(f"m{j}") for j in range(8)],
+    )
+    agg0 = mm.groupBy("event_type", "g").agg(
+        *[
+            a
+            for j in range(8)
+            for a in (
+                F.sum(f"m{j}").cast("bigint").alias(f"n{j}"),
+                F.sum(F.col(f"m{j}") * F.col("cents"))
+                .cast("bigint")
+                .alias(f"w{j}"),
+            )
+        ]
+    )
+    agg = agg0.select(
+        "event_type",
+        "g",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"n{j}").alias("n_eff"),
+                        F.col(f"w{j}").alias("wsum"),
                     )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("u32"),
-    )
-    u = F.col("u32")
-    m = (
-        F.when(u < 1580030168, 0)
-        .when(u < 3160060337, 1)
-        .when(u < 3950075421, 2)
-        .when(u < 4213413783, 3)
-        .when(u < 4279248373, 4)
-        .otherwise(5)
-    )
-    agg = (
-        um.select("event_type", "b", "cents", m.alias("m"))
-        .groupBy("event_type", "b")
-        .agg(
-            F.sum("m").cast("bigint").alias("n_eff"),
-            F.sum(F.col("m") * F.col("cents"))
-            .cast("bigint")
-            .alias("wsum"),
-        )
+                    for j in range(8)
+                ]
+            )
+        ).alias("j", "x"),
+    ).select(
+        "event_type",
+        (F.col("g") * 8 + F.col("j")).alias("b"),
+        F.col("x.n_eff").alias("n_eff"),
+        F.col("x.wsum").alias("wsum"),
     )
     means = agg.filter(F.col("n_eff") > 0).select(
         "event_type",

@@ -138,6 +138,13 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "seasonal_anomaly_flags",
     "survival_curve_km",
     "entity_resolution_clusters",
+    # round-7 additions
+    "simhash_band_near_dup",
+    "tokenizer_fertility",
+    "corpus_minhash_similarity",
+    "label_noise_report",
+    "bootstrap_ci_mean",
+    "funnel_step_latency",
     "winsorized_stats",
     "sequence_pattern3_counts",
     "wordpiece_encode_stats",
