@@ -103,6 +103,38 @@ class TestNaiveBayes:
         got = self._run(spark, train, test)
         assert got[1][0] == "a"
 
+    def test_class_scores_full_frame(self, spark):
+        """nb_class_scores: every (doc, class) pair present —
+        in-vocab docs via the scored path, all-OOV docs completed
+        prior-only (the label_noise_report contract)."""
+        import math as _math
+
+        from afg_data_pipeline_spark.operators.classify import (
+            nb_class_scores,
+        )
+
+        train = [("a", "x x x"), ("a", "x y"), ("b", "z")]
+        test = [(1, "x z"), (2, "qqq www")]
+        train_df = spark.createDataFrame(train, ["cls", "text"])
+        test_df = spark.createDataFrame(
+            test, ["doc_id", "text"]
+        )
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        tm, cm = nb_train(train_df, "cls", toks)
+        rows = nb_class_scores(
+            test_df, "doc_id", toks, tm, cm
+        ).collect()
+        got = {(r.doc_id, r.cls): int(r.score_q) for r in rows}
+        # full frame: 2 docs x 2 classes
+        assert set(got) == {(1, "a"), (1, "b"), (2, "a"), (2, "b")}
+        # all-OOV doc 2 scores the PRIOR exactly, per class
+        assert got[(2, "a")] == round(_math.log(2 / 3) * GRID)
+        assert got[(2, "b")] == round(_math.log(1 / 3) * GRID)
+        # in-vocab doc 1: strictly below the bare prior (adds
+        # negative token log-likelihoods)
+        assert got[(1, "a")] < round(_math.log(2 / 3) * GRID)
+        assert got[(1, "b")] < round(_math.log(1 / 3) * GRID)
+
 
 class TestExactAuc:
     def _auc(self, spark, rows):
