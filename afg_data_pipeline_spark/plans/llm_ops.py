@@ -771,6 +771,116 @@ _NEAR_DUP_COMPONENTS_ORACLE = """
     """
 
 
+_COMPONENTS_TAIL = """
+        SELECT v AS doc_id, min(r) AS component
+        FROM reach GROUP BY v
+    """
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=_NEAR_DUP_COMPONENTS_ORACLE.replace(
+        _COMPONENTS_TAIL,
+        """,
+        comps AS (
+            SELECT v AS doc_id, min(r) AS component
+            FROM reach GROUP BY v
+        ),
+        fulld AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS component,
+                   d.n_chars
+            FROM documents d LEFT JOIN comps c USING (doc_id)
+        ),
+        clusters AS (
+            SELECT component,
+                   CAST(count(*) AS BIGINT) AS sz,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id
+            FROM fulld GROUP BY component
+        ),
+        kept AS (
+            SELECT c.sz, c.chars_total,
+                   f.n_chars AS chars_kept
+            FROM clusters c
+            JOIN fulld f ON f.doc_id = c.keep_id
+        )
+        SELECT sz AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
+               CAST(sum(chars_total - chars_kept) AS BIGINT)
+                   AS chars_removed
+        FROM kept GROUP BY sz
+    """,
+    ),
+    ops=("DEDUP", "A1"),
+)
+def dedup_cluster_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHAT DEDUP BUYS: the near-duplicate cluster-size histogram
+    with its savings ledger — for each cluster size, how many
+    clusters exist and how many documents/characters a
+    keep-the-min-id policy removes (size-1 rows count the
+    untouched corpus). The one-table answer to "is near-dup
+    worth running on this corpus", composed from the SAME
+    pipeline near_dup_components certifies (banded MinHash ->
+    verified pairs -> min-label components).
+
+    Scale shape: components ride the checkpointed iterative
+    operator; everything after is the narrow (doc_id, component,
+    n_chars) frame — one aggregate to clusters, one keeper
+    equi-join, one histogram aggregate. Exact BIGINT counts
+    (corpus character sums are < 2^63 for any corpus under ~9
+    exabytes)."""
+    from afg_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_candidates(docs).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comps = connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b"
+    ).select(F.col("vertex").alias("doc_id"), "component")
+    fulld = (
+        docs.select("doc_id", "n_chars")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias(
+                "component"
+            ),
+            "n_chars",
+        )
+        .localCheckpoint(eager=False)
+    )
+    clusters = fulld.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+    )
+    kept = clusters.join(
+        fulld.select(
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("chars_kept"),
+        ),
+        "keep_id",
+    )
+    return kept.groupBy(
+        F.col("sz").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias(
+            "docs_removed"
+        ),
+        F.sum(F.col("chars_total") - F.col("chars_kept"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+
+
 @register(
     "near_dup_components",
     oracle=_NEAR_DUP_COMPONENTS_ORACLE,
