@@ -351,6 +351,199 @@ def pareto_frontier(
 
 
 @register(
+    "distribution_drift_psi",
+    oracle="""
+        WITH vc AS (
+            SELECT n_chars AS v, count(*) AS c
+            FROM documents GROUP BY 1
+        ),
+        cum AS (
+            SELECT v,
+                   SUM(c) OVER (ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER () AS n
+            FROM vc
+        ),
+        cuts AS (
+            SELECT min(CASE WHEN cum >= (n * 1 + 9) // 10 THEN v END) AS p10,
+                   min(CASE WHEN cum >= (n * 1 + 4) // 5 THEN v END) AS p20,
+                   min(CASE WHEN cum >= (n * 3 + 9) // 10 THEN v END) AS p30,
+                   min(CASE WHEN cum >= (n * 2 + 4) // 5 THEN v END) AS p40,
+                   min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN v END) AS p50,
+                   min(CASE WHEN cum >= (n * 3 + 4) // 5 THEN v END) AS p60,
+                   min(CASE WHEN cum >= (n * 7 + 9) // 10 THEN v END) AS p70,
+                   min(CASE WHEN cum >= (n * 4 + 4) // 5 THEN v END) AS p80,
+                   min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS p90
+            FROM cum
+        ),
+        binned AS (
+            SELECT d.source,
+                   CAST(n_chars > c.p10 AS INTEGER)
+                   + CAST(n_chars > c.p20 AS INTEGER)
+                   + CAST(n_chars > c.p30 AS INTEGER)
+                   + CAST(n_chars > c.p40 AS INTEGER)
+                   + CAST(n_chars > c.p50 AS INTEGER)
+                   + CAST(n_chars > c.p60 AS INTEGER)
+                   + CAST(n_chars > c.p70 AS INTEGER)
+                   + CAST(n_chars > c.p80 AS INTEGER)
+                   + CAST(n_chars > c.p90 AS INTEGER) AS bin
+            FROM documents d, cuts c
+        ),
+        sc AS (
+            SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+            FROM binned GROUP BY 1, 2
+        ),
+        ns AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_s
+            FROM documents GROUP BY 1
+        ),
+        tb AS (
+            SELECT bin, CAST(sum(c) AS BIGINT) AS c_tot
+            FROM sc GROUP BY 1
+        ),
+        nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        ),
+        grid AS (
+            SELECT s.source, b.bin, s.n_s, nn.n
+            FROM ns s,
+                 (SELECT unnest(generate_series(0, 9)) AS bin) b,
+                 nn
+        ),
+        pq AS (
+            SELECT g.source, g.n_s,
+                   (CAST(COALESCE(s.c, 0) + 1 AS DOUBLE))
+                       / (CAST(g.n_s AS DOUBLE) + 10.0) AS p,
+                   (CAST(t.c_tot - COALESCE(s.c, 0) + 1
+                         AS DOUBLE))
+                       / (CAST(g.n - g.n_s AS DOUBLE) + 10.0)
+                       AS q
+            FROM grid g
+            LEFT JOIN sc s
+              ON s.source = g.source AND s.bin = g.bin
+            JOIN tb t ON t.bin = g.bin
+        ),
+        terms AS (
+            SELECT source, n_s,
+                   CAST(round(((p - q) * ln(p / q))
+                              * 1000000000000.0) AS BIGINT)
+                       AS term_q
+            FROM pq
+        )
+        SELECT source,
+               CAST(max(n_s) AS BIGINT) AS n_docs,
+               CAST(CAST(sum(term_q) AS BIGINT) AS DOUBLE)
+                   / 1000000000000.0 AS psi
+        FROM terms GROUP BY source
+    """,
+    ops=("A2", "A1"),
+)
+def distribution_drift_psi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISTRIBUTION-DRIFT monitor: the Population Stability Index
+    of each source's document-length distribution against the rest
+    of the corpus, over the corpus's own global decile bins — the
+    production-ML drift gate ("did this feed change shape") run
+    leave-one-out across ingest sources. PSI < 0.1 is the classic
+    stable threshold; > 0.25 flags a shifted feed.
+
+    Exactness: the ten bins come from exact-rational ceil(q·n)
+    discrete percentiles of the value-compressed length table;
+    bin shares are Laplace-smoothed exact integer ratios; each
+    bin's PSI term (p−q)·ln(p/q) is an identically-shaped double
+    expression on both engines snapped once to the 1e12 grid
+    (rule 1c) so the sum is exact integer math. Scale: one
+    value-compressed cumulative window for the cuts (never a
+    corpus sort), one broadcast of the 9 cuts, one
+    (source × 10)-cell grid for the rest."""
+    from functools import reduce
+
+    from afg_data_pipeline_spark.operators.quantiles import (
+        grouped_percentile_disc,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = grouped_percentile_disc(
+        docs.select(F.lit(1).alias("g"), "n_chars"),
+        "g",
+        "n_chars",
+        qs,
+    ).drop("g", "n")
+    names = [f"p{int(q * 100)}" for q in qs]
+    binned = docs.select("source", "n_chars").crossJoin(
+        F.broadcast(cuts)
+    ).select(
+        "source",
+        reduce(
+            lambda a, b: a + b,
+            [
+                (F.col("n_chars") > F.col(nm)).cast("int")
+                for nm in names
+            ],
+        ).alias("bin"),
+    )
+    sc = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)
+    ns = sc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    tb = sc.groupBy("bin").agg(
+        F.sum("c").cast("bigint").alias("c_tot")
+    )
+    nn = sc.agg(F.sum("c").cast("bigint").alias("n"))
+    grid = (
+        ns.crossJoin(
+            F.broadcast(
+                spark.range(10).select(
+                    F.col("id").cast("int").alias("bin")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(nn))
+        .join(sc, ["source", "bin"], "left")
+        .join(F.broadcast(tb), "bin")
+    )
+    pq = grid.select(
+        "source",
+        "n_s",
+        (
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_s").cast("double") + F.lit(10.0))
+        ).alias("p"),
+        (
+            (
+                F.col("c_tot")
+                - F.coalesce(F.col("c"), F.lit(0))
+                + 1
+            ).cast("double")
+            / (
+                (F.col("n") - F.col("n_s")).cast("double")
+                + F.lit(10.0)
+            )
+        ).alias("q"),
+    )
+    terms = pq.select(
+        "source",
+        "n_s",
+        F.round(
+            F.expr("(p - q) * ln(p / q)") * F.lit(1e12)
+        )
+        .cast("bigint")
+        .alias("term_q"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_docs"),
+        (
+            F.sum("term_q").cast("bigint").cast("double")
+            / F.lit(1e12)
+        ).alias("psi"),
+    )
+
+
+@register(
     "ab_test_welch",
     oracle="""
         WITH base AS (
