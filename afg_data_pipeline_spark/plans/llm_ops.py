@@ -771,6 +771,115 @@ _NEAR_DUP_COMPONENTS_ORACLE = """
     """
 
 
+@register(
+    "cross_source_dup_matrix",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS s
+            FROM tokd
+        ),
+        sig AS (
+            SELECT doc_id, s,
+                   list_aggregate(list_transform(s, x -> md5('0|' || x)), 'min') AS mh0,
+                   list_aggregate(list_transform(s, x -> md5('1|' || x)), 'min') AS mh1,
+                   list_aggregate(list_transform(s, x -> md5('2|' || x)), 'min') AS mh2,
+                   list_aggregate(list_transform(s, x -> md5('3|' || x)), 'min') AS mh3,
+                   list_aggregate(list_transform(s, x -> md5('4|' || x)), 'min') AS mh4,
+                   list_aggregate(list_transform(s, x -> md5('5|' || x)), 'min') AS mh5,
+                   list_aggregate(list_transform(s, x -> md5('6|' || x)), 'min') AS mh6,
+                   list_aggregate(list_transform(s, x -> md5('7|' || x)), 'min') AS mh7
+            FROM sh
+        ),
+        long AS (
+            SELECT doc_id,
+                   unnest(['0|' || mh0 || '|' || mh1,
+                           '1|' || mh2 || '|' || mh3,
+                           '2|' || mh4 || '|' || mh5,
+                           '3|' || mh6 || '|' || mh7]) AS band_key
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM long a JOIN long b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT p.doc_id_a, p.doc_id_b
+            FROM cand p
+            JOIN sh sa ON sa.doc_id = p.doc_id_a
+            JOIN sh sb ON sb.doc_id = p.doc_id_b
+            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(len(sa.s) + len(sb.s)
+                         - len(list_intersect(sa.s, sb.s))
+                         AS DOUBLE) >= 0.5
+        )
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_dup_pairs
+        FROM verified v
+        JOIN documents da ON da.doc_id = v.doc_id_a
+        JOIN documents db ON db.doc_id = v.doc_id_b
+        GROUP BY 1, 2
+    """,
+    ops=("DEDUP", "A1"),
+)
+def cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROVENANCE of duplication: verified near-dup pairs
+    (banded MinHash, Jaccard >= 0.5) rolled up by unordered
+    source pair — the table that tells a curation team which
+    ingest feeds are mirroring each other (off-diagonal mass) vs
+    merely self-duplicating (diagonal). The cross-SOURCE view the
+    per-document near-dup queries cannot show.
+
+    Scale shape: rides the certified minhash_lsh_candidates
+    pipeline (banded — never all-pairs); the source lookup is two
+    equi-joins against the (doc_id, source) projection (corpus-
+    sized — never broadcast-hinted; AQE picks); the
+    matrix aggregate is |sources|^2-bounded. least/greatest
+    canonicalizes the pair so A->B and B->A land in one cell."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_candidates(docs).filter(
+        F.col("jaccard") >= 0.5
+    )
+    srcs = docs.select("doc_id", "source")
+    sa = srcs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("source").alias("src_a"),
+    )
+    sb = srcs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("source").alias("src_b"),
+    )
+    # no broadcast hint: the (doc_id, source) map is CORPUS-sized
+    # — AQE broadcasts it at small scale and shuffle-joins on the
+    # 8-byte key at 100 TB; a forced broadcast would OOM the driver
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
+        )
+    )
+
+
 _COMPONENTS_TAIL = """
         SELECT v AS doc_id, min(r) AS component
         FROM reach GROUP BY v
