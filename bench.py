@@ -211,6 +211,18 @@ HEADLINE = [
     "simhash_band_near_dup",
     "tokenizer_fertility",
     "corpus_minhash_similarity",
+    "label_noise_report",
+    "bootstrap_ci_mean",
+    "correlation_matrix",
+    "k_anonymity_report",
+    "zipf_fit_report",
+    "funnel_step_latency",
+    "ab_test_welch",
+    "gini_user_spend",
+    "ols_multifeature",
+    "distribution_drift_psi",
+    "dedup_cluster_stats",
+    "cross_source_dup_matrix",
 ]
 
 
