@@ -145,6 +145,15 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "label_noise_report",
     "bootstrap_ci_mean",
     "funnel_step_latency",
+    "zipf_fit_report",
+    "gini_user_spend",
+    "correlation_matrix",
+    "ab_test_welch",
+    "k_anonymity_report",
+    "distribution_drift_psi",
+    "ols_multifeature",
+    "dedup_cluster_stats",
+    "cross_source_dup_matrix",
     "winsorized_stats",
     "sequence_pattern3_counts",
     "wordpiece_encode_stats",
