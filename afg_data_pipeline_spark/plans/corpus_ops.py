@@ -1804,6 +1804,117 @@ def tokenizer_fertility(
 
 
 @register(
+    "token_budget_allocation",
+    oracle="""
+        WITH ws AS (
+            SELECT source,
+                   CAST(sum(len(regexp_split_to_array(
+                       trim(text), '\\s+'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS w FROM ws
+        ),
+        quota AS (
+            SELECT source, n_tokens,
+                   CAST((CAST(n_tokens AS HUGEINT) * 1000000)
+                        // t.w AS BIGINT) AS base,
+                   CAST((CAST(n_tokens AS HUGEINT) * 1000000)
+                        % t.w AS BIGINT) AS rem
+            FROM ws, tot t
+        ),
+        l AS (
+            SELECT CAST(1000000 - sum(base) AS BIGINT)
+                       AS leftover
+            FROM quota
+        ),
+        ranked AS (
+            SELECT source, n_tokens, base, rem,
+                   row_number() OVER (
+                       ORDER BY rem DESC, source ASC) AS rk
+            FROM quota
+        )
+        SELECT r.source, r.n_tokens, r.base,
+               CAST(CASE WHEN r.rk <= l.leftover
+                         THEN 1 ELSE 0 END AS BIGINT) AS extra,
+               r.base + CASE WHEN r.rk <= l.leftover
+                             THEN 1 ELSE 0 END AS alloc_tokens
+        FROM ranked r, l
+    """,
+    ops=("A1", "O1"),
+)
+def token_budget_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKEN-BUDGET apportionment: split a 1,000,000-token
+    training budget across ingest sources proportionally to their
+    token mass using LARGEST-REMAINDER (Hamilton) apportionment —
+    the exact-integer answer to "how many tokens does each domain
+    contribute to this mix", with the property fractional quotas
+    cannot give: allocations are integers, sum EXACTLY to the
+    budget, and each is within 1 of its exact proportional share.
+    The deterministic core of a domain-mixture sampler (the
+    temperature-resampling twin is domain_mixture_resample).
+
+    Exactness: base_i = floor(B·w_i / W) and the remainder rank
+    are pure integer arithmetic (DECIMAL(38,0) product — B·w_i
+    has no provable 2^63 bound at corpus scale, rule 11); the
+    leftover +1s go to the largest remainders with a source-name
+    tie-break. Scale: one map-side-combinable token count per
+    source, then |sources|-sized arithmetic."""
+    from pyspark.sql import Window
+
+    from afg_data_pipeline_spark.operators import text as TX
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    B = 1_000_000
+    ws = docs.groupBy("source").agg(
+        F.sum(F.size(TX.tokens("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    tot = ws.agg(
+        F.sum("n_tokens").cast("bigint").alias("w")
+    )
+    quota = ws.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            f"cast((cast(n_tokens as decimal(38,0)) * {B})"
+            " div w as bigint)"
+        ).alias("base"),
+        F.expr(
+            f"cast((cast(n_tokens as decimal(38,0)) * {B})"
+            " % w as bigint)"
+        ).alias("rem"),
+    )
+    l = quota.agg(
+        (F.lit(B) - F.sum("base")).cast("bigint").alias(
+            "leftover"
+        )
+    )
+    wnd = Window.orderBy(
+        F.col("rem").desc(), F.col("source").asc()
+    )
+    ranked = quota.withColumn(
+        "rk", F.row_number().over(wnd)
+    ).crossJoin(F.broadcast(l))
+    extra = F.when(
+        F.col("rk") <= F.col("leftover"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "base",
+        extra.cast("bigint").alias("extra"),
+        (F.col("base") + extra).cast("bigint").alias(
+            "alloc_tokens"
+        ),
+    )
+
+
+@register(
     "k_anonymity_report",
     oracle="""
         WITH q AS (
