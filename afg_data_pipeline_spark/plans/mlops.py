@@ -1063,6 +1063,115 @@ def bootstrap_ci_mean(
 
 
 @register(
+    "classifier_kappa",
+    oracle=_NB_ORACLE_CTES
+    + """,
+        preds AS (
+            SELECT b.doc_id, b.cls AS pred_cls, te.lang
+                       AS actual_cls
+            FROM best b JOIN test te USING (doc_id)
+            WHERE b.rn = 1
+        ),
+        m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CASE WHEN pred_cls = actual_cls
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS agree
+            FROM preds
+        ),
+        marg AS (
+            SELECT CAST(SUM(CAST(np AS HUGEINT) * na) AS DOUBLE)
+                       AS pesum
+            FROM (
+                SELECT p.cls,
+                       CAST(count(*) AS BIGINT) AS np,
+                       CAST(max(a.na) AS BIGINT) AS na
+                FROM (SELECT pred_cls AS cls FROM preds) p
+                JOIN (SELECT actual_cls AS cls,
+                             count(*) AS na
+                      FROM preds GROUP BY 1) a USING (cls)
+                GROUP BY p.cls
+            )
+        )
+        SELECT CAST(m.n AS BIGINT) AS n,
+               (agree / n) AS po,
+               (pesum / (n * n)) AS pe,
+               (((agree / n) - (pesum / (n * n))) / (1.0 - (pesum / (n * n)))) AS kappa
+        FROM m, marg
+    """,
+    ops=("A1", "J1"),
+)
+def classifier_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COHEN'S KAPPA between the NB classifier and the given
+    labels on the held-out half — chance-corrected agreement, the
+    metric that exposes a classifier coasting on class imbalance
+    (accuracy can be high while kappa ~ 0). po is observed
+    agreement, pe the expected agreement of independent raters
+    with the same marginals, kappa = (po - pe)/(1 - pe).
+
+    Exactness: all counts are exact integers (the pe numerator
+    Σ n_pred_c·n_actual_c accumulates in DECIMAL(38,0), rule 11);
+    the three reported ratios are shared infix formula strings
+    parsed by both engines (the ols_multifeature discipline).
+    Classes predicted but never actual (or vice versa) contribute
+    zero to pe via the inner marginal join. Scale: rides the NB
+    pipeline; everything after the argmax is |classes|-sized."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    token_model, class_model = nb_train(
+        train, "lang", TX.tokens("text")
+    )
+    scored = nb_score(
+        test, "doc_id", TX.tokens("text"), token_model,
+        class_model,
+    )
+    preds = scored.join(
+        test.select(
+            "doc_id", F.col("lang").alias("actual_cls")
+        ),
+        "doc_id",
+    ).select("pred_cls", "actual_cls").localCheckpoint(
+        eager=False
+    )
+    m = preds.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(
+            F.when(
+                F.col("pred_cls") == F.col("actual_cls"), 1
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("agree"),
+    )
+    np_ = preds.groupBy(
+        F.col("pred_cls").alias("cls")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    na_ = preds.groupBy(
+        F.col("actual_cls").alias("cls")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    marg = (
+        np_.join(na_, "cls")
+        .agg(
+            F.sum(
+                F.col("np").cast("decimal(38,0)")
+                * F.col("na").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("pesum")
+        )
+    )
+    return m.crossJoin(F.broadcast(marg)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("(agree / n)").alias("po"),
+        F.expr("(pesum / (n * n))").alias("pe"),
+        F.expr("(((agree / n) - (pesum / (n * n))) / (1.0 - (pesum / (n * n))))").alias("kappa"),
+    )
+
+
+@register(
     "label_noise_report",
     oracle=_NB_ORACLE_CTES
     + """,

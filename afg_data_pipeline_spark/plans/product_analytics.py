@@ -585,6 +585,132 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cusum_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(sum(CAST(round(CAST(value AS DOUBLE)
+                                       * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(v) AS BIGINT) AS total
+            FROM daily GROUP BY 1
+        ),
+        cum AS (
+            SELECT d.event_type, d.d,
+                   SUM(d.v) OVER (PARTITION BY d.event_type
+                                  ORDER BY d.d
+                                  ROWS UNBOUNDED PRECEDING)
+                       AS pref,
+                   row_number() OVER (PARTITION BY d.event_type
+                                      ORDER BY d.d) AS t,
+                   s.n_days, s.total
+            FROM daily d JOIN stats s USING (event_type)
+        ),
+        dev AS (
+            SELECT event_type, d, n_days,
+                   CAST(n_days AS HUGEINT) * pref
+                       - CAST(t AS HUGEINT) * total AS c
+            FROM cum
+        ),
+        best AS (
+            SELECT event_type, d, n_days, c,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(c) DESC, d ASC) AS rk
+            FROM dev
+        )
+        SELECT event_type,
+               d AS changepoint_day,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(c AS DOUBLE) / CAST(n_days AS DOUBLE)
+                   / 100.0 AS cusum_peak_value
+        FROM best WHERE rk = 1
+    """,
+    ops=("O1", "A1"),
+)
+def cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM CHANGEPOINT detection per event type: the day where
+    the cumulative deviation of daily value from the series mean
+    peaks in magnitude — the classic single-changepoint locator of
+    monitoring pipelines (a level shift puts the |CUSUM| maximum
+    at the shift). Reported with the peak's signed value.
+
+    Exactness: the statistic is computed SCALED by n_days —
+    C'_t = n·prefix_t − t·total — so the argmax runs on exact
+    integers (DECIMAL(38,0): n·prefix has no provable 2^63 bound,
+    rule 11) and only the REPORTED peak divides back to value
+    units once. Ties break to the earliest day. Scale: the corpus
+    collapses to the (type, day) table in one map-side-combinable
+    pass; windows run over days-per-type only (value-space
+    bounded)."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.round(F.col("value").cast("double") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("v").cast("bigint").alias("total"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("event_type").orderBy("d")
+    cum = (
+        daily.withColumn("pref", F.sum("v").over(wp))
+        .withColumn("t", F.row_number().over(wr))
+        .join(stats, "event_type")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dev = cum.select(
+        "event_type",
+        "d",
+        "n_days",
+        (dec("n_days") * dec("pref") - dec("t") * dec("total"))
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    best = dev.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("c"))).alias("negabs"),
+                F.col("d").alias("d"),
+                F.col("c").alias("c"),
+                F.col("n_days").alias("n_days"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.d").alias("changepoint_day"),
+        F.col("b.n_days").alias("n_days"),
+        (
+            F.col("b.c").cast("double")
+            / F.col("b.n_days").cast("double")
+            / F.lit(100.0)
+        ).alias("cusum_peak_value"),
+    )
+
+
+@register(
     "gini_user_spend",
     oracle="""
         WITH totals AS (
