@@ -223,6 +223,9 @@ HEADLINE = [
     "distribution_drift_psi",
     "dedup_cluster_stats",
     "cross_source_dup_matrix",
+    "token_budget_allocation",
+    "cusum_changepoint",
+    "classifier_kappa",
 ]
 
 
