@@ -159,6 +159,7 @@ def _coverage_order(names: list[str]) -> list[str]:
     }
 
     seen: dict[str, list[int]] = {n: [] for n in names}
+    raw: dict[str, int] = {n: 0 for n in names}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -171,11 +172,24 @@ def _coverage_order(names: list[str]) -> list[str]:
         except (OSError, ValueError):
             continue
         for n in data:
-            if n in seen and rnd >= stale_before.get(n, 0):
+            if n not in seen:
+                continue
+            raw[n] += 1
+            if rnd >= stale_before.get(n, 0):
                 seen[n].append(rnd)
+    # Secondary key raw[n]: when zero-coverage entries exceed the
+    # driver's 50-slot window, NEVER-checked queries (raw 0) must
+    # outrank stale re-certifications (raw >= 1) — a stale query
+    # has at least one historical green row, a never-checked one
+    # has none.
     return sorted(
         names,
-        key=lambda n: (len(seen[n]), max(seen[n], default=0), n),
+        key=lambda n: (
+            len(seen[n]),
+            raw[n],
+            max(seen[n], default=0),
+            n,
+        ),
     )
 
 
