@@ -27,6 +27,9 @@ from afg_data_pipeline_spark.operators.dedup import (
 from afg_data_pipeline_spark.operators.multimodal import (
     extract_features,
 )
+from afg_data_pipeline_spark.operators.sampling import (
+    fraction_threshold as _FT,
+)
 from afg_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucketed_topk,
@@ -769,6 +772,144 @@ _NEAR_DUP_COMPONENTS_ORACLE = """
         SELECT v AS doc_id, min(r) AS component
         FROM reach GROUP BY v
     """
+
+
+@register(
+    "split_leakage_report",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS s
+            FROM tokd
+        ),
+        sig AS (
+            SELECT doc_id, s,
+                   list_aggregate(list_transform(s, x -> md5('0|' || x)), 'min') AS mh0,
+                   list_aggregate(list_transform(s, x -> md5('1|' || x)), 'min') AS mh1,
+                   list_aggregate(list_transform(s, x -> md5('2|' || x)), 'min') AS mh2,
+                   list_aggregate(list_transform(s, x -> md5('3|' || x)), 'min') AS mh3,
+                   list_aggregate(list_transform(s, x -> md5('4|' || x)), 'min') AS mh4,
+                   list_aggregate(list_transform(s, x -> md5('5|' || x)), 'min') AS mh5,
+                   list_aggregate(list_transform(s, x -> md5('6|' || x)), 'min') AS mh6,
+                   list_aggregate(list_transform(s, x -> md5('7|' || x)), 'min') AS mh7
+            FROM sh
+        ),
+        long AS (
+            SELECT doc_id,
+                   unnest(['0|' || mh0 || '|' || mh1,
+                           '1|' || mh2 || '|' || mh3,
+                           '2|' || mh4 || '|' || mh5,
+                           '3|' || mh6 || '|' || mh7]) AS band_key
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM long a JOIN long b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT p.doc_id_a, p.doc_id_b
+            FROM cand p
+            JOIN sh sa ON sa.doc_id = p.doc_id_a
+            JOIN sh sb ON sb.doc_id = p.doc_id_b
+            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(len(sa.s) + len(sb.s)
+                         - len(list_intersect(sa.s, sb.s))
+                         AS DOUBLE) >= 0.5
+        ),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN md5('split:'
+                                 || CAST(doc_id AS VARCHAR))
+                             < '{T_TRAIN}' THEN 'train'
+                        WHEN md5('split:'
+                                 || CAST(doc_id AS VARCHAR))
+                             < '{T_VAL}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT least(xa.split, xb.split) AS split_a,
+               greatest(xa.split, xb.split) AS split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(least(xa.split, xb.split)
+                    <> greatest(xa.split, xb.split) AS INTEGER)
+                   AS is_leakage
+        FROM verified v
+        JOIN splits xa ON xa.doc_id = v.doc_id_a
+        JOIN splits xb ON xb.doc_id = v.doc_id_b
+        GROUP BY 1, 2
+    """.format(
+        T_TRAIN=_FT(0.8), T_VAL=_FT(0.9)
+    ),
+    ops=("DEDUP", "SAMPLE"),
+)
+def split_leakage_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EVAL-INTEGRITY check: near-duplicate pairs that STRADDLE
+    the deterministic train/val/test split — the data-leakage
+    audit every benchmark pipeline must run before trusting a
+    held-out score (a test doc whose near-twin sits in train is a
+    memorization leak, not a generalization measurement). Output:
+    pair counts per unordered split pair with an is_leakage flag
+    (off-diagonal = leakage; the train-train diagonal is benign
+    in-split duplication).
+
+    Composed entirely from certified pieces: banded-MinHash
+    verified pairs (J >= 0.5, never all-pairs) x the md5-threshold
+    hash_split assignment (engine-portable, retry-stable). Scale:
+    two equi-joins of the pair stream against the (doc_id, split)
+    projection (corpus-sized — no broadcast hint, AQE decides),
+    then a 3x3-bounded rollup."""
+    from afg_data_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_candidates(docs).filter(
+        F.col("jaccard") >= 0.5
+    )
+    splits = hash_split(docs, "doc_id").select(
+        "doc_id", "split"
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("split").alias("split_x"),
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("split").alias("split_y"),
+    )
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .groupBy(
+            F.least("split_x", "split_y").alias("split_a"),
+            F.greatest("split_x", "split_y").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+        )
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b"))
+            .cast("int")
+            .alias("is_leakage"),
+        )
+    )
 
 
 @register(

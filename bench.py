@@ -226,6 +226,7 @@ HEADLINE = [
     "token_budget_allocation",
     "cusum_changepoint",
     "classifier_kappa",
+    "split_leakage_report",
 ]
 
 
