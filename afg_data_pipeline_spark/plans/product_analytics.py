@@ -1046,11 +1046,17 @@ def correlation_matrix(
         .cast("bigint")
         .alias("cents"),
     )
-    buckets = pts.groupBy("event_type", "h").agg(
-        F.sum("cents").cast("bigint").alias("v")
+    # ONE corpus aggregate, checkpointed (rule 12): the bucket
+    # table feeds the hour grid, the type list, AND both sides of
+    # the pair self-join — without truncation the events scan
+    # re-runs six times (plan-audited r7: 6 scans → 1).
+    buckets = (
+        pts.groupBy("event_type", "h")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)
     )
-    hours = pts.select("h").distinct()
-    types = pts.select("event_type").distinct()
+    hours = buckets.select("h").distinct()
+    types = buckets.select("event_type").distinct()
     series = (
         types.crossJoin(hours)
         .join(buckets, ["event_type", "h"], "left")
