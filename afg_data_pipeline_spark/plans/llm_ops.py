@@ -775,6 +775,194 @@ _NEAR_DUP_COMPONENTS_ORACLE = """
 
 
 @register(
+    "lsh_recall_audit",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5('recallaudit:'
+                                    || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+            FROM documents
+        ),
+        sample AS (
+            SELECT doc_id FROM ranked WHERE rk <= 256
+        ),
+        tokd AS (
+            SELECT d.doc_id,
+                   regexp_split_to_array(trim(d.text),
+                                         '\\s+') AS t
+            FROM documents d JOIN sample USING (doc_id)
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS s
+            FROM tokd
+        ),
+        truth AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / CAST(len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))
+                          AS DOUBLE) AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(a.s) + len(b.s)
+                         - len(list_intersect(a.s, b.s))
+                         AS DOUBLE) >= 0.5
+        ),
+        sig AS (
+            SELECT doc_id, s,
+                   list_aggregate(list_transform(s, x -> md5('0|' || x)), 'min') AS mh0,
+                   list_aggregate(list_transform(s, x -> md5('1|' || x)), 'min') AS mh1,
+                   list_aggregate(list_transform(s, x -> md5('2|' || x)), 'min') AS mh2,
+                   list_aggregate(list_transform(s, x -> md5('3|' || x)), 'min') AS mh3,
+                   list_aggregate(list_transform(s, x -> md5('4|' || x)), 'min') AS mh4,
+                   list_aggregate(list_transform(s, x -> md5('5|' || x)), 'min') AS mh5,
+                   list_aggregate(list_transform(s, x -> md5('6|' || x)), 'min') AS mh6,
+                   list_aggregate(list_transform(s, x -> md5('7|' || x)), 'min') AS mh7
+            FROM sh
+        ),
+        long AS (
+            SELECT doc_id,
+                   unnest(['0|' || mh0 || '|' || mh1,
+                           '1|' || mh2 || '|' || mh3,
+                           '2|' || mh4 || '|' || mh5,
+                           '3|' || mh6 || '|' || mh7]) AS band_key
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a,
+                   b.doc_id AS doc_id_b
+            FROM long a JOIN long b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        labeled AS (
+            SELECT CASE WHEN t.j >= 0.8 THEN '0.80-1.00'
+                        WHEN t.j >= 0.65 THEN '0.65-0.80'
+                        ELSE '0.50-0.65' END AS j_band,
+                   CAST(CASE WHEN c.doc_id_a IS NOT NULL
+                             THEN 1 ELSE 0 END AS BIGINT)
+                       AS found
+            FROM truth t
+            LEFT JOIN cand c
+              ON c.doc_id_a = t.doc_id_a
+             AND c.doc_id_b = t.doc_id_b
+        )
+        SELECT j_band,
+               CAST(count(*) AS BIGINT) AS n_true_pairs,
+               CAST(sum(found) AS BIGINT) AS n_found,
+               CAST(sum(found) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS recall
+        FROM labeled GROUP BY j_band
+    """,
+    ops=("DEDUP", "SAMPLE"),
+)
+def lsh_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH RECALL AUDIT: measure the banded-MinHash candidate
+    generator's recall ON THIS CORPUS by brute-forcing ground
+    truth over a fixed-size deterministic subsample (256 docs by
+    md5 rank — constant work at ANY corpus size, never a fraction)
+    and reporting, per true-Jaccard band, how many true >= 0.5
+    pairs the bands actually surfaced. The production answer to
+    "what is our dedup pipeline missing" — LSH recall is a
+    corpus-dependent curve (1-(1-j^r)^b), and this query measures
+    it on live data instead of trusting the formula.
+
+    Exactness: the subsample is an md5-ranked top-K (doc_id
+    tie-break); truth Jaccards are exact integer ratios; the
+    banding replicated here is BYTE-identical to
+    minhash_lsh_candidates' (same seeds, same band keys). Scale:
+    the brute-force is 256^2/2 pairs regardless of corpus size;
+    the banded side runs only over the 256 sampled docs'
+    signatures."""
+    from pyspark.sql import Window
+
+    from afg_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from afg_data_pipeline_spark.operators.text import (
+        shingle_expr,
+        tokens,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    wnd = Window.orderBy(
+        F.md5(
+            F.concat(
+                F.lit("recallaudit:"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.col("doc_id"),
+    )
+    sample = (
+        docs.select("doc_id", "text")
+        .withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= 256)
+        .drop("rk")
+        .localCheckpoint(eager=False)
+    )
+    sh = sample.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(shingle_expr("__toks", 2)).alias("s"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("s").alias("sa"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("s").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size("sa") + F.size("sb") - inter
+    truth = (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (inter.cast("double") / uni.cast("double")).alias(
+                "j"
+            ),
+        )
+        .filter(F.col("j") >= 0.5)
+    )
+    cand = minhash_lsh_candidates(sample).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("found")
+    )
+    labeled = truth.join(
+        cand, ["doc_id_a", "doc_id_b"], "left"
+    ).select(
+        F.when(F.col("j") >= 0.8, "0.80-1.00")
+        .when(F.col("j") >= 0.65, "0.65-0.80")
+        .otherwise("0.50-0.65")
+        .alias("j_band"),
+        F.coalesce(F.col("found"), F.lit(0))
+        .cast("bigint")
+        .alias("found"),
+    )
+    return labeled.groupBy("j_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum("found").cast("bigint").alias("n_found"),
+        (
+            F.sum("found").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
+@register(
     "split_leakage_report",
     oracle="""
         WITH tokd AS (

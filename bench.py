@@ -227,6 +227,7 @@ HEADLINE = [
     "cusum_changepoint",
     "classifier_kappa",
     "split_leakage_report",
+    "lsh_recall_audit",
 ]
 
 
