@@ -884,8 +884,6 @@ def lsh_recall_audit(
     the brute-force is 256^2/2 pairs regardless of corpus size;
     the banded side runs only over the 256 sampled docs'
     signatures."""
-    from pyspark.sql import Window
-
     from afg_data_pipeline_spark.operators.dedup import (
         minhash_lsh_candidates,
     )
@@ -895,20 +893,25 @@ def lsh_recall_audit(
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    wnd = Window.orderBy(
-        F.md5(
-            F.concat(
-                F.lit("recallaudit:"),
-                F.col("doc_id").cast("string"),
-            )
-        ),
-        F.col("doc_id"),
-    )
+    # top-256 by (md5, doc_id) via orderBy+limit — Spark compiles
+    # this to TakeOrderedAndProject (per-partition top-K + a tiny
+    # driver merge), NOT a global sort; an unpartitioned
+    # row_number window here would run ONE task over the corpus
+    # (rule-2 family — the bug this comment replaces).
     sample = (
-        docs.select("doc_id", "text")
-        .withColumn("rk", F.row_number().over(wnd))
-        .filter(F.col("rk") <= 256)
-        .drop("rk")
+        docs.select(
+            "doc_id",
+            "text",
+            F.md5(
+                F.concat(
+                    F.lit("recallaudit:"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("__h"),
+        )
+        .orderBy("__h", "doc_id")
+        .limit(256)
+        .drop("__h")
         .localCheckpoint(eager=False)
     )
     sh = sample.select(
