@@ -1664,7 +1664,12 @@ def zipf_fit_report(
     those exact sums. Scale: one map-side-combinable vocabulary
     count; the rank window runs over the VOCABULARY (freq DESC,
     token ASC tie-break), never the corpus; the fit is a 1-row
-    aggregate."""
+    aggregate. The global vocab rank is a single-partition window
+    — the same vocabulary-bounded exception class as tokenizer
+    training's guarded collects (Zipf keeps |vocab| << |corpus|);
+    if a corpus ever breaks that, the scale path is
+    partition-by-freq ranking over cumulative distinct-freq
+    counts (the sharded_cumsum pattern)."""
     from pyspark.sql import Window
 
     docs = read_star_table(spark, "documents", sf_dir)
