@@ -2006,6 +2006,119 @@ def k_anonymity_report(
 
 
 @register(
+    "packing_efficiency_report",
+    oracle=_bpe_oracle(3, through_final=True)
+    + _BPE_VOCAB_SQL
+    + """,
+        word_ids AS (
+            SELECT word,
+                   list(token_id ORDER BY pos) AS ids
+            FROM (
+                SELECT word, pos, arr[pos] AS sub
+                FROM (SELECT word, arr,
+                             unnest(generate_series(1, len(arr)))
+                                 AS pos
+                      FROM s4)) s
+            JOIN vocab v ON s.sub = v.token
+            GROUP BY word
+        ),
+        dw AS (
+            SELECT doc_id, wpos, t[wpos] AS word
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text),
+                                               '\\s+') AS t
+                  FROM documents),
+                 LATERAL unnest(generate_series(1, len(t)))
+                     AS u(wpos)
+            WHERE length(t[wpos]) > 0
+        ),
+        doc_tokens AS (
+            SELECT doc_id,
+                   flatten(list(ids ORDER BY wpos)) AS tids
+            FROM dw JOIN word_ids USING (word)
+            GROUP BY doc_id
+        ),
+        cumulated AS (
+            SELECT d.lang, t.tids,
+                   SUM(len(t.tids)) OVER (
+                       PARTITION BY d.lang ORDER BY t.doc_id
+                       ROWS UNBOUNDED PRECEDING)
+                     - len(t.tids) AS start
+            FROM doc_tokens t JOIN documents d USING (doc_id)
+        ),
+        ex AS (
+            SELECT lang,
+                   (start + pos - 1) // 256 AS chunk_id,
+                   (start + pos - 1) % 256 AS off,
+                   tids[pos] AS tid
+            FROM cumulated,
+                 LATERAL unnest(generate_series(1, len(tids)))
+                     AS u(pos)
+        ),
+        chunks AS (
+            SELECT lang, chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_filled
+            FROM ex GROUP BY lang, chunk_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(n_filled) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN n_filled = 256
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS full_chunks,
+               CAST(sum(256 - n_filled) AS BIGINT)
+                   AS pad_tokens,
+               CAST(sum(n_filled) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 256.0)
+                   AS utilization
+        FROM chunks GROUP BY lang
+    """,
+    ops=("TEXT", "A1"),
+)
+def packing_efficiency_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PACKING EFFICIENCY of the training-sequence materializer:
+    per language, how many 256-token chunks the packer emits, how
+    many are exactly full, and how many pad tokens a
+    pad-all-partials policy would burn — the utilization number a
+    training-infra team watches (wasted pad tokens are wasted
+    FLOPs). Head-to-tail concat packing guarantees at most ONE
+    partial chunk per language, so utilization here is near 1 by
+    construction — the report EXISTS to prove that invariant on
+    real data and to compare against per-document padding.
+
+    Rides the certified pack_token_sequences pipeline (adaptive
+    sharded running sum, pre-expansion repartition); the report
+    itself is one aggregate over the chunk table. Exact BIGINT
+    counts; one double division."""
+    from afg_data_pipeline_spark.operators.bpe import (
+        pack_token_sequences,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    chunks = pack_token_sequences(
+        docs, n_merges=3, seq_len=256
+    ).select("lang", "n_filled")
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_filled").cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("n_filled") == 256, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("full_chunks"),
+        F.sum(F.lit(256) - F.col("n_filled"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+        (
+            F.sum("n_filled").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(256.0))
+        ).alias("utilization"),
+    )
+
+
+@register(
     "per_group_sample_k",
     oracle="""
         SELECT doc_id, lang, n_chars

@@ -228,6 +228,7 @@ HEADLINE = [
     "classifier_kappa",
     "split_leakage_report",
     "lsh_recall_audit",
+    "packing_efficiency_report",
 ]
 
 
