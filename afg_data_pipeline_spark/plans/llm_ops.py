@@ -774,6 +774,162 @@ _NEAR_DUP_COMPONENTS_ORACLE = """
     """
 
 
+_ANN_RECALL_ORACLE = """
+        WITH ham AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> CASE WHEN (q.embedding[i] > 0)
+                                  <> (c.embedding[i] > 0)
+                             THEN 1 ELSE 0 END)) AS INTEGER)
+                       AS hamming
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id
+        ),
+        cand AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY hamming ASC, neighbor_id ASC
+                       ) AS rn
+                FROM ham) WHERE rn <= 50
+        ),
+        vecs AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        ),
+        scored AS MATERIALIZED (
+            SELECT k.query_id, k.neighbor_id,
+                   list_aggregate(list_transform(
+                       generate_series(1, len(q.embedding)),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE)),
+                       'sum') / (q.nrm * c.nrm) AS cosine
+            FROM cand k
+            JOIN vecs q ON q.vec_id = k.query_id
+            JOIN vecs c ON c.vec_id = k.neighbor_id
+        ),
+        funnel5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC,
+                                    neighbor_id ASC) AS rn
+                FROM scored) WHERE rn <= 5
+        ),
+        exact_scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_aggregate(list_transform(
+                       generate_series(1, len(q.embedding)),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE)),
+                       'sum') / (q.nrm * c.nrm) AS cosine
+            FROM vecs q CROSS JOIN vecs c
+            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id
+        ),
+        exact5 AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC,
+                                    neighbor_id ASC) AS rn
+                FROM exact_scored) WHERE rn <= 5
+        ),
+        per_q AS (
+            SELECT e.query_id,
+                   CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS hits
+            FROM exact5 e
+            LEFT JOIN funnel5 f
+              ON f.query_id = e.query_id
+             AND f.neighbor_id = e.neighbor_id
+            GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(min(hits) AS BIGINT) AS worst_hits,
+               CAST(sum(hits) AS BIGINT) AS total_hits,
+               CAST(sum(hits) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 5.0)
+                   AS recall_at_5
+        FROM per_q
+    """
+
+
+@register(
+    "ann_recall_audit",
+    oracle=_ANN_RECALL_ORACLE,
+    ops=("ANN",),
+)
+def ann_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN RECALL AUDIT: measured recall@5 of the Hamming->exact
+    rerank funnel against brute-force cosine ground truth over the
+    32 query vectors — the serving-quality number an ANN
+    deployment monitors (the funnel trades exactness for its
+    ~n_candidates/n cost; this query MEASURES what that trade
+    costs on live data, per the lsh_recall_audit precedent for the
+    dedup side). Output: one row — query count, worst per-query
+    hit count, total hits, mean recall@5.
+
+    Both sides are certified pipelines: the funnel IS
+    ann_funnel_topk's plan and the truth IS ann_cosine_topk's;
+    recall is exact integer hit counting with one double division.
+    The audit is query-set sized (32x5 rows joined), regardless of
+    corpus size."""
+    from afg_data_pipeline_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    funnel5 = REGISTRY["ann_funnel_topk"].fn(
+        spark, sf_dir
+    ).select(
+        "query_id", "neighbor_id"
+    )
+    exact5 = REGISTRY["ann_cosine_topk"].fn(
+        spark, sf_dir
+    ).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__e")
+    )
+    per_q = (
+        exact5.join(
+            funnel5.select(
+                "query_id",
+                "neighbor_id",
+                F.lit(1).alias("__f"),
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("__f").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hits")
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.min("hits").cast("bigint").alias("worst_hits"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        (
+            F.sum("hits").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(5.0))
+        ).alias("recall_at_5"),
+    )
+
+
 @register(
     "lsh_recall_audit",
     oracle="""

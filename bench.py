@@ -229,6 +229,7 @@ HEADLINE = [
     "split_leakage_report",
     "lsh_recall_audit",
     "packing_efficiency_report",
+    "ann_recall_audit",
 ]
 
 
