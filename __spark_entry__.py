@@ -54,7 +54,6 @@ def _coverage_order(names: list[str]) -> list[str]:
     # components trio; the approx_quantiles canonicalizer crash fix),
     # so they must re-enter the driver window as if never checked.
     stale_before = {
-        "near_dup_components": 4,
         "approx_quantiles": 2,
         # Round-3 code changes after these queries' last driver
         # row (sharded pack cumsum; SRP bucket-0 fix; brute guard
@@ -65,7 +64,6 @@ def _coverage_order(names: list[str]) -> list[str]:
         "pack_token_stream": 4,
         "embedding_near_dup_lsh": 4,
         "ann_lsh_topk": 4,
-        "ann_ivf_topk": 4,
         "ann_cosine_topk": 4,
         "nn_assign": 4,
         "nn_assign_bucketed": 4,
@@ -81,9 +79,7 @@ def _coverage_order(names: list[str]) -> list[str]:
         # round-4 perf reworks (oracle-verified locally; pre-change
         # driver rows don't certify current code):
         "pricing_summary": 4,
-        "boilerplate_line_dedup": 4,
         "q2_min_cost_supplier": 4,
-        "duplicate_span_detect": 4,
         "tfidf_doc_pairs": 4,
         "simhash_signatures": 4,
         "minhash_near_dup": 4,
@@ -94,13 +90,9 @@ def _coverage_order(names: list[str]) -> list[str]:
         "ngram_jaccard_dups": 5,
         "winnow_candidate_pairs": 5,
         "adaptive_length_filter": 5,
-        "kmeans_cluster_assign": 5,
-        "semantic_dedup_pairs": 5,
         # The round-5 skew-gate commit (4bfc4ae) landed AFTER
         # CORRECTNESS_r05 was recorded, so its four consumers'
         # r≤5 rows predate the corpus_key_count rewrite:
-        "boilerplate_line_dedup": 6,
-        "duplicate_span_detect": 6,
         "duplicate_span_extract": 6,
         "chunk_dedup_profile": 6,
         # round-6 code changes after the r5 rows (binarize fold +
@@ -122,14 +114,6 @@ def _coverage_order(names: list[str]) -> list[str]:
         # round-6 token-id additions (never driver-checked yet,
         # listed for clarity; zero prior rows sorts them first
         # anyway): bpe_vocab, bpe_tokenize, bpe_encode_stats_fast.
-        # round-6 continuation-4: connected_components' fixpoint
-        # probe generalized to the xxhash64 checksum (string vertex
-        # ids for entity resolution) — bit-identical outputs,
-        # re-verified locally, but pre-change driver rows don't
-        # certify the current code (consumers with prior rows):
-        "near_dup_components": 6,
-        "dedup_keep_best": 6,
-        "corpus_after_dedup": 6,
         # round-7 driver-canonicalization fixes (r6 red rows):
         # token_ids now a space-joined string projection, exposed
         # DECIMAL(38,0) columns string-cast on both sides — the
@@ -138,15 +122,18 @@ def _coverage_order(names: list[str]) -> list[str]:
         "pack_token_sequences": 7,
         "join_key_skew": 7,
         # round-7 ADVICE fixes: connected_components' fixpoint
-        # probe hardened with count_distinct (outputs identical,
-        # code changed — re-certify consumers with prior rows);
-        # seasonal_anomaly_flags null-convention alignment:
+        # probe hardened with a SECOND seeded xxhash64 checksum sum
+        # (count_distinct was evaluated and rejected as too slow —
+        # operators/graph.py; outputs identical, code changed, so
+        # consumers with prior rows re-certify); also the round-6
+        # xxhash64-probe generalization for string vertex ids hit
+        # the same three consumers:
         "near_dup_components": 7,
         "dedup_keep_best": 7,
         "corpus_after_dedup": 7,
         "seasonal_anomaly_flags": 7,
         # round-7 boilerplate count rewrite (hash groupBy +
-        # broadcast flag; r6 window rows predate it):
+        # broadcast flag; supersedes the r4/r6 entries above):
         "boilerplate_line_dedup": 7,
         # round-7 image_phash_near_dup refactor onto the shared
         # banded_hamming_pairs operator (rows-only, re-record):
@@ -156,7 +143,24 @@ def _coverage_order(names: list[str]) -> list[str]:
         "nb_classify_lang": 7,
         "classifier_eval_report": 7,
         "classifier_eval_auc": 7,
+        # round-8 driver-canonicalization fixes (r7 red row class):
+        # unigram token_ids string-projected; frame payload
+        # projected to md5/length scalars:
+        "unigram_tokenize": 8,
+        "multimodal_frame_sample": 8,
+        # round-8 oracle upgrade: full train+encode CTE oracle,
+        # registered query re-pinned at n_merges=3 (r7 verdict #5):
+        "wordpiece_encode_stats": 8,
     }
+
+    # Verdict-r7 #2: the driver window MUST sample the fixed red
+    # rows this round — an ordering heuristic is not a guarantee,
+    # so lead with them unconditionally.
+    force_first = [
+        "unigram_tokenize",
+        "pack_token_sequences",
+        "multimodal_frame_sample",
+    ]
 
     seen: dict[str, list[int]] = {n: [] for n in names}
     raw: dict[str, int] = {n: 0 for n in names}
@@ -185,6 +189,8 @@ def _coverage_order(names: list[str]) -> list[str]:
     return sorted(
         names,
         key=lambda n: (
+            n not in force_first,
+            force_first.index(n) if n in force_first else 0,
             len(seen[n]),
             raw[n],
             max(seen[n], default=0),

@@ -368,7 +368,11 @@ def bpe_train_merges_fast(
     words = _word_freqs(docs, text_col)
     if min_freq > 1:
         words = words.filter(F.col("freq") >= min_freq)
-    rows = words.collect()
+    # bound-check BEFORE materializing: limit(n+1) caps what the
+    # driver ever holds, so a pathological vocabulary raises the
+    # clear error instead of OOMing first (the wordpiece.py:183
+    # pattern; r7 verdict #6)
+    rows = words.limit(max_vocab_rows + 1).collect()
     if len(rows) > max_vocab_rows:
         raise ValueError(
             f"vocabulary has {len(rows)} words > max_vocab_rows="
@@ -402,7 +406,11 @@ def bpe_encode_token_counts_fast(
     words = _word_freqs(docs, text_col)
     if min_freq > 1:
         words = words.filter(F.col("freq") >= min_freq)
-    rows = words.collect()
+    # bound-check BEFORE materializing: limit(n+1) caps what the
+    # driver ever holds, so a pathological vocabulary raises the
+    # clear error instead of OOMing first (the wordpiece.py:183
+    # pattern; r7 verdict #6)
+    rows = words.limit(max_vocab_rows + 1).collect()
     if len(rows) > max_vocab_rows:
         raise ValueError(
             f"vocabulary has {len(rows)} words > max_vocab_rows="
@@ -467,7 +475,11 @@ def bpe_vocab_table(
     seconds; oracle-pinned at n=3 against the unrolled-CTE chain.
     """
     words = _word_freqs(docs, text_col)
-    rows = words.collect()
+    # bound-check BEFORE materializing: limit(n+1) caps what the
+    # driver ever holds, so a pathological vocabulary raises the
+    # clear error instead of OOMing first (the wordpiece.py:183
+    # pattern; r7 verdict #6)
+    rows = words.limit(max_vocab_rows + 1).collect()
     if len(rows) > max_vocab_rows:
         raise ValueError(
             f"vocabulary has {len(rows)} words > max_vocab_rows="
@@ -502,7 +514,11 @@ def bpe_tokenize(
     application, no UDF on the corpus path. The flatten/transform
     HOF feeds an oracle-checked output (rule 10 sanctioned)."""
     words = _word_freqs(docs, text_col)
-    rows = words.collect()
+    # bound-check BEFORE materializing: limit(n+1) caps what the
+    # driver ever holds, so a pathological vocabulary raises the
+    # clear error instead of OOMing first (the wordpiece.py:183
+    # pattern; r7 verdict #6)
+    rows = words.limit(max_vocab_rows + 1).collect()
     if len(rows) > max_vocab_rows:
         raise ValueError(
             f"vocabulary has {len(rows)} words > max_vocab_rows="

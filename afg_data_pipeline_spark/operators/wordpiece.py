@@ -234,3 +234,33 @@ def wordpiece_encode_stats(
             .alias("n_unk"),
         )
     )
+
+
+def wordpiece_train_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    max_vocab_rows: int = 2_000_000,
+) -> DataFrame:
+    """The learned WordPiece merges as a table: (rank, merge_left,
+    merge_right, pair_count, left_count, right_count) — the full
+    auditable argmax record, so the likelihood-ratio objective
+    score(a,b) = count(ab)/(count(a)·count(b)) is externally
+    checkable by exact integer cross-multiplication. Training is
+    driver-side over the vocabulary-sized word table (the fast-BPE
+    split); the collect is bound-checked BEFORE materializing."""
+    wf = word_freqs(docs, text_col)
+    rows = wf.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"word vocabulary exceeds max_vocab_rows="
+            f"{max_vocab_rows}; raise the bound deliberately"
+        )
+    vocab = sorted((r["word"], r["freq"]) for r in rows)
+    merges, _pieces = train_wordpiece_driver(vocab, n_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "rank int, merge_left string, merge_right string, "
+        "pair_count long, left_count long, right_count long",
+    )

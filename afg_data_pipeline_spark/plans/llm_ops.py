@@ -2339,7 +2339,18 @@ def multimodal_frame_sample(
 
     docs = read_star_table(spark, "documents", sf_dir)
     media = attach_synth_bmp(docs)
-    return frame_sample(media, n_frames=4)
+    frames = frame_sample(media, n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts",
+        # driver-canonicalizable projection of the frame payload
+        # (schema-lint rule: registered outputs expose only scalar
+        # driver-safe types; the binary-returning operator stays
+        # for pipeline use). md5 pins the full byte content.
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").alias("frame_bytes"),
+    )
 
 
 @register(

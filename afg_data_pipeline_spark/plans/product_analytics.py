@@ -799,9 +799,6 @@ def gini_user_spend(
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     cum = counts.withColumn("cum", F.sum("c").over(w))
-    tri = lambda c: (dec(c) * dec(c + 1)).cast(  # noqa: E731
-        "decimal(38,0)"
-    ) / 2
     blocks = cum.select(
         "event_type",
         "c",
@@ -2854,6 +2851,10 @@ def markov_steady_state(
     trans_rows = (
         seq.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
+        # bound-check BEFORE materializing (wordpiece.py pattern):
+        # limit(n+1) caps driver memory so an unexpectedly huge
+        # type space raises cleanly instead of OOMing first
+        .limit(100_001)
         .collect()
     )
     if len(trans_rows) > 100_000:

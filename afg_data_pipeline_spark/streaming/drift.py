@@ -67,6 +67,18 @@ def drift_monitor_sink(
         raise ValueError(
             f"cuts must be the 9 decile boundaries, got {len(cuts)}"
         )
+    # The prior-histogram existence probe below is
+    # os.path.exists — driver-local filesystem ONLY. On an
+    # HDFS/S3 store URI it would silently return False forever
+    # and every batch would be scored against the uniform prior
+    # (wrong PSI, no error), so refuse non-local stores up front
+    # (ADVICE r7). A distributed deployment should swap the probe
+    # for the Hadoop FileSystem API.
+    if "://" in store_dir and not store_dir.startswith("file://"):
+        raise ValueError(
+            "drift_monitor_sink requires a driver-local store_dir "
+            f"(os.path.exists probe); got URI {store_dir!r}"
+        )
     bins_dir = os.path.join(store_dir, "bins")
     n_bins = 10
 

@@ -33,21 +33,22 @@ def _ansi_on(spark):
 def test_query_matches_oracle(name, spark, duck):
     q = REGISTRY[name]
     df = q.fn(spark, SF_DIR)
-    # Driver-canonicalizability gate (round-6 red-row class): the
-    # driver sorts/hashes results via pandas, which ERRs on
+    # Driver-canonicalizability gate (round-6/7 red-row class):
+    # the driver sorts/hashes results via pandas, which ERRs on
     # unhashable array/map/struct cells and renders DECIMAL
-    # unequally across its two conversion paths. Every
-    # oracle-backed output must stay in the driver-safe scalar set
-    # (tools/schema_lint.py is the standalone sweep).
-    if q.oracle is not None:
-        from tools.schema_lint import unsafe_fields
+    # unequally across its two conversion paths. EVERY registered
+    # output — rows-only included, since the driver pandas-sorts
+    # those too (r7's unigram_tokenize ERR) — must stay in the
+    # driver-safe scalar set (tools/schema_lint.py is the
+    # standalone sweep).
+    from tools.schema_lint import unsafe_fields
 
-        bad = unsafe_fields(df.schema)
-        assert not bad, (
-            f"{name}: driver-uncanonicalizable output columns {bad} "
-            "(project arrays to strings / string-cast decimals on "
-            "both engine sides)"
-        )
+    bad = unsafe_fields(df.schema)
+    assert not bad, (
+        f"{name}: driver-uncanonicalizable output columns {bad} "
+        "(project arrays to strings / string-cast decimals on "
+        "both engine sides)"
+    )
     if q.oracle is None:
         # Rows-only check, mirroring the driver's weaker fallback.
         assert df.count() >= 0

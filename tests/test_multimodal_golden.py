@@ -121,20 +121,24 @@ class TestMultimodalGolden:
             REGISTRY["multimodal_frame_sample"].fn(spark, SF_DIR)
         )
         assert len(got) == 4 * len(docs_pd)
+        import hashlib
+
         for _, row in docs_pd.iterrows():
             media, fmt = _mixed_raster(row.doc_id, row.text)
             raw = decode_raster(media, fmt).tobytes()
             n = len(raw)
             for i in range(4):
+                frame = raw[n * i // 4 : n * (i + 1) // 4]
                 _assert_cells(
                     got[(row.doc_id, i)],
                     {
                         "doc_id": row.doc_id,
                         "frame_idx": i,
                         "frame_ts": i / 1.0,
-                        "frame": bytearray(
-                            raw[n * i // 4 : n * (i + 1) // 4]
-                        ),
+                        # registered query exposes the driver-safe
+                        # md5/length projection of the frame bytes
+                        "frame_md5": hashlib.md5(frame).hexdigest(),
+                        "frame_bytes": len(frame),
                     },
                     (row.doc_id, i),
                 )

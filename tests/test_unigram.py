@@ -202,3 +202,21 @@ class TestUnigramTokenizeSpark:
                 continue
             decoded = "".join(vocab[t] for t in toks[r["doc_id"]])
             assert decoded == "".join(words), r["doc_id"]
+
+    def test_registered_query_string_projection(self, spark):
+        """The REGISTRY entry must expose token_ids as the
+        space-joined STRING of the operator's id array (driver
+        canonicalizability — r7's red row was the raw array)."""
+        from afg_data_pipeline_spark.io import read_star_table
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        q = REGISTRY["unigram_tokenize"].fn(spark, sf)
+        assert dict(q.dtypes)["token_ids"] == "string"
+        got = {r["id"]: r["token_ids"] for r in q.collect()}
+        docs = read_star_table(spark, "documents", sf)
+        want = {
+            r["id"]: " ".join(str(t) for t in r["token_ids"])
+            for r in unigram_tokenize(docs, vocab_size=512).collect()
+        }
+        assert got == want

@@ -185,7 +185,11 @@ def _changed_queries(since_sha: str, registry) -> set[str]:
             continue
         for ch in changed:
             tail = ch.split(".", 1)[1] if "." in ch else ch
-            if _re.search(_re.escape(tail) + r"\b", src):
+            # both-sided word boundary: a short tail like 'io'
+            # must not substring-match identifiers ending in it
+            # (ADVICE r7; dots are non-word so 'operators.io'
+            # still matches, which is the intended over-select)
+            if _re.search(r"\b" + _re.escape(tail) + r"\b", src):
                 out.add(name)
                 break
     return out

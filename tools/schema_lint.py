@@ -14,9 +14,11 @@ This lints EVERY registered query's output schema at plan time
 (sf0.001 — no execution beyond what plan construction itself
 does) and reports columns outside the driver-safe set
 {integral, float/double, string, boolean, date, timestamp,
-timestamp_ntz}. Oracle-backed queries must be clean; oracle-less
-(rows-only) queries are reported separately since the driver only
-counts their rows.
+timestamp_ntz}. ALL registered queries must be clean — the driver
+sorts (pandas sort_values) rows-only outputs too, so an ArrayType
+column in an oracle-less query still hard-ERRs its driver row
+(round-7 red row: unigram_tokenize, which this lint's original
+oracle-only scope was written to miss).
 
 Usage: python tools/schema_lint.py [sf_dir]
 """
@@ -73,17 +75,19 @@ def main() -> int:
                 (name, bad)
             )
     for name, bad in bad_oracle:
-        print(f"ORACLE-UNSAFE {name}: {bad}")
+        print(f"ORACLE-UNSAFE    {name}: {bad}")
     for name, bad in bad_rows_only:
-        print(f"rows-only     {name}: {bad}")
+        print(f"ROWS-ONLY-UNSAFE {name}: {bad}")
     for name, e in errs:
-        print(f"PLAN-ERROR    {name}: {e}")
+        print(f"PLAN-ERROR       {name}: {e}")
     print(
         f"\n{len(bad_oracle)} oracle-backed unsafe, "
         f"{len(bad_rows_only)} rows-only unsafe, {len(errs)} errors"
     )
     spark.stop()
-    return 1 if (bad_oracle or errs) else 0
+    # rows-only unsafe is a HARD failure too: the driver sorts
+    # rows-only outputs with pandas just the same (r7 verdict #2).
+    return 1 if (bad_oracle or bad_rows_only or errs) else 0
 
 
 if __name__ == "__main__":
