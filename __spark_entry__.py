@@ -151,6 +151,9 @@ def _coverage_order(names: list[str]) -> list[str]:
         # round-8 oracle upgrade: full train+encode CTE oracle,
         # registered query re-pinned at n_merges=3 (r7 verdict #5):
         "wordpiece_encode_stats": 8,
+        # round-8 resample-generator change (md5 slices -> counter
+        # mixer; intervals differ by design, oracle in lockstep):
+        "bootstrap_ci_mean": 8,
     }
 
     # Verdict-r7 #2: the driver window MUST sample the fixed red

@@ -764,75 +764,119 @@ def ols_multifeature(
         ),
         rs AS (
             SELECT s.g, base.event_type, base.cents,
-                   md5(CAST(s.g AS VARCHAR) || ':'
-                       || CAST(base.event_id AS VARCHAR)) AS h
+                   (base.event_id % 4294967291) * 48 + s.g * 8
+                       AS t0
             FROM base,
                  (SELECT unnest(generate_series(0, 5))
                       AS g) s
         ),
-        um AS (
+        ux AS (
             SELECT event_type, g, cents,
-                   substr(h, 1, 4) AS s0,
-                   substr(h, 5, 4) AS s1,
-                   substr(h, 9, 4) AS s2,
-                   substr(h, 13, 4) AS s3,
-                   substr(h, 17, 4) AS s4,
-                   substr(h, 21, 4) AS s5,
-                   substr(h, 25, 4) AS s6,
-                   substr(h, 29, 4) AS s7
+                   ((t0 + 0) % 4294967291 * 1588635695)
+                       % 4294967291 AS u0,
+                   ((t0 + 1) % 4294967291 * 1588635695)
+                       % 4294967291 AS u1,
+                   ((t0 + 2) % 4294967291 * 1588635695)
+                       % 4294967291 AS u2,
+                   ((t0 + 3) % 4294967291 * 1588635695)
+                       % 4294967291 AS u3,
+                   ((t0 + 4) % 4294967291 * 1588635695)
+                       % 4294967291 AS u4,
+                   ((t0 + 5) % 4294967291 * 1588635695)
+                       % 4294967291 AS u5,
+                   ((t0 + 6) % 4294967291 * 1588635695)
+                       % 4294967291 AS u6,
+                   ((t0 + 7) % 4294967291 * 1588635695)
+                       % 4294967291 AS u7
             FROM rs
+        ),
+        wx AS (
+            SELECT event_type, g, cents,
+                   xor(u0, u0 >> 15) AS w0,
+                   xor(u1, u1 >> 15) AS w1,
+                   xor(u2, u2 >> 15) AS w2,
+                   xor(u3, u3 >> 15) AS w3,
+                   xor(u4, u4 >> 15) AS w4,
+                   xor(u5, u5 >> 15) AS w5,
+                   xor(u6, u6 >> 15) AS w6,
+                   xor(u7, u7 >> 15) AS w7
+            FROM ux
+        ),
+        yx AS (
+            SELECT event_type, g, cents,
+                   (w0 * 1100087778) % 4294967291 AS y0,
+                   (w1 * 1100087778) % 4294967291 AS y1,
+                   (w2 * 1100087778) % 4294967291 AS y2,
+                   (w3 * 1100087778) % 4294967291 AS y3,
+                   (w4 * 1100087778) % 4294967291 AS y4,
+                   (w5 * 1100087778) % 4294967291 AS y5,
+                   (w6 * 1100087778) % 4294967291 AS y6,
+                   (w7 * 1100087778) % 4294967291 AS y7
+            FROM wx
+        ),
+        vx AS (
+            SELECT event_type, g, cents,
+                   xor(y0, y0 >> 13) % 65536 AS v0,
+                   xor(y1, y1 >> 13) % 65536 AS v1,
+                   xor(y2, y2 >> 13) % 65536 AS v2,
+                   xor(y3, y3 >> 13) % 65536 AS v3,
+                   xor(y4, y4 >> 13) % 65536 AS v4,
+                   xor(y5, y5 >> 13) % 65536 AS v5,
+                   xor(y6, y6 >> 13) % 65536 AS v6,
+                   xor(y7, y7 >> 13) % 65536 AS v7
+            FROM yx
         ),
         mm AS (
             SELECT event_type, g, cents,
-                   CASE WHEN s0 < '5e2d' THEN 0
-                        WHEN s0 < 'bc5a' THEN 1
-                        WHEN s0 < 'eb71' THEN 2
-                        WHEN s0 < 'fb23' THEN 3
-                        WHEN s0 < 'ff10' THEN 4
+                   CASE WHEN v0 < 24109 THEN 0
+                        WHEN v0 < 48218 THEN 1
+                        WHEN v0 < 60273 THEN 2
+                        WHEN v0 < 64291 THEN 3
+                        WHEN v0 < 65296 THEN 4
                         ELSE 5 END AS m0,
-                   CASE WHEN s1 < '5e2d' THEN 0
-                        WHEN s1 < 'bc5a' THEN 1
-                        WHEN s1 < 'eb71' THEN 2
-                        WHEN s1 < 'fb23' THEN 3
-                        WHEN s1 < 'ff10' THEN 4
+                   CASE WHEN v1 < 24109 THEN 0
+                        WHEN v1 < 48218 THEN 1
+                        WHEN v1 < 60273 THEN 2
+                        WHEN v1 < 64291 THEN 3
+                        WHEN v1 < 65296 THEN 4
                         ELSE 5 END AS m1,
-                   CASE WHEN s2 < '5e2d' THEN 0
-                        WHEN s2 < 'bc5a' THEN 1
-                        WHEN s2 < 'eb71' THEN 2
-                        WHEN s2 < 'fb23' THEN 3
-                        WHEN s2 < 'ff10' THEN 4
+                   CASE WHEN v2 < 24109 THEN 0
+                        WHEN v2 < 48218 THEN 1
+                        WHEN v2 < 60273 THEN 2
+                        WHEN v2 < 64291 THEN 3
+                        WHEN v2 < 65296 THEN 4
                         ELSE 5 END AS m2,
-                   CASE WHEN s3 < '5e2d' THEN 0
-                        WHEN s3 < 'bc5a' THEN 1
-                        WHEN s3 < 'eb71' THEN 2
-                        WHEN s3 < 'fb23' THEN 3
-                        WHEN s3 < 'ff10' THEN 4
+                   CASE WHEN v3 < 24109 THEN 0
+                        WHEN v3 < 48218 THEN 1
+                        WHEN v3 < 60273 THEN 2
+                        WHEN v3 < 64291 THEN 3
+                        WHEN v3 < 65296 THEN 4
                         ELSE 5 END AS m3,
-                   CASE WHEN s4 < '5e2d' THEN 0
-                        WHEN s4 < 'bc5a' THEN 1
-                        WHEN s4 < 'eb71' THEN 2
-                        WHEN s4 < 'fb23' THEN 3
-                        WHEN s4 < 'ff10' THEN 4
+                   CASE WHEN v4 < 24109 THEN 0
+                        WHEN v4 < 48218 THEN 1
+                        WHEN v4 < 60273 THEN 2
+                        WHEN v4 < 64291 THEN 3
+                        WHEN v4 < 65296 THEN 4
                         ELSE 5 END AS m4,
-                   CASE WHEN s5 < '5e2d' THEN 0
-                        WHEN s5 < 'bc5a' THEN 1
-                        WHEN s5 < 'eb71' THEN 2
-                        WHEN s5 < 'fb23' THEN 3
-                        WHEN s5 < 'ff10' THEN 4
+                   CASE WHEN v5 < 24109 THEN 0
+                        WHEN v5 < 48218 THEN 1
+                        WHEN v5 < 60273 THEN 2
+                        WHEN v5 < 64291 THEN 3
+                        WHEN v5 < 65296 THEN 4
                         ELSE 5 END AS m5,
-                   CASE WHEN s6 < '5e2d' THEN 0
-                        WHEN s6 < 'bc5a' THEN 1
-                        WHEN s6 < 'eb71' THEN 2
-                        WHEN s6 < 'fb23' THEN 3
-                        WHEN s6 < 'ff10' THEN 4
+                   CASE WHEN v6 < 24109 THEN 0
+                        WHEN v6 < 48218 THEN 1
+                        WHEN v6 < 60273 THEN 2
+                        WHEN v6 < 64291 THEN 3
+                        WHEN v6 < 65296 THEN 4
                         ELSE 5 END AS m6,
-                   CASE WHEN s7 < '5e2d' THEN 0
-                        WHEN s7 < 'bc5a' THEN 1
-                        WHEN s7 < 'eb71' THEN 2
-                        WHEN s7 < 'fb23' THEN 3
-                        WHEN s7 < 'ff10' THEN 4
+                   CASE WHEN v7 < 24109 THEN 0
+                        WHEN v7 < 48218 THEN 1
+                        WHEN v7 < 60273 THEN 2
+                        WHEN v7 < 64291 THEN 3
+                        WHEN v7 < 65296 THEN 4
                         ELSE 5 END AS m7
-            FROM um
+            FROM vx
         ),
         agg0 AS (
             SELECT event_type, g,
@@ -905,29 +949,36 @@ def bootstrap_ci_mean(
 ) -> DataFrame:
     """DETERMINISTIC Poisson-bootstrap 95% confidence interval for
     the per-event-type mean value — the resampling machinery of a
-    large-scale eval pipeline with the randomness replaced by hash
-    arithmetic, so two engines (and two runs) produce identical
-    intervals. Each of B=48 resamples draws row multiplicity
-    m ~ Poisson(1) (capped at 5) from one of eight 16-bit slices
-    of md5(g:event_id) (g = b div 8 — eight resamples per hash,
-    8x less hashing than one md5 per resample; md5 throughput is
-    the measured bottleneck on both engines), compared against
-    exact CDF thresholds as fixed-width HEX-STRING literals
-    (floor(CDF_k * 2^16) rendered '%04x' — same-width lowercase
-    hex orders lexicographically like its value, so neither
-    engine converts hex to int); resample means are single divisions of exact
-    BIGINT sums; the CI picks ranks 2 and 47 of the 48
+    large-scale eval pipeline with the randomness replaced by
+    deterministic arithmetic, so two engines (and two runs)
+    produce identical intervals. Each of B=48 resamples draws row
+    multiplicity m ~ Poisson(1) (capped at 5) from a COUNTER-BASED
+    integer mixer over t = event_id·48 + b: two rounds of
+    multiply-mod-p (p = 4294967291, the largest 32-bit prime —
+    state × 2^31 multiplier stays under 2^63, ANSI-overflow-safe)
+    interleaved with xor-shift rounds (the nonlinearity; a purely
+    affine chain left 0.94 cross-draw correlation, the mixed form
+    measures <0.008 with Poisson marginals exact to 4 decimals),
+    then the low 16 bits against integer CDF thresholds
+    floor(CDF_k·2^16). NO HASHING AT ALL — r7's md5 formulation
+    (6 md5/row, eight 16-bit slices each, hex-literal thresholds)
+    was decomposed to md5 primitive throughput as its 3.0× sf10
+    bottleneck; the mixer replaces every md5 with ~12 codegen
+    integer ops that DuckDB (xor(), >>, %) and Spark (^, >>, %)
+    evaluate bit-identically. Resample means are single divisions
+    of exact BIGINT sums; the CI picks ranks 2 and 47 of the 48
     sorted means (2.5/97.5%). Poisson bootstrap (Chamandy et al.,
     "Estimating Uncertainty for Massive Data Streams") is THE
     bootstrap that distributes: each row draws its multiplicity
     independently — no global-n resampling, one pass, map-side
     combinable.
 
-    Scale shape: the B-fold explode runs AFTER a round-robin
+    Scale shape: the 6-fold explode runs AFTER a round-robin
     repartition (rule 3 — AQE sizes partitions from pre-expansion
-    bytes); u32 is materialized as a column BEFORE the CASE chain
-    branches on it (rule 18c — CSE does not reach conditional
-    branches); the rank window runs on the B-rows-per-group means
+    bytes); the mixer states are LAYERED selects so each step is
+    a column reference, never a re-inlined subtree (rule 18c/15 —
+    CollapseProject would otherwise duplicate the chain per CASE
+    branch); the rank window runs on the B-rows-per-group means
     table, never the corpus."""
     from pyspark.sql import Window
 
@@ -942,63 +993,95 @@ def bootstrap_ci_mean(
     )
     # rule-3 pre-expansion repartition, rule-20 stats-gated: only
     # when the scan's natural split count underfills the cores —
-    # a well-split source skips a full-corpus shuffle. Hash once
-    # per (row, g in 0..5); eight 16-bit slices per md5 ride the
-    # (row, g) stream as columns into a 16-sum aggregate, and the
-    # tiny (|types| x 6)-row result unpivots to (type, b) — the
-    # 48-way row expansion never materializes.
+    # a well-split source skips a full-corpus shuffle. Per (row,
+    # g in 0..5), eight counter-based draws ride as columns into
+    # a 16-sum aggregate, and the tiny (|types| x 6)-row result
+    # unpivots to (type, b) — the 48-way row expansion never
+    # materializes.
     if base.rdd.getNumPartitions() < par:
         base = base.repartition(par)
+    M, A0, A1 = 4294967291, 1588635695, 1100087778
     rs = base.select(
-        "event_id",
         "event_type",
         "cents",
+        ((F.col("event_id") % M) * 48).alias("e48"),
         F.explode(
             F.array(*[F.lit(g) for g in range(6)])
         ).alias("g"),
-    ).select(
-        "event_type",
-        "g",
-        "cents",
-        F.md5(
-            F.concat(
-                F.col("g").cast("string"),
-                F.lit(":"),
-                F.col("event_id").cast("string"),
-            )
-        ).alias("h"),
     )
-    # Threshold compares run DIRECTLY on fixed-width lowercase hex
-    # slices: same-width hex orders lexicographically like its
-    # value on BOTH engines, so no hex->int conversion anywhere
-    # (Spark conv measured 0.74s at sf1); 16-bit slices give 8
-    # resamples per md5 — the md5 count (the measured bottleneck:
-    # Spark ~22M md5/s) is 6/row, not 48.
-    um = rs.select(
+    # Counter-based mixer, one LAYER per round so every step is a
+    # plain column reference in the next select (CollapseProject
+    # refuses to inline non-cheap multiply-referenced aliases, so
+    # the codegen evaluates each state exactly once — no subtree
+    # re-expansion into the CASE branches, rules 15/18c).
+    ux = rs.select(
         "event_type",
         "g",
         "cents",
         *[
-            F.substring("h", 1 + 4 * j, 4).alias(f"s{j}")
-            for j in range(8)
+            (
+                (
+                    (F.col("e48") + F.col("g") * 8 + F.lit(k))
+                    % M
+                    * A0
+                )
+                % M
+            ).alias(f"u{k}")
+            for k in range(8)
         ],
     )
-
-    def _m(c):
-        return (
-            F.when(c < "5e2d", 0)
-            .when(c < "bc5a", 1)
-            .when(c < "eb71", 2)
-            .when(c < "fb23", 3)
-            .when(c < "ff10", 4)
-            .otherwise(5)
-        )
-
-    mm = um.select(
+    wx = ux.select(
         "event_type",
         "g",
         "cents",
-        *[_m(F.col(f"s{j}")).alias(f"m{j}") for j in range(8)],
+        *[
+            (
+                F.col(f"u{k}")
+                .bitwiseXOR(F.shiftright(F.col(f"u{k}"), 15))
+            ).alias(f"w{k}")
+            for k in range(8)
+        ],
+    )
+    yx = wx.select(
+        "event_type",
+        "g",
+        "cents",
+        *[
+            ((F.col(f"w{k}") * A1) % M).alias(f"y{k}")
+            for k in range(8)
+        ],
+    )
+    vx = yx.select(
+        "event_type",
+        "g",
+        "cents",
+        *[
+            (
+                F.col(f"y{k}")
+                .bitwiseXOR(F.shiftright(F.col(f"y{k}"), 13))
+                % 65536
+            ).alias(f"v{k}")
+            for k in range(8)
+        ],
+    )
+
+    # Integer Poisson(1) CDF thresholds floor(CDF_k * 2^16) — the
+    # same constants the r7 hex literals encoded ('5e2d' = 24109).
+    def _m(c):
+        return (
+            F.when(c < 24109, 0)
+            .when(c < 48218, 1)
+            .when(c < 60273, 2)
+            .when(c < 64291, 3)
+            .when(c < 65296, 4)
+            .otherwise(5)
+        )
+
+    mm = vx.select(
+        "event_type",
+        "g",
+        "cents",
+        *[_m(F.col(f"v{j}")).alias(f"m{j}") for j in range(8)],
     )
     agg0 = mm.groupBy("event_type", "g").agg(
         *[

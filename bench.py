@@ -267,13 +267,27 @@ def main() -> None:
         q = REGISTRY[name]
         # Min of N: the first execution of a plan pays whole-stage
         # codegen JIT (~0.5-2s); the minimum measures the plan.
+        # Convergence reps (r7->r8): multi-job iterative plans
+        # (ANN ladders, fixpoint graph ops) JIT dozens of codegen
+        # units, so their minimum keeps DESCENDING past 3 reps —
+        # measured ann_pq_topk rep curve 8.84/3.30/3.00/2.75/2.56s;
+        # min-of-3 landed anywhere in 2.6-4.3s across sessions and
+        # produced the r7 "+13% drift" red herring. Keep repping
+        # (up to fast_reps) while the best improves >5%.
         best = float("inf")
         runs = 0
-        while runs < reps or (best < 1.0 and runs < fast_reps):
+        improved = True
+        while (
+            runs < reps
+            or (best < 1.0 and runs < fast_reps)
+            or (improved and runs < fast_reps)
+        ):
             t0 = time.time()
             df = q.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            improved = dt < best * 0.95
+            best = min(best, dt)
             runs += 1
         timings[name] = round(best, 3)
         spark.catalog.clearCache()
