@@ -230,6 +230,9 @@ HEADLINE = [
     "lsh_recall_audit",
     "packing_efficiency_report",
     "ann_recall_audit",
+    # --- round-8 additions ---
+    "wordpiece_train_merges",
+    "hamming_band_recall_audit",
 ]
 
 
