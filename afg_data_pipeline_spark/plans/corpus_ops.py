@@ -3124,3 +3124,192 @@ def wordpiece_encode_stats_q(
 
     docs = read_star_table(spark, "documents", sf_dir)
     return wordpiece_encode_stats(docs, n_merges=3)
+
+
+@register(
+    "boilerplate_span_scrub",
+    oracle="""
+        WITH ndocs AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, pos, arr[pos] AS t
+            FROM (
+                SELECT doc_id, arr,
+                       unnest(generate_series(1, len(arr)))
+                           AS pos
+                FROM (
+                    SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                               trim(text), '\\s+'),
+                               x -> length(x) > 0) AS arr
+                    FROM documents))
+        ),
+        grams AS (
+            SELECT doc_id, pos,
+                   t || ' ' || lead(t, 1) OVER w
+                     || ' ' || lead(t, 2) OVER w AS g
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(t, 2) OVER w IS NOT NULL
+        ),
+        gdf AS (
+            SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT)
+                       AS df
+            FROM grams GROUP BY g
+        ),
+        flagged AS (
+            SELECT g FROM gdf CROSS JOIN ndocs
+            WHERE 10 * df > n
+        ),
+        occ AS (
+            SELECT gr.doc_id, gr.pos
+            FROM grams gr JOIN flagged USING (g)
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos + i AS pos
+            FROM occ,
+                 (SELECT unnest(generate_series(0, 2)) AS i)
+        ),
+        kept AS (
+            SELECT t.doc_id,
+                   string_agg(t.t, ' ' ORDER BY t.pos)
+                       AS clean_text
+            FROM toks t
+            LEFT JOIN covered c
+              ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.doc_id IS NULL
+            GROUP BY t.doc_id
+        ),
+        before AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT)
+                       AS n_tokens_before
+            FROM toks GROUP BY doc_id
+        ),
+        removed AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT)
+                       AS n_tokens_removed
+            FROM covered GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(k.clean_text, '') AS clean_text,
+               COALESCE(b.n_tokens_before, 0)
+                   AS n_tokens_before,
+               COALESCE(r.n_tokens_removed, 0)
+                   AS n_tokens_removed
+        FROM documents d
+        LEFT JOIN kept k USING (doc_id)
+        LEFT JOIN before b USING (doc_id)
+        LEFT JOIN removed r USING (doc_id)
+    """,
+    ops=("TEXT", "DEDUP"),
+)
+def boilerplate_span_scrub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOILERPLATE SPAN REMOVAL — detection graduated to
+    TRANSFORMATION: token 3-grams occurring in more than 10% of
+    documents (headers, footers, navigation chrome) are located
+    per occurrence and their covered token positions CUT from the
+    document; output is the rebuilt clean text plus the removal
+    accounting. Completes the span family: duplicate_span_detect
+    finds repetition, boilerplate_line_dedup drops whole lines,
+    this emits the scrubbed corpus a training pipeline actually
+    feeds downstream (the C4/RefinedWeb boilerplate pass).
+
+    Scale shape: one token posexplode; gram construction is two
+    lead()s inside the per-document window (documents are
+    KB-sized — the partition is tiny by construction); the gram
+    document-frequency table is vocabulary-sized; coverage is a
+    3x explode of FLAGGED occurrences only, never the corpus; the
+    rebuild is one ordered per-doc aggregate. The 10% threshold
+    compares as 10*df > n_docs — integer, no ratio."""
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    ndocs = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("pos0", "t"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "t"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ",
+                F.col("t"),
+                F.lead("t", 1).over(w),
+                F.lead("t", 2).over(w),
+            ).alias("g"),
+            F.lead("t", 2).over(w).alias("__l2"),
+        )
+        .filter(F.col("__l2").isNotNull())
+        .drop("__l2")
+    )
+    # gram stream feeds BOTH the df aggregate and the occurrence
+    # join (rule 12) — narrow (doc_id, pos, g), checkpoint once.
+    grams = grams.localCheckpoint(eager=False)
+    gdf = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    flagged = gdf.crossJoin(F.broadcast(ndocs)).filter(
+        F.lit(10) * F.col("df") > F.col("n")
+    ).select("g")
+    occ = grams.join(flagged, "g").select("doc_id", "pos")
+    covered = (
+        occ.select(
+            "doc_id",
+            F.explode(
+                F.array(F.lit(0), F.lit(1), F.lit(2))
+            ).alias("i"),
+            "pos",
+        )
+        .select("doc_id", (F.col("pos") + F.col("i")).alias("pos"))
+        .distinct()
+    )
+    kept = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(pos, t))), x -> x.t)"
+                ),
+            ).alias("clean_text")
+        )
+    )
+    before = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_before")
+    )
+    removed = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_removed")
+    )
+    z = lambda c, d: F.coalesce(F.col(c), F.lit(d))  # noqa: E731
+    return (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .join(before, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            z("clean_text", "").alias("clean_text"),
+            z("n_tokens_before", 0).alias("n_tokens_before"),
+            z("n_tokens_removed", 0).alias("n_tokens_removed"),
+        )
+    )

@@ -4004,3 +4004,220 @@ def readability_scores(
             / (F.lit(1000.0) * d("s") * d("w"))
         ).alias("flesch"),
     )
+
+
+@register(
+    "filter_funnel_report",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS t
+            FROM documents
+        ),
+        tc AS (
+            SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE length(t) > 0
+            GROUP BY doc_id, t
+        ),
+        m0 AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS max_freq,
+                   CAST(sum(length(t) * c) AS BIGINT)
+                       AS tok_chars,
+                   CAST(max(length(t)) AS BIGINT) AS max_len
+            FROM tc GROUP BY doc_id
+        ),
+        m AS (
+            SELECT d.doc_id,
+                   COALESCE(m0.n_tokens, 0) AS n_tokens,
+                   COALESCE(m0.n_distinct, 0) AS n_distinct,
+                   COALESCE(m0.max_freq, 0) AS max_freq,
+                   COALESCE(m0.tok_chars, 0) AS tok_chars,
+                   COALESCE(m0.max_len, 0) AS max_len
+            FROM documents d LEFT JOIN m0 USING (doc_id)
+        ),
+        flags AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN n_tokens BETWEEN 8 AND 4096
+                             THEN 1 ELSE 0 END AS BIGINT) AS f1,
+                   CAST(CASE WHEN 2 * n_tokens <= tok_chars
+                              AND tok_chars <= 12 * n_tokens
+                             THEN 1 ELSE 0 END AS BIGINT) AS f2,
+                   CAST(CASE WHEN 8 * n_distinct >= n_tokens
+                             THEN 1 ELSE 0 END AS BIGINT) AS f3,
+                   CAST(CASE WHEN 4 * max_freq <= n_tokens
+                             THEN 1 ELSE 0 END AS BIGINT) AS f4,
+                   CAST(CASE WHEN max_len <= 24
+                             THEN 1 ELSE 0 END AS BIGINT) AS f5
+            FROM m
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(1 - f1) AS BIGINT) AS d1,
+                   CAST(sum(f1) AS BIGINT) AS in2,
+                   CAST(sum(f1 * (1 - f2)) AS BIGINT) AS d2,
+                   CAST(sum(f1 * f2) AS BIGINT) AS in3,
+                   CAST(sum(f1 * f2 * (1 - f3)) AS BIGINT) AS d3,
+                   CAST(sum(f1 * f2 * f3) AS BIGINT) AS in4,
+                   CAST(sum(f1 * f2 * f3 * (1 - f4)) AS BIGINT)
+                       AS d4,
+                   CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS in5,
+                   CAST(sum(f1 * f2 * f3 * f4 * (1 - f5))
+                        AS BIGINT) AS d5,
+                   CAST(sum(f1 * f2 * f3 * f4 * f5) AS BIGINT)
+                       AS out5,
+                   CAST(sum((1 - f1) * f2 * f3 * f4 * f5)
+                        AS BIGINT) AS u1,
+                   CAST(sum(f1 * (1 - f2) * f3 * f4 * f5)
+                        AS BIGINT) AS u2,
+                   CAST(sum(f1 * f2 * (1 - f3) * f4 * f5)
+                        AS BIGINT) AS u3,
+                   CAST(sum(f1 * f2 * f3 * (1 - f4) * f5)
+                        AS BIGINT) AS u4,
+                   CAST(sum(f1 * f2 * f3 * f4 * (1 - f5))
+                        AS BIGINT) AS u5
+            FROM flags
+        )
+        SELECT 1 AS stage, 'token_count_bounds' AS rule,
+               n_docs AS n_in, d1 AS n_dropped, in2 AS n_out,
+               u1 AS n_sole_reject FROM s
+        UNION ALL
+        SELECT 2, 'mean_token_len', in2, d2, in3, u2 FROM s
+        UNION ALL
+        SELECT 3, 'distinct_ratio', in3, d3, in4, u3 FROM s
+        UNION ALL
+        SELECT 4, 'top_token_dominance', in4, d4, in5, u4 FROM s
+        UNION ALL
+        SELECT 5, 'max_token_len', in5, d5, out5, u5 FROM s
+    """,
+    ops=("TEXT", "A1"),
+)
+def filter_funnel_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUALITY-FILTER FUNNEL: the per-rule rejection accounting a
+    production curation pipeline publishes (the RefinedWeb / Dolma
+    convention) — for each of five ordered heuristic rules, how
+    many documents entered the stage, how many it dropped, how
+    many survived, and how many it REJECTS UNIQUELY (docs every
+    other rule would pass — the marginal value of keeping the
+    rule). Rules are Gopher-style corpus heuristics expressed in
+    PURE INTEGER arithmetic (threshold compares as cross-
+    multiplications, never ratios), so the oracle is bit-exact
+    with zero float-portability surface:
+
+      1 token_count_bounds    8 <= n_tokens <= 4096
+      2 mean_token_len        2 <= tok_chars/n_tokens <= 12
+      3 distinct_ratio        n_distinct/n_tokens >= 1/8
+      4 top_token_dominance   max_freq/n_tokens <= 1/4
+      5 max_token_len         max token length <= 24
+
+    Scale shape: ONE token explode -> (doc, token) count ->
+    per-doc 5-metric aggregate (all map-side combinable), then
+    the funnel is fifteen sums over the per-doc flag table and a
+    constant 5-row projection — no joins, no windows, no second
+    corpus pass. Empty documents enter the funnel via the LEFT
+    join and fail rule 1."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    tc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m0 = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("max_freq"),
+        F.sum(F.length("t") * F.col("c"))
+        .cast("bigint")
+        .alias("tok_chars"),
+        F.max(F.length("t")).cast("bigint").alias("max_len"),
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    m = docs.select("doc_id").join(m0, "doc_id", "left").select(
+        "doc_id",
+        z("n_tokens").alias("n_tokens"),
+        z("n_distinct").alias("n_distinct"),
+        z("max_freq").alias("max_freq"),
+        z("tok_chars").alias("tok_chars"),
+        z("max_len").alias("max_len"),
+    )
+    b = lambda c: c.cast("bigint")  # noqa: E731
+    flags = m.select(
+        b(
+            F.col("n_tokens").between(8, 4096).cast("int")
+        ).alias("f1"),
+        b(
+            (
+                (F.lit(2) * F.col("n_tokens") <= F.col("tok_chars"))
+                & (F.col("tok_chars") <= F.lit(12) * F.col("n_tokens"))
+            ).cast("int")
+        ).alias("f2"),
+        b(
+            (F.lit(8) * F.col("n_distinct") >= F.col("n_tokens"))
+            .cast("int")
+        ).alias("f3"),
+        b(
+            (F.lit(4) * F.col("max_freq") <= F.col("n_tokens"))
+            .cast("int")
+        ).alias("f4"),
+        b((F.col("max_len") <= 24).cast("int")).alias("f5"),
+    )
+    f = [F.col(f"f{i}") for i in range(1, 6)]
+    neg = [F.lit(1) - c for c in f]
+    prod = lambda cols: (  # noqa: E731
+        cols[0] if len(cols) == 1 else cols[0] * prod(cols[1:])
+    )
+    s = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(prod(f[:i] + [neg[i]]))
+            .cast("bigint")
+            .alias(f"d{i + 1}")
+            for i in range(5)
+        ],
+        *[
+            F.sum(prod(f[: i + 1])).cast("bigint").alias(f"in{i + 2}")
+            for i in range(4)
+        ],
+        F.sum(prod(f)).cast("bigint").alias("out5"),
+        *[
+            F.sum(prod([neg[i]] + f[:i] + f[i + 1 :]))
+            .cast("bigint")
+            .alias(f"u{i + 1}")
+            for i in range(5)
+        ],
+    ).localCheckpoint(eager=False)
+    # ^ the 1-row funnel summary feeds FIVE union branches below —
+    # without the checkpoint each branch re-runs the corpus token
+    # explode (rule 12).
+    rules = [
+        "token_count_bounds",
+        "mean_token_len",
+        "distinct_ratio",
+        "top_token_dominance",
+        "max_token_len",
+    ]
+    ins = ["n_docs", "in2", "in3", "in4", "in5"]
+    outs = ["in2", "in3", "in4", "in5", "out5"]
+    rows = None
+    for i, rule in enumerate(rules):
+        r = s.select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(rule).alias("rule"),
+            F.col(ins[i]).alias("n_in"),
+            F.col(f"d{i + 1}").alias("n_dropped"),
+            F.col(outs[i]).alias("n_out"),
+            F.col(f"u{i + 1}").alias("n_sole_reject"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

@@ -1971,3 +1971,283 @@ def winsorized_stats(
             / (F.count(F.lit(1)).cast("double") * F.lit(100.0))
         ).alias("mean_winsorized"),
     )
+
+
+def _cramer3(a, b):
+    """Shared-infix Cramer solve for a SYMMETRIC 3x3 system:
+    ``a`` = dict with keys a11,a12,a13,a22,a23,a33, ``b`` =
+    (b1,b2,b3) — each value a column-name/expr STRING. Returns
+    (det, d1, d2, d3) infix strings. The SAME text is parsed by
+    Spark and DuckDB (the ols_multifeature twin-expression
+    discipline), so double evaluation order is identical by
+    construction."""
+    a11, a12, a13 = a["a11"], a["a12"], a["a13"]
+    a22, a23, a33 = a["a22"], a["a23"], a["a33"]
+    b1, b2, b3 = b
+    det = (
+        f"{a11}*({a22}*{a33} - {a23}*{a23})"
+        f" - {a12}*({a12}*{a33} - {a23}*{a13})"
+        f" + {a13}*({a12}*{a23} - {a22}*{a13})"
+    )
+    d1 = (
+        f"{b1}*({a22}*{a33} - {a23}*{a23})"
+        f" - {a12}*({b2}*{a33} - {a23}*{b3})"
+        f" + {a13}*({b2}*{a23} - {a22}*{b3})"
+    )
+    d2 = (
+        f"{a11}*({b2}*{a33} - {a23}*{b3})"
+        f" - {b1}*({a12}*{a33} - {a23}*{a13})"
+        f" + {a13}*({a12}*{b3} - {b2}*{a13})"
+    )
+    d3 = (
+        f"{a11}*({a22}*{b3} - {b2}*{a23})"
+        f" - {a12}*({a12}*{b3} - {b2}*{a13})"
+        f" + {b1}*({a12}*{a23} - {a22}*{a13})"
+    )
+    return det, d1, d2, d3
+
+
+_LG1_DET, _LG1_D1, _LG1_D2, _LG1_D3 = _cramer3(
+    {k: k for k in ("a11", "a12", "a13", "a22", "a23", "a33")},
+    ("g1", "g2", "g3"),
+)
+_LG1_B = [
+    f"2.0 * ({d}) / nullif({_LG1_DET}, 0.0)"
+    for d in (_LG1_D1, _LG1_D2, _LG1_D3)
+]
+_LG2_DET, _LG2_D1, _LG2_D2, _LG2_D3 = _cramer3(
+    {k: "w" + k for k in ("a11", "a12", "a13", "a22", "a23", "a33")},
+    ("h1", "h2", "h3"),
+)
+_LG2_B = [
+    f"b{j} + ({d}) / nullif({_LG2_DET}, 0.0)"
+    for j, d in enumerate((_LG2_D1, _LG2_D2, _LG2_D3))
+]
+_LG_Z = "b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE)"
+_LG_PQ = "CAST(round(1000000.0 / (1.0 + exp(-(z)))) AS BIGINT)"
+
+
+@register(
+    "logistic_newton_purchase",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS x1,
+                   CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+                   CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        m1 AS (
+            SELECT CAST(count(*) AS DOUBLE) AS a11,
+                   CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS a12,
+                   CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS a13,
+                   CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE)
+                       AS a22,
+                   CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE)
+                       AS a23,
+                   CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE)
+                       AS a33,
+                   CAST(CAST(sum(2 * y - 1) AS BIGINT) AS DOUBLE)
+                       AS g1,
+                   CAST(CAST(sum((2 * y - 1) * x1) AS BIGINT)
+                        AS DOUBLE) AS g2,
+                   CAST(CAST(sum((2 * y - 1) * x2) AS BIGINT)
+                        AS DOUBLE) AS g3,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM base
+        ),
+        beta1 AS (
+            SELECT n_obs,
+                   {_LG1_B[0]} AS b0,
+                   {_LG1_B[1]} AS b1,
+                   {_LG1_B[2]} AS b2
+            FROM m1
+        ),
+        zrows AS (
+            SELECT x1, x2, y, {_LG_Z} AS z
+            FROM base CROSS JOIN beta1
+        ),
+        prows AS (
+            SELECT x1, x2, y, {_LG_PQ} AS pq
+            FROM zrows
+        ),
+        wrows AS (
+            SELECT x1, x2,
+                   pq * (1000000 - pq) AS wq,
+                   y * 1000000 - pq AS df
+            FROM prows
+        ),
+        m2 AS (
+            SELECT
+                CAST(CAST(sum(CAST(wq AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS DOUBLE) AS wa11,
+                CAST(CAST(sum(CAST(wq * x1 AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS DOUBLE) AS wa12,
+                CAST(CAST(sum(CAST(wq * x2 AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS DOUBLE) AS wa13,
+                CAST(CAST(sum(CAST(wq * x1 * x1
+                                   AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS DOUBLE) AS wa22,
+                CAST(CAST(sum(CAST(wq * x1 * x2
+                                   AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS DOUBLE) AS wa23,
+                CAST(CAST(sum(CAST(wq * x2 * x2
+                                   AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS DOUBLE) AS wa33,
+                1000000.0 * CAST(CAST(sum(CAST(df
+                                   AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS DOUBLE) AS h1,
+                1000000.0 * CAST(CAST(sum(CAST(df * x1
+                                   AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS DOUBLE) AS h2,
+                1000000.0 * CAST(CAST(sum(CAST(df * x2
+                                   AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS DOUBLE) AS h3
+            FROM wrows
+        )
+        SELECT beta1.n_obs,
+               beta1.b0 AS b0_step1,
+               beta1.b1 AS b1_step1,
+               beta1.b2 AS b2_step1,
+               {_LG2_B[0]} AS b0_step2,
+               {_LG2_B[1]} AS b1_step2,
+               {_LG2_B[2]} AS b2_step2
+        FROM m2 CROSS JOIN beta1
+    """,
+    ops=("A1", "F10"),
+)
+def logistic_newton_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOGISTIC REGRESSION by two unrolled Newton/IRLS steps —
+    P(event_type = 'purchase' | hour-of-day, day-of-week) — the
+    quality-classifier training shape (a linear model fitted by
+    iterated weighted least squares) expressed as TWO corpus
+    aggregates, no driver iteration, no MLlib.
+
+    Exactness discipline (the ols_forecast/ols_multifeature
+    lineage, extended to an ITERATIVE model):
+    - Step 1 starts at beta = 0, where the sigmoid is EXACTLY 1/2
+      and the IRLS weight exactly 1/4, so the first Newton step
+      delta = 2 * M^-1 * g is pure integer-moment algebra (M =
+      sum x x^T, g = sum (2y-1) x) — bit-deterministic.
+    - Step 2 needs per-row sigmoids: z comes from SHARED infix
+      text, p is quantized ONCE to the 1e6 integer grid
+      (round(1e6 * sigmoid)) so every weighted moment is an EXACT
+      integer accumulated in DECIMAL(38,0) (rule 1b: irrational
+      per-row terms quantize-then-sum; exp's cross-engine 1-ulp
+      class shifts the rounded integer only within ~1e-10 of a
+      grid boundary).
+    - All Cramer determinants evaluate from ONE shared infix
+      formula string parsed by both engines (_cramer3).
+    - DuckDB dayofweek is 0-6 vs Spark's 1-7 (rule 5c): oracle
+      uses dayofweek(ts) + 1.
+
+    Scale: two map-side-combinable aggregates over events; the
+    solve is constant work on a 1-row frame. More Newton steps =
+    more unrolled aggregates (the PageRank pattern), each a full
+    but shuffle-light corpus pass."""
+    ev = read_star_table(spark, "events", sf_dir)
+    base = ev.select(
+        F.hour("ts").cast("bigint").alias("x1"),
+        F.dayofweek("ts").cast("bigint").alias("x2"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m1 = base.agg(
+        F.count(F.lit(1)).cast("double").alias("a11"),
+        F.sum("x1").cast("bigint").cast("double").alias("a12"),
+        F.sum("x2").cast("bigint").cast("double").alias("a13"),
+        F.sum(F.col("x1") * F.col("x1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("a22"),
+        F.sum(F.col("x1") * F.col("x2"))
+        .cast("bigint")
+        .cast("double")
+        .alias("a23"),
+        F.sum(F.col("x2") * F.col("x2"))
+        .cast("bigint")
+        .cast("double")
+        .alias("a33"),
+        F.sum(F.lit(2) * F.col("y") - 1)
+        .cast("bigint")
+        .cast("double")
+        .alias("g1"),
+        F.sum((F.lit(2) * F.col("y") - 1) * F.col("x1"))
+        .cast("bigint")
+        .cast("double")
+        .alias("g2"),
+        F.sum((F.lit(2) * F.col("y") - 1) * F.col("x2"))
+        .cast("bigint")
+        .cast("double")
+        .alias("g3"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    beta1 = m1.select(
+        "n_obs",
+        F.expr(_LG1_B[0]).alias("b0"),
+        F.expr(_LG1_B[1]).alias("b1"),
+        F.expr(_LG1_B[2]).alias("b2"),
+    ).localCheckpoint(eager=False)
+    # ^ beta1 feeds BOTH the per-row z pass and the final output
+    # projection (rule 12).
+    zrows = base.crossJoin(F.broadcast(beta1)).select(
+        "x1", "x2", "y", F.expr(_LG_Z).alias("z")
+    )
+    prows = zrows.select(
+        "x1", "x2", "y", F.expr(_LG_PQ).alias("pq")
+    )
+    wrows = prows.select(
+        "x1",
+        "x2",
+        (F.col("pq") * (F.lit(1000000) - F.col("pq"))).alias(
+            "wq"
+        ),
+        (F.col("y") * F.lit(1000000) - F.col("pq")).alias("df"),
+    )
+    m2 = wrows.agg(
+        F.sum(dec(F.col("wq"))).cast("double").alias("wa11"),
+        F.sum(dec(F.col("wq") * F.col("x1")))
+        .cast("double")
+        .alias("wa12"),
+        F.sum(dec(F.col("wq") * F.col("x2")))
+        .cast("double")
+        .alias("wa13"),
+        F.sum(dec(F.col("wq") * F.col("x1") * F.col("x1")))
+        .cast("double")
+        .alias("wa22"),
+        F.sum(dec(F.col("wq") * F.col("x1") * F.col("x2")))
+        .cast("double")
+        .alias("wa23"),
+        F.sum(dec(F.col("wq") * F.col("x2") * F.col("x2")))
+        .cast("double")
+        .alias("wa33"),
+        (
+            F.lit(1000000.0)
+            * F.sum(dec(F.col("df"))).cast("double")
+        ).alias("h1"),
+        (
+            F.lit(1000000.0)
+            * F.sum(dec(F.col("df") * F.col("x1"))).cast(
+                "double"
+            )
+        ).alias("h2"),
+        (
+            F.lit(1000000.0)
+            * F.sum(dec(F.col("df") * F.col("x2"))).cast(
+                "double"
+            )
+        ).alias("h3"),
+    )
+    return m2.crossJoin(F.broadcast(beta1)).select(
+        "n_obs",
+        F.col("b0").alias("b0_step1"),
+        F.col("b1").alias("b1_step1"),
+        F.col("b2").alias("b2_step1"),
+        F.expr(_LG2_B[0]).alias("b0_step2"),
+        F.expr(_LG2_B[1]).alias("b1_step2"),
+        F.expr(_LG2_B[2]).alias("b2_step2"),
+    )

@@ -233,6 +233,9 @@ HEADLINE = [
     # --- round-8 additions ---
     "wordpiece_train_merges",
     "hamming_band_recall_audit",
+    "filter_funnel_report",
+    "logistic_newton_purchase",
+    "boilerplate_span_scrub",
 ]
 
 

@@ -1,0 +1,203 @@
+"""Round-8 additions: filter funnel, logistic-Newton, span scrub,
+hamming-band recall audit. The registry-wide oracle gate
+(test_correctness) already hash-checks each against DuckDB at
+sf0.001; these tests pin the SEMANTICS independently (python
+replicas and structural invariants), per the operator-test
+convention (CLAUDE.md rule 7)."""
+
+from __future__ import annotations
+
+import math
+
+from afg_data_pipeline_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+class TestFilterFunnel:
+    def test_chain_invariants(self, spark):
+        rows = {
+            r["stage"]: r
+            for r in REGISTRY["filter_funnel_report"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(rows) == {1, 2, 3, 4, 5}
+        for s in range(1, 6):
+            r = rows[s]
+            assert r["n_out"] == r["n_in"] - r["n_dropped"], s
+            assert 0 <= r["n_sole_reject"], s
+            if s > 1:
+                assert r["n_in"] == rows[s - 1]["n_out"], s
+        # total docs enter stage 1
+        import pandas as pd
+
+        n_docs = len(
+            pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        )
+        assert rows[1]["n_in"] == n_docs
+
+    def test_replica(self, spark):
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        flags = []
+        for _, row in docs.iterrows():
+            toks = [
+                t for t in (row["text"] or "").strip().split()
+                if t
+            ]
+            n = len(toks)
+            dist = len(set(toks))
+            mx = max(
+                (toks.count(t) for t in set(toks)), default=0
+            )
+            chars = sum(len(t) for t in toks)
+            mlen = max((len(t) for t in toks), default=0)
+            flags.append(
+                (
+                    8 <= n <= 4096,
+                    2 * n <= chars <= 12 * n,
+                    8 * dist >= n,
+                    4 * mx <= n,
+                    mlen <= 24,
+                )
+            )
+        got = {
+            r["stage"]: r
+            for r in REGISTRY["filter_funnel_report"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        for s in range(1, 6):
+            n_in = sum(
+                1 for f in flags if all(f[: s - 1])
+            )
+            n_drop = sum(
+                1
+                for f in flags
+                if all(f[: s - 1]) and not f[s - 1]
+            )
+            sole = sum(
+                1
+                for f in flags
+                if not f[s - 1]
+                and all(f[j] for j in range(5) if j != s - 1)
+            )
+            assert got[s]["n_in"] == n_in, s
+            assert got[s]["n_dropped"] == n_drop, s
+            assert got[s]["n_sole_reject"] == sole, s
+
+
+class TestLogisticNewton:
+    def test_replica(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        r = (
+            REGISTRY["logistic_newton_purchase"]
+            .fn(spark, SF_DIR)
+            .collect()[0]
+        )
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        # events.ts is INT64 nanos in the parquet (rule 4)
+        ts = pd.to_datetime(ev["ts"])
+        x1 = ts.dt.hour.to_numpy(dtype=np.int64)
+        # Spark dayofweek: Sunday=1..Saturday=7; pandas: Mon=0
+        x2 = ((ts.dt.dayofweek.to_numpy() + 1) % 7 + 1).astype(
+            np.int64
+        )
+        y = (ev["event_type"] == "purchase").to_numpy(int)
+        X = np.column_stack(
+            [np.ones_like(x1), x1, x2]
+        ).astype(float)
+        # step 1 from beta=0: delta = 2 * (X^T X)^-1 X^T (2y-1)
+        M = X.T @ X
+        g = X.T @ (2 * y - 1)
+        b1 = 2 * np.linalg.solve(M, g)
+        assert r["n_obs"] == len(ev)
+        for got, want in zip(
+            (r["b0_step1"], r["b1_step1"], r["b2_step1"]), b1
+        ):
+            assert math.isclose(
+                got, want, rel_tol=1e-9, abs_tol=1e-12
+            ), (got, want)
+        # step 2 with the 1e6-grid quantized sigmoid
+        z = X @ np.array([r["b0_step1"], r["b1_step1"], r["b2_step1"]])
+        pq = np.round(1e6 / (1 + np.exp(-z))).astype(np.int64)
+        wq = pq * (1000000 - pq)
+        df = y * 1000000 - pq
+        A = (X * wq[:, None]).T @ X
+        b = 1e6 * (X.T @ df)
+        b2 = np.array(
+            [r["b0_step1"], r["b1_step1"], r["b2_step1"]]
+        ) + np.linalg.solve(A, b)
+        for got, want in zip(
+            (r["b0_step2"], r["b1_step2"], r["b2_step2"]), b2
+        ):
+            assert math.isclose(
+                got, want, rel_tol=1e-6, abs_tol=1e-9
+            ), (got, want)
+        # a Newton step from 0 must move toward the class prior
+        p_hat = y.mean()
+        z0 = r["b0_step2"] + r["b1_step2"] * x1.mean() + (
+            r["b2_step2"] * x2.mean()
+        )
+        assert abs(1 / (1 + math.exp(-z0)) - p_hat) < 0.2
+
+
+class TestSpanScrub:
+    def test_replica(self, spark):
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        toks = {
+            int(r["doc_id"]): [
+                t for t in (r["text"] or "").strip().split() if t
+            ]
+            for _, r in docs.iterrows()
+        }
+        n_docs = len(docs)
+        gram_docs: dict[str, set[int]] = {}
+        for d, ts in toks.items():
+            for i in range(len(ts) - 2):
+                g = " ".join(ts[i : i + 3])
+                gram_docs.setdefault(g, set()).add(d)
+        flagged = {
+            g for g, ds in gram_docs.items()
+            if 10 * len(ds) > n_docs
+        }
+        got = {
+            int(r["doc_id"]): r
+            for r in REGISTRY["boilerplate_span_scrub"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(toks)
+        for d, ts in toks.items():
+            covered = set()
+            for i in range(len(ts) - 2):
+                if " ".join(ts[i : i + 3]) in flagged:
+                    covered.update((i, i + 1, i + 2))
+            kept = [
+                t for i, t in enumerate(ts) if i not in covered
+            ]
+            r = got[d]
+            assert r["clean_text"] == " ".join(kept), d
+            assert r["n_tokens_before"] == len(ts), d
+            assert r["n_tokens_removed"] == len(covered), d
+
+
+class TestHammingAudit:
+    def test_pigeonhole_and_bounds(self, spark):
+        rows = (
+            REGISTRY["hamming_band_recall_audit"]
+            .fn(spark, SF_DIR)
+            .collect()
+        )
+        assert rows, "no true pairs at sf0.001 sample"
+        for r in rows:
+            assert 0 <= r["n_found"] <= r["n_true_pairs"]
+            assert 0.0 <= r["recall"] <= 1.0
+            if r["hamming_band"] == "00-03":
+                # Hamming < n_bands cannot miss (pigeonhole)
+                assert r["recall"] == 1.0
