@@ -159,6 +159,12 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "wordpiece_encode_stats",
     "readability_scores",
     "markov_steady_state",
+    # round-8 additions
+    "wordpiece_train_merges",
+    "hamming_band_recall_audit",
+    "filter_funnel_report",
+    "logistic_newton_purchase",
+    "boilerplate_span_scrub",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
