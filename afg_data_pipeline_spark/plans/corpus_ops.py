@@ -3313,3 +3313,134 @@ def boilerplate_span_scrub(
             z("n_tokens_removed", 0).alias("n_tokens_removed"),
         )
     )
+
+
+@register(
+    "training_order_shuffle",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, source,
+                   md5('trainorder:'
+                       || CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY hh, doc_id) - 1 AS BIGINT)
+                       AS source_pos
+            FROM h
+        )
+        SELECT doc_id, source, source_pos,
+               CAST(row_number() OVER (
+                   ORDER BY source_pos, source, doc_id) - 1
+                   AS BIGINT) AS global_pos
+        FROM p
+    """,
+    ops=("SAMPLE", "O2"),
+)
+def training_order_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DETERMINISTIC GLOBAL TRAINING ORDER with round-robin source
+    interleaving — the 'shuffle the corpus for training' pass,
+    seedless and bit-reproducible: each document's shuffle key is
+    md5('trainorder:'||doc_id); documents are ranked WITHIN their
+    source by that key, and the global order visits position 0 of
+    every source (in source order), then position 1, ... — the
+    epoch-uniform mixing a multi-source pretraining run wants.
+
+    THE SCALE POINT — the global index is computed with NO GLOBAL
+    SHUFFLE and NO GLOBAL WINDOW anywhere (rule 19: an
+    unpartitioned row_number runs ONE task over the corpus; the
+    oracle uses exactly that, which is fine for DuckDB):
+    - within-source ranks come from (source, 2-hex-char bucket)
+      windows — 256·|sources| independent partitions; the hex
+      prefix respects the md5 sort order, so bucket-local ranks +
+      per-bucket offsets (a tiny |sources|·256-row cumulative)
+      compose to exact within-source positions;
+    - the GLOBAL position has a closed form from per-source
+      counts only: rank(p, s) = sum_s' min(p, c_s') +
+      #{s' < s : c_s' > p} — evaluated as driver-literal terms
+      (rule 14; |sources| is bounded and guard-checked), so the
+      corpus pays two narrow passes and zero corpus-wide sorts."""
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(
+                F.lit("trainorder:"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("hh"),
+    ).withColumn("bucket", F.substring("hh", 1, 2))
+    # feeds the rank window AND the bucket-count pass (rule 12)
+    hashed = hashed.localCheckpoint(eager=False)
+    w = Window.partitionBy("source", "bucket").orderBy(
+        "hh", "doc_id"
+    )
+    local = hashed.select(
+        "doc_id",
+        "source",
+        "bucket",
+        (F.row_number().over(w) - 1).cast("bigint").alias("lp"),
+    )
+    bcounts = hashed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # per-(source, bucket) offsets: cumulative over the TINY
+    # (|sources| x 256)-row frame — the window is per source over
+    # <=256 rows, never the corpus
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("c").over(wo), F.lit(0)).alias("off"),
+    )
+    pos = local.join(
+        F.broadcast(offsets), ["source", "bucket"]
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("off") + F.col("lp")).alias("source_pos"),
+    )
+    # per-source totals -> driver literals (rule 14): the closed-
+    # form global rank needs only c_s' per source; bound-checked
+    # limit(n+1) collect (never OOM before the guard, r7 #6)
+    cnt_rows = (
+        hashed.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .limit(10_001)
+        .collect()
+    )
+    if len(cnt_rows) > 10_000:
+        raise ValueError(
+            "training_order_shuffle's literal-model rank assumes "
+            f"a bounded source space; got >{10_000} sources"
+        )
+    counts = sorted((r["source"], r["c"]) for r in cnt_rows)
+    p = F.col("source_pos")
+    global_pos = F.lit(0).cast("bigint")
+    for s_name, c in counts:
+        global_pos = global_pos + F.least(
+            p, F.lit(int(c)).cast("bigint")
+        )
+        global_pos = global_pos + F.when(
+            (F.lit(s_name) < F.col("source"))
+            & (F.lit(int(c)) > p),
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return pos.select(
+        "doc_id",
+        "source",
+        "source_pos",
+        global_pos.alias("global_pos"),
+    )

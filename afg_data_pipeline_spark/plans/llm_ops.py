@@ -4221,3 +4221,245 @@ def filter_funnel_report(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+@register(
+    "embedding_stats_report",
+    oracle="""
+        WITH q AS (
+            SELECT pos AS dim,
+                   CAST(round(CAST(embedding[pos] AS DOUBLE)
+                              * 1000000.0) AS BIGINT) AS qv
+            FROM (
+                SELECT embedding,
+                       unnest(generate_series(1,
+                           len(embedding))) AS pos
+                FROM embeddings)
+        ),
+        s AS (
+            SELECT dim,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(CAST(sum(CAST(qv AS DECIMAL(38,0)))
+                             AS DECIMAL(38,0)) AS DOUBLE) AS sq,
+                   CAST(CAST(sum(CAST(qv * qv
+                                      AS DECIMAL(38,0)))
+                             AS DECIMAL(38,0)) AS DOUBLE) AS sqq
+            FROM q GROUP BY dim
+        )
+        SELECT CAST(dim AS INTEGER) AS dim,
+               CAST(n AS BIGINT) AS n_vectors,
+               sq / (n * 1000000.0) AS mean,
+               (n * sqq - sq * sq)
+                   / (n * n * 1000000000000.0) AS variance
+        FROM s
+    """,
+    ops=("ANN", "A1"),
+)
+def embedding_stats_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDING OBSERVABILITY: per-dimension mean and population
+    variance over the corpus embedding table — the health check a
+    vector pipeline runs before trusting ANN results (dead dims,
+    collapsed variance, mean drift after re-embedding). Companion
+    to the ANN ladder: same table, the audit side.
+
+    Exactness: each float component is CAST to DOUBLE first (rule
+    16 — float32×literal stays float32 in DuckDB), quantized ONCE
+    to the 1e6 integer grid (rule 1b), and both moment sums
+    accumulate exactly in DECIMAL(38,0) (rule 11 — sum of q² has
+    no provable 2^63 bound at corpus scale); mean and variance
+    are then identical double arithmetic from identical exact
+    integers on both engines (shared infix shapes). Scale: one
+    posexplode + a 64-key map-side-combinable aggregate; output
+    is dimension-bounded."""
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    q = emb.select(
+        F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000.0)
+        .cast("bigint")
+        .alias("qv"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("qv"))).cast("double").alias("sq"),
+        F.sum(dec(F.col("qv") * F.col("qv")))
+        .cast("double")
+        .alias("sqq"),
+    )
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.expr("sq / (n * 1000000.0)").alias("mean"),
+        F.expr(
+            "(n * sqq - sq * sq)"
+            " / (n * n * 1000000000000.0)"
+        ).alias("variance"),
+    )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS s
+            FROM tokd
+        ),
+        sig AS (
+            SELECT doc_id, s,
+                   list_aggregate(list_transform(s, x -> md5('0|' || x)), 'min') AS mh0,
+                   list_aggregate(list_transform(s, x -> md5('1|' || x)), 'min') AS mh1,
+                   list_aggregate(list_transform(s, x -> md5('2|' || x)), 'min') AS mh2,
+                   list_aggregate(list_transform(s, x -> md5('3|' || x)), 'min') AS mh3,
+                   list_aggregate(list_transform(s, x -> md5('4|' || x)), 'min') AS mh4,
+                   list_aggregate(list_transform(s, x -> md5('5|' || x)), 'min') AS mh5,
+                   list_aggregate(list_transform(s, x -> md5('6|' || x)), 'min') AS mh6,
+                   list_aggregate(list_transform(s, x -> md5('7|' || x)), 'min') AS mh7
+            FROM sh
+        ),
+        long AS (
+            SELECT doc_id,
+                   unnest(['0|' || mh0 || '|' || mh1,
+                           '1|' || mh2 || '|' || mh3,
+                           '2|' || mh4 || '|' || mh5,
+                           '3|' || mh6 || '|' || mh7]) AS band_key
+            FROM sig
+        ),
+        cpairs AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a,
+                   b.doc_id AS doc_id_b
+            FROM long a JOIN long b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT p.doc_id_a, p.doc_id_b,
+                   CAST(len(list_intersect(sa.s, sb.s))
+                        AS DOUBLE)
+                   / CAST(len(sa.s) + len(sb.s)
+                          - len(list_intersect(sa.s, sb.s))
+                          AS DOUBLE) AS j
+            FROM cpairs p
+            JOIN sh sa ON sa.doc_id = p.doc_id_a
+            JOIN sh sb ON sb.doc_id = p.doc_id_b
+        ),
+        nd AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+        ),
+        taus AS (
+            SELECT unnest([50, 60, 70, 80, 90]) AS threshold
+        ),
+        qual AS (
+            SELECT t.threshold, s.doc_id_a, s.doc_id_b
+            FROM scored s JOIN taus t
+              ON s.j * 100.0 >= CAST(t.threshold AS DOUBLE)
+        ),
+        np AS (
+            SELECT threshold,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM qual GROUP BY threshold
+        ),
+        docs_hit AS (
+            SELECT threshold,
+                   CAST(count(DISTINCT d) AS BIGINT)
+                       AS n_dup_docs
+            FROM (
+                SELECT threshold, doc_id_a AS d FROM qual
+                UNION ALL
+                SELECT threshold, doc_id_b FROM qual)
+            GROUP BY threshold
+        )
+        SELECT t.threshold,
+               COALESCE(np.n_pairs, 0) AS n_pairs,
+               COALESCE(dh.n_dup_docs, 0) AS n_dup_docs,
+               CAST(COALESCE(dh.n_dup_docs, 0) AS DOUBLE)
+                   / CAST(nd.n_docs AS DOUBLE) AS dup_doc_rate
+        FROM taus t
+        LEFT JOIN np USING (threshold)
+        LEFT JOIN docs_hit dh USING (threshold)
+        CROSS JOIN nd
+    """,
+    ops=("DEDUP", "A1"),
+)
+def dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-DUP THRESHOLD SWEEP — 'what would each Jaccard cutoff
+    cost us': from ONE banded-MinHash candidate pass (the
+    certified minhash_near_dup pipeline verbatim), report per
+    threshold tau in {0.5..0.9} the qualifying pair count, the
+    number of documents touched, and the affected-document rate.
+    The decision table a curation team reads before picking its
+    dedup aggressiveness — computed once, not five pipeline runs.
+
+    Exactness: pair Jaccards are single divisions of exact shingle
+    intersection/union integers, so j*100 >= tau compares
+    identical doubles on both engines. Scale: the sweep rides the
+    verified candidate table (sub-quadratic by banding); the 5x
+    threshold join expands PAIRS, never documents, and both
+    rollups are map-side combinable. The scored pair table is
+    checkpointed once — it feeds the pair-count and the
+    affected-doc branches (rule 12)."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    scored = minhash_lsh_candidates(docs).localCheckpoint(
+        eager=False
+    )
+    nd = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in (50, 60, 70, 80, 90)], "threshold int"
+    )
+    qual = scored.join(
+        F.broadcast(taus),
+        F.col("jaccard") * 100.0
+        >= F.col("threshold").cast("double"),
+    ).select("threshold", "doc_id_a", "doc_id_b")
+    qual = qual.localCheckpoint(eager=False)
+    # ^ feeds the pair-count AND the distinct-doc branches
+    np_ = qual.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    dh = (
+        qual.select(
+            "threshold", F.col("doc_id_a").alias("d")
+        )
+        .unionByName(
+            qual.select(
+                "threshold", F.col("doc_id_b").alias("d")
+            )
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_docs"))
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return (
+        taus.join(np_, "threshold", "left")
+        .join(dh, "threshold", "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "threshold",
+            z("n_pairs").alias("n_pairs"),
+            z("n_dup_docs").alias("n_dup_docs"),
+            (
+                z("n_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_doc_rate"),
+        )
+    )

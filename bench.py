@@ -236,6 +236,9 @@ HEADLINE = [
     "filter_funnel_report",
     "logistic_newton_purchase",
     "boilerplate_span_scrub",
+    "training_order_shuffle",
+    "embedding_stats_report",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -201,3 +201,116 @@ class TestHammingAudit:
             if r["hamming_band"] == "00-03":
                 # Hamming < n_bands cannot miss (pigeonhole)
                 assert r["recall"] == 1.0
+
+
+class TestTrainingOrderShuffle:
+    def test_replica_and_interleave(self, spark):
+        import hashlib
+
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        h = {
+            int(r["doc_id"]): hashlib.md5(
+                f"trainorder:{int(r['doc_id'])}".encode()
+            ).hexdigest()
+            for _, r in docs.iterrows()
+        }
+        per_src: dict[str, list[int]] = {}
+        for _, r in docs.iterrows():
+            per_src.setdefault(r["source"], []).append(
+                int(r["doc_id"])
+            )
+        src_pos = {}
+        for s, ids in per_src.items():
+            for p, d in enumerate(
+                sorted(ids, key=lambda d: (h[d], d))
+            ):
+                src_pos[d] = (p, s)
+        order = sorted(
+            src_pos, key=lambda d: (src_pos[d][0], src_pos[d][1])
+        )
+        want_global = {d: i for i, d in enumerate(order)}
+        got = {
+            int(r["doc_id"]): r
+            for r in REGISTRY["training_order_shuffle"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(want_global)
+        for d, r in got.items():
+            assert r["source_pos"] == src_pos[d][0], d
+            assert r["global_pos"] == want_global[d], d
+        # interleave property: among the first |sources| global
+        # positions, every source with >=1 doc appears exactly once
+        n_src = len(per_src)
+        first = sorted(got.values(), key=lambda r: r["global_pos"])[
+            :n_src
+        ]
+        assert len({r["source"] for r in first}) == n_src
+
+
+class TestEmbeddingStats:
+    def test_replica(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        X = np.stack(emb["embedding"].to_numpy()).astype(
+            np.float64
+        )
+        Q = np.round(X * 1e6).astype(np.int64)
+        got = {
+            r["dim"]: r
+            for r in REGISTRY["embedding_stats_report"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(range(1, X.shape[1] + 1))
+        n = float(len(Q))
+        for d in range(X.shape[1]):
+            q = Q[:, d].astype(object)  # exact python ints
+            sq = float(sum(q))
+            sqq = float(sum(v * v for v in q))
+            r = got[d + 1]
+            assert r["n_vectors"] == len(Q)
+            assert abs(r["mean"] - sq / (n * 1e6)) < 1e-12
+            want_var = (n * sqq - sq * sq) / (n * n * 1e12)
+            assert abs(r["variance"] - want_var) < 1e-12, d
+
+
+class TestDedupThresholdSweep:
+    def test_monotone_and_consistent(self, spark):
+        rows = {
+            r["threshold"]: r
+            for r in REGISTRY["dedup_threshold_sweep"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert sorted(rows) == [50, 60, 70, 80, 90]
+        prev_pairs = prev_docs = None
+        for t in sorted(rows):
+            r = rows[t]
+            # tighter threshold can only shrink the dup set
+            if prev_pairs is not None:
+                assert r["n_pairs"] <= prev_pairs
+                assert r["n_dup_docs"] <= prev_docs
+            prev_pairs, prev_docs = r["n_pairs"], r["n_dup_docs"]
+            assert 0.0 <= r["dup_doc_rate"] <= 1.0
+            # a pair touches <= 2 docs
+            assert r["n_dup_docs"] <= 2 * r["n_pairs"]
+
+    def test_matches_minhash_near_dup(self, spark):
+        pairs = (
+            REGISTRY["minhash_near_dup"]
+            .fn(spark, SF_DIR)
+            .collect()
+        )
+        want = sum(1 for p in pairs if p["jaccard"] * 100 >= 70)
+        got = {
+            r["threshold"]: r["n_pairs"]
+            for r in REGISTRY["dedup_threshold_sweep"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert got[70] == want

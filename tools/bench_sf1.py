@@ -165,6 +165,9 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "filter_funnel_report",
     "logistic_newton_purchase",
     "boilerplate_span_scrub",
+    "training_order_shuffle",
+    "embedding_stats_report",
+    "dedup_threshold_sweep",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
