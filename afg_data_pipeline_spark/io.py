@@ -368,3 +368,36 @@ def compact_parquet(
         if os.path.isfile(f)
     ]
     return len(out)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED catalog table: rows are hash-
+    partitioned on ``bucket_col`` into ``n_buckets`` files and
+    sorted by it within each bucket. Two tables bucketed the same
+    way join WITHOUT A SHUFFLE — the scan itself reports the
+    hash partitioning, so SortMergeJoin consumes both sides
+    in place (Exchange-free; the sortBy also satisfies the sort
+    requirement when each bucket reads as one file). This is the
+    co-located-join primitive for fact-to-fact joins at 100 TB:
+    bucket once at ingest, every downstream orderkey join skips
+    the two corpus-sized exchanges forever.
+
+    Bucket metadata lives in the CATALOG (a plain parquet
+    directory cannot carry it), hence saveAsTable with an explicit
+    external path; the in-memory catalog of a fresh session works
+    — no Hive metastore needed."""
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )

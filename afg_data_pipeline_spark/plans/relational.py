@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from afg_data_pipeline_spark.functions.numeric import (
     dsum,
+    dsum_expr,
     sql_dsum,
 )
 from afg_data_pipeline_spark.io import read_star_table
@@ -474,4 +475,72 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
+    )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)",
+                         "revenue")}
+        FROM orders o JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    ops=("J1", "A1", "S10"),
+)
+def bucketed_join_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CO-LOCATED FACT-TO-FACT JOIN via bucketed tables — the
+    shuffle-elimination primitive the star-schema queries can't
+    show (their dimensions broadcast): orders and lineitem are
+    persisted ONCE as catalog tables bucketed 8-ways on the order
+    key (io.write_bucketed_table), and the revenue join then runs
+    as an Exchange-free SortMergeJoin — both scans report the
+    same hash partitioning, so neither corpus moves. At 100 TB
+    this is the difference between two full-corpus shuffles per
+    join and zero, amortized over every downstream orderkey join;
+    tests/test_r8_ops.py plan-asserts the absence of shuffle.
+    The merge hint pins SMJ so the demonstration doesn't silently
+    degrade to a broadcast join at toy scale."""
+    import os
+
+    from afg_data_pipeline_spark.io import write_bucketed_table
+
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        .replace(".", "_")
+        .replace("-", "_")
+    )
+    base = f"/tmp/afg_bucketed/{tag}"
+    o = read_star_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = read_star_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed_table(
+        o, f"afg_orders_b_{tag}", f"{base}/orders",
+        "o_orderkey", 8,
+    )
+    write_bucketed_table(
+        li, f"afg_lineitem_b_{tag}", f"{base}/lineitem",
+        "l_orderkey", 8,
+    )
+    ob = spark.table(f"afg_orders_b_{tag}")
+    lb = spark.table(f"afg_lineitem_b_{tag}")
+    revenue = F.col("l_extendedprice") * (
+        1 - F.col("l_discount")
+    )
+    return (
+        lb.hint("merge")
+        .join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum_expr(revenue, "revenue"),
+        )
     )

@@ -239,6 +239,7 @@ HEADLINE = [
     "training_order_shuffle",
     "embedding_stats_report",
     "dedup_threshold_sweep",
+    "bucketed_join_revenue",
 ]
 
 

@@ -314,3 +314,37 @@ class TestDedupThresholdSweep:
             .collect()
         }
         assert got[70] == want
+
+
+class TestBucketedJoin:
+    def test_no_exchange_and_values(self, spark):
+        from pyspark.sql import functions as F
+
+        from afg_data_pipeline_spark.io import read_star_table
+
+        df = REGISTRY["bucketed_join_revenue"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the whole point: co-located scans, zero shuffles for
+        # the join itself (the final 5-group aggregate may still
+        # exchange its tiny partials)
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in join_part, plan
+        assert "bucket" in plan.lower(), plan
+        # values equal the plain join
+        o = read_star_table(spark, "orders", SF_DIR)
+        li = read_star_table(spark, "lineitem", SF_DIR)
+        want = {
+            r["o_orderpriority"]: r["n"]
+            for r in li.join(
+                o, li.l_orderkey == o.o_orderkey
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got = {
+            r["o_orderpriority"]: r["n_items"]
+            for r in df.collect()
+        }
+        assert got == want

@@ -168,6 +168,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "training_order_shuffle",
     "embedding_stats_report",
     "dedup_threshold_sweep",
+    "bucketed_join_revenue",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
