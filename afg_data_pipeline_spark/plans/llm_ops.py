@@ -4120,107 +4120,17 @@ def filter_funnel_report(
     the funnel is fifteen sums over the per-doc flag table and a
     constant 5-row projection — no joins, no windows, no second
     corpus pass. Empty documents enter the funnel via the LEFT
-    join and fail rule 1."""
+    join and fail rule 1. The flag/rollup kernel is SHARED with
+    the streaming per-batch funnel sink
+    (operators/quality_funnel.py; streaming/funnel.py), so online
+    and offline funnels cannot drift apart."""
+    from afg_data_pipeline_spark.operators.quality_funnel import (
+        funnel_flags,
+        funnel_rollup,
+    )
+
     docs = read_star_table(spark, "documents", sf_dir)
-    tc = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.col("text")), r"\s+")
-            ).alias("t"),
-        )
-        .filter(F.length("t") > 0)
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    m0 = tc.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        F.max("c").cast("bigint").alias("max_freq"),
-        F.sum(F.length("t") * F.col("c"))
-        .cast("bigint")
-        .alias("tok_chars"),
-        F.max(F.length("t")).cast("bigint").alias("max_len"),
-    )
-    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
-    m = docs.select("doc_id").join(m0, "doc_id", "left").select(
-        "doc_id",
-        z("n_tokens").alias("n_tokens"),
-        z("n_distinct").alias("n_distinct"),
-        z("max_freq").alias("max_freq"),
-        z("tok_chars").alias("tok_chars"),
-        z("max_len").alias("max_len"),
-    )
-    b = lambda c: c.cast("bigint")  # noqa: E731
-    flags = m.select(
-        b(
-            F.col("n_tokens").between(8, 4096).cast("int")
-        ).alias("f1"),
-        b(
-            (
-                (F.lit(2) * F.col("n_tokens") <= F.col("tok_chars"))
-                & (F.col("tok_chars") <= F.lit(12) * F.col("n_tokens"))
-            ).cast("int")
-        ).alias("f2"),
-        b(
-            (F.lit(8) * F.col("n_distinct") >= F.col("n_tokens"))
-            .cast("int")
-        ).alias("f3"),
-        b(
-            (F.lit(4) * F.col("max_freq") <= F.col("n_tokens"))
-            .cast("int")
-        ).alias("f4"),
-        b((F.col("max_len") <= 24).cast("int")).alias("f5"),
-    )
-    f = [F.col(f"f{i}") for i in range(1, 6)]
-    neg = [F.lit(1) - c for c in f]
-    prod = lambda cols: (  # noqa: E731
-        cols[0] if len(cols) == 1 else cols[0] * prod(cols[1:])
-    )
-    s = flags.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        *[
-            F.sum(prod(f[:i] + [neg[i]]))
-            .cast("bigint")
-            .alias(f"d{i + 1}")
-            for i in range(5)
-        ],
-        *[
-            F.sum(prod(f[: i + 1])).cast("bigint").alias(f"in{i + 2}")
-            for i in range(4)
-        ],
-        F.sum(prod(f)).cast("bigint").alias("out5"),
-        *[
-            F.sum(prod([neg[i]] + f[:i] + f[i + 1 :]))
-            .cast("bigint")
-            .alias(f"u{i + 1}")
-            for i in range(5)
-        ],
-    ).localCheckpoint(eager=False)
-    # ^ the 1-row funnel summary feeds FIVE union branches below —
-    # without the checkpoint each branch re-runs the corpus token
-    # explode (rule 12).
-    rules = [
-        "token_count_bounds",
-        "mean_token_len",
-        "distinct_ratio",
-        "top_token_dominance",
-        "max_token_len",
-    ]
-    ins = ["n_docs", "in2", "in3", "in4", "in5"]
-    outs = ["in2", "in3", "in4", "in5", "out5"]
-    rows = None
-    for i, rule in enumerate(rules):
-        r = s.select(
-            F.lit(i + 1).alias("stage"),
-            F.lit(rule).alias("rule"),
-            F.col(ins[i]).alias("n_in"),
-            F.col(f"d{i + 1}").alias("n_dropped"),
-            F.col(outs[i]).alias("n_out"),
-            F.col(f"u{i + 1}").alias("n_sole_reject"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+    return funnel_rollup(funnel_flags(docs))
 
 
 @register(
