@@ -3444,3 +3444,221 @@ def training_order_shuffle(
         "source_pos",
         global_pos.alias("global_pos"),
     )
+
+
+@register(
+    "epoch_upsample_plan",
+    oracle="""
+        WITH cfg AS (
+            SELECT * FROM (VALUES
+                ('src0', 25, 10),
+                ('src1', 25, 10),
+                ('src2', 12, 10)
+            ) c(source, e10, den)
+        ),
+        base AS (
+            SELECT d.doc_id, d.source,
+                   c.e10 // c.den AS whole,
+                   c.e10 % c.den AS frac10
+            FROM documents d JOIN cfg c USING (source)
+        ),
+        marked AS (
+            SELECT doc_id, source, whole,
+                   CASE WHEN md5('epoch:'
+                                 || CAST(doc_id AS VARCHAR))
+                        < CASE frac10
+                              WHEN 0 THEN '0000'
+                              WHEN 5 THEN '8000'
+                              WHEN 2 THEN '3333'
+                              ELSE 'gggg' END
+                        THEN 1 ELSE 0 END AS extra
+            FROM base
+        )
+        SELECT doc_id, source,
+               CAST(copy_idx AS BIGINT) AS copy_idx
+        FROM (
+            SELECT doc_id, source, whole + extra AS n_copies
+            FROM marked)
+        CROSS JOIN LATERAL unnest(
+            generate_series(0, CAST(n_copies AS BIGINT) - 1))
+            AS t(copy_idx)
+        WHERE n_copies > 0
+    """,
+    ops=("SAMPLE", "U1"),
+)
+def epoch_upsample_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-EPOCH DATASET ASSEMBLY — the UPSAMPLING half of
+    mixture control (domain_mixture_resample is the downsampling
+    half): each source gets a fractional epoch target (src0/src1
+    2.5 epochs, src2 1.2 here — the Llama-style epoch table), and
+    every document is emitted floor(e) times plus one more when
+    md5('epoch:'||doc_id) falls under the fractional threshold —
+    deterministic, zero RNG, so the assembled corpus is
+    bit-reproducible and each doc's extra copy is a stable
+    property of the doc (never of partitioning or retry).
+
+    Exactness: epoch targets are held as INTEGER tenths (e10/den),
+    the fractional threshold as a fixed-width hex-prefix literal
+    (rule 5b — same-width lowercase hex orders like its value on
+    both engines: 2/10 -> '3333' = floor(0.2*65536)). Scale: the
+    copy explode is bounded by ceil(e) and runs AFTER a rule-3
+    round-robin repartition; everything else is a broadcast config
+    join."""
+    par = spark.sparkContext.defaultParallelism
+    cfg = spark.createDataFrame(
+        [
+            ("src0", 25, 10),
+            ("src1", 25, 10),
+            ("src2", 12, 10),
+        ],
+        "source string, e10 int, den int",
+    )
+    frac_hex = {0: "0000", 5: "8000", 2: "3333"}
+    docs = read_star_table(spark, "documents", sf_dir).select(
+        "doc_id", "source"
+    )
+    base = docs.join(F.broadcast(cfg), "source")
+    marked = base.select(
+        "doc_id",
+        "source",
+        (F.col("e10") / F.col("den"))
+        .cast("int")
+        .alias("whole"),
+        F.when(
+            F.md5(
+                F.concat(
+                    F.lit("epoch:"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            < F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for k, v in frac_hex.items()
+                        for x in (F.lit(k), F.lit(v))
+                    ]
+                ),
+                (F.col("e10") % F.col("den")).cast("int"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("extra"),
+    )
+    copies = marked.select(
+        "doc_id",
+        "source",
+        (F.col("whole") + F.col("extra")).alias("n_copies"),
+    ).filter(F.col("n_copies") > 0)
+    # rule 3: the explode multiplies rows; AQE can't see it in
+    # input bytes — spread the pre-expansion side first
+    copies = copies.repartition(par)
+    return copies.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.col("n_copies").cast("bigint") - 1,
+            )
+        ).alias("copy_idx"),
+    )
+
+
+@register(
+    "dataset_manifest",
+    oracle="""
+        WITH per_doc AS (
+            SELECT source,
+                   length(text) AS n_chars,
+                   len(list_filter(regexp_split_to_array(
+                       trim(text), '\\s+'),
+                       x -> length(x) > 0)) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR) || '|' || text)
+                       AS h
+            FROM documents
+        ),
+        weighted AS (
+            SELECT source, n_chars, n_tokens,
+                   CAST(ascii(substr(h, 1, 1)) AS BIGINT)
+                   + CAST(ascii(substr(h, 2, 1)) AS BIGINT) * 128
+                   + CAST(ascii(substr(h, 3, 1)) AS BIGINT) * 16384
+                   + CAST(ascii(substr(h, 4, 1)) AS BIGINT) * 2097152
+                   + CAST(ascii(substr(h, 5, 1)) AS BIGINT) * 268435456
+                   + CAST(ascii(substr(h, 6, 1)) AS BIGINT) * 34359738368
+                   + CAST(ascii(substr(h, 7, 1)) AS BIGINT) * 4398046511104
+                   + CAST(ascii(substr(h, 8, 1)) AS BIGINT) * 562949953421312
+                       AS hsum
+            FROM per_doc
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(CAST(sum(CAST(hsum AS DECIMAL(38,0)))
+                         AS DECIMAL(38,0)) AS VARCHAR)
+                   AS content_checksum
+        FROM weighted GROUP BY source
+    """,
+    ops=("A1",),
+)
+def dataset_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RELEASE MANIFEST: per source, document/token/character
+    counts plus an ORDER-INDEPENDENT content checksum — the
+    reproducibility record a dataset release ships so a consumer
+    can verify "same docs, same bytes" without re-reading the
+    corpus in any particular order. The checksum is the exact sum
+    over documents of a 56-bit integer derived from
+    md5(doc_id|text) (eight hex chars, ascii-weighted by powers
+    of 128 — ascii() and md5 are bit-identical on both engines;
+    rule 5b family, no hex->int conversion anywhere): any changed,
+    added, or dropped document moves the sum with probability
+    ~1-2^-56. Commutative addition makes it partition-, order- and
+    retry-invariant; DECIMAL(38,0) accumulation (rule 11: no
+    provable 2^63 bound at corpus scale), final column string-cast
+    on both sides (rule 11a). Scale: one scan, map-side
+    combinable, |sources| output rows."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    h = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.col("text"),
+        )
+    )
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("n_tokens"),
+        h.alias("h"),
+    )
+    hsum = sum(
+        (
+            F.ascii(F.substring("h", i + 1, 1))
+            * F.lit(128**i).cast("bigint")
+            for i in range(1, 8)
+        ),
+        F.ascii(F.substring("h", 1, 1)).cast("bigint"),
+    )
+    weighted = per_doc.select(
+        "source", "n_chars", "n_tokens", hsum.alias("hsum")
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum(F.col("hsum").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("content_checksum"),
+    )

@@ -240,6 +240,8 @@ HEADLINE = [
     "embedding_stats_report",
     "dedup_threshold_sweep",
     "bucketed_join_revenue",
+    "epoch_upsample_plan",
+    "dataset_manifest",
 ]
 
 

@@ -348,3 +348,99 @@ class TestBucketedJoin:
             for r in df.collect()
         }
         assert got == want
+
+
+class TestEpochUpsample:
+    def test_replica(self, spark):
+        import hashlib
+
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        cfg = {"src0": (2, 5), "src1": (2, 5), "src2": (1, 2)}
+        thr = {0: "0000", 5: "8000", 2: "3333"}
+        want = {}
+        for _, r in docs.iterrows():
+            src = r["source"]
+            if src not in cfg:
+                continue
+            whole, frac10 = cfg[src]
+            h = hashlib.md5(
+                f"epoch:{int(r['doc_id'])}".encode()
+            ).hexdigest()
+            extra = 1 if h < thr[frac10] else 0
+            n = whole + extra
+            if n:
+                want[int(r["doc_id"])] = (src, n)
+        got: dict[int, list[int]] = {}
+        src_of = {}
+        for row in (
+            REGISTRY["epoch_upsample_plan"]
+            .fn(spark, SF_DIR)
+            .collect()
+        ):
+            got.setdefault(int(row["doc_id"]), []).append(
+                row["copy_idx"]
+            )
+            src_of[int(row["doc_id"])] = row["source"]
+        assert set(got) == set(want)
+        for d, (src, n) in want.items():
+            assert src_of[d] == src
+            assert sorted(got[d]) == list(range(n)), d
+
+
+class TestDatasetManifest:
+    def test_replica(self, spark):
+        import hashlib
+
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        want: dict[str, list[int]] = {}
+        for _, r in docs.iterrows():
+            h = hashlib.md5(
+                f"{int(r['doc_id'])}|{r['text']}".encode()
+            ).hexdigest()
+            hsum = sum(
+                ord(h[i]) * (128**i) for i in range(8)
+            )
+            toks = [
+                t for t in (r["text"] or "").strip().split() if t
+            ]
+            acc = want.setdefault(r["source"], [0, 0, 0, 0])
+            acc[0] += 1
+            acc[1] += len(toks)
+            acc[2] += len(r["text"])
+            acc[3] += hsum
+        got = {
+            r["source"]: r
+            for r in REGISTRY["dataset_manifest"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(want)
+        for s, (nd, nt, nc, cs) in want.items():
+            r = got[s]
+            assert r["n_docs"] == nd
+            assert r["n_tokens"] == nt
+            assert r["n_chars"] == nc
+            assert r["content_checksum"] == str(cs), s
+
+    def test_checksum_detects_any_change(self, spark):
+        from afg_data_pipeline_spark.plans import REGISTRY
+
+        base = {
+            r["source"]: r["content_checksum"]
+            for r in REGISTRY["dataset_manifest"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        # same docs re-read -> identical checksums (order/retry
+        # invariance is the commutative-sum property)
+        again = {
+            r["source"]: r["content_checksum"]
+            for r in REGISTRY["dataset_manifest"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert base == again

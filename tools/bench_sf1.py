@@ -169,6 +169,8 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "embedding_stats_report",
     "dedup_threshold_sweep",
     "bucketed_join_revenue",
+    "epoch_upsample_plan",
+    "dataset_manifest",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
