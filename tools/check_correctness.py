@@ -164,7 +164,7 @@ def _changed_queries(since_sha: str, registry) -> set[str]:
             for ch in list(changed):
                 tail = ch.split(".", 1)[1] if "." in ch else ch
                 if _re.search(
-                    _re.escape(tail) + r"\b", src
+                    r"\b" + _re.escape(tail) + r"\b", src
                 ):
                     changed.add(mod)
                     grew = True
