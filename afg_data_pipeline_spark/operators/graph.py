@@ -488,6 +488,145 @@ def pagerank(
     )
 
 
+def _dec_floordiv(num, den):
+    """Exact floor division of two non-negative DECIMAL(38,0)
+    columns: ``(num - num % den) / den``. The subtraction makes the
+    quotient an exact integer, so Spark's HALF_UP rounding of the
+    decimal division is a no-op and the result matches DuckDB's
+    HUGEINT ``//`` bit-for-bit (characterized over random 24-digit
+    numerators in tests/test_graph_hits.py)."""
+    return (
+        (num - F.pmod(num, den)) / den
+    ).cast("decimal(38,0)")
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**12,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities) over a DIRECTED edge
+    list, computed in EXACT integer arithmetic on a 1/``scale``
+    grid: returns (vertex, authority_scaled, hub_scaled, authority,
+    hub).
+
+    Per iteration (L1 normalization — scores sum to ~``scale``,
+    floor loss aside, which keeps every intermediate bounded and
+    the arithmetic engine-portable):
+
+        a_raw(v) = Σ_{(u,v)∈E} h(u)          -- DECIMAL(38,0) sum
+        a(v)     = (scale · a_raw(v)) // Σ a_raw
+        h_raw(u) = Σ_{(u,v)∈E} a(v)
+        h(u)     = (scale · h_raw(u)) // Σ h_raw
+
+    Why integers: like pagerank above, double contributions sum in
+    shuffle order; on the integer grid every step is an associative
+    DECIMAL(38,0) multiply/floor-div/sum, bit-identical in the
+    unrolled-CTE DuckDB replica (HUGEINT ``//``). Bounds: after
+    normalization each score ≤ scale = 1e12, so a_raw ≤ 1e12·outdeg
+    and scale·a_raw ≤ ~1e30 « 10^38; BIGINT would overflow at high
+    degree, hence DECIMAL accumulation throughout (rule 11).
+
+    Scale shape: each half-iteration is one equi-join of the edge
+    list with the score frame + one partial-aggregated groupBy; the
+    normalizing total is a 1-row broadcast crossJoin, never a
+    collect. Lineage localCheckpoint()ed every ``checkpoint_every``
+    rounds (the pagerank discipline). O(iterations · |E|), no
+    global sort."""
+    dedges = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint()
+    if dedges.limit(1).count() == 0:
+        raise ValueError("hits over an empty edge list")
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits over an empty node set")
+    vertices = nodes.select(
+        F.col(id_col).alias("vertex")
+    ).localCheckpoint()
+    dec = "decimal(38,0)"
+    hub = vertices.withColumn(
+        "score", F.lit(scale // n).cast(dec)
+    ).localCheckpoint()
+    auth = None
+    scale_lit = F.lit(scale).cast(dec)
+    for it in range(iterations):
+        araw = (
+            dedges.join(hub, dedges.s == hub.vertex)
+            .groupBy("d")
+            .agg(F.sum("score").alias("raw"))
+        )
+        ta = araw.agg(F.sum("raw").alias("t"))
+        auth = (
+            vertices.join(
+                araw, F.col("vertex") == F.col("d"), "left"
+            )
+            .crossJoin(F.broadcast(ta))
+            .select(
+                "vertex",
+                _dec_floordiv(
+                    scale_lit
+                    * F.coalesce(F.col("raw"), F.lit(0).cast(dec)),
+                    F.col("t"),
+                ).alias("score"),
+            )
+        )
+        hraw = (
+            dedges.join(auth, dedges.d == auth.vertex)
+            .groupBy("s")
+            .agg(F.sum("score").alias("raw"))
+        )
+        th = hraw.agg(F.sum("raw").alias("t"))
+        hub = (
+            vertices.join(
+                hraw, F.col("vertex") == F.col("s"), "left"
+            )
+            .crossJoin(F.broadcast(th))
+            .select(
+                "vertex",
+                _dec_floordiv(
+                    scale_lit
+                    * F.coalesce(F.col("raw"), F.lit(0).cast(dec)),
+                    F.col("t"),
+                ).alias("score"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            auth = auth.localCheckpoint()
+            hub = hub.localCheckpoint()
+    return (
+        auth.select(
+            "vertex", F.col("score").alias("a_score")
+        )
+        .join(
+            hub.select(
+                "vertex", F.col("score").alias("h_score")
+            ),
+            "vertex",
+        )
+        .select(
+            "vertex",
+            F.col("a_score").cast("bigint").alias(
+                "authority_scaled"
+            ),
+            F.col("h_score").cast("bigint").alias("hub_scaled"),
+            (
+                F.col("a_score").cast("double")
+                / F.lit(float(scale))
+            ).alias("authority"),
+            (
+                F.col("h_score").cast("double")
+                / F.lit(float(scale))
+            ).alias("hub"),
+        )
+    )
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:

@@ -657,6 +657,118 @@ def pagerank_centrality(
     )
 
 
+def _hits_oracle_sql(
+    iterations: int = 5, scale: int = 10**12
+) -> str:
+    """Unrolled-CTE DuckDB replica of operators/graph.hits over the
+    DIRECTED (low key -> high key) supplier radius graph: one
+    (a_raw, a, h_raw, h) CTE quadruple per iteration, all HUGEINT
+    (SUM(BIGINT) promotes, rule 5), floor-divided with ``//`` —
+    bit-identical to the Spark DECIMAL(38,0) path."""
+    parts = [
+        f"""
+        WITH edges AS MATERIALIZED (
+            SELECT a.s_suppkey AS s, b.s_suppkey AS d
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE {_ADJ_DIST_SQL} <= 500.0
+        ),
+        nodes AS MATERIALIZED (SELECT s_suppkey AS id FROM supplier),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        h0 AS MATERIALIZED (
+            SELECT id, CAST({scale} // nn.n AS HUGEINT) AS score
+            FROM nodes CROSS JOIN nn
+        )"""
+    ]
+    prev = "h0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        ar{i} AS MATERIALIZED (
+            SELECT e.d AS id, SUM(h.score) AS raw
+            FROM edges e JOIN {prev} h ON h.id = e.s
+            GROUP BY e.d
+        ),
+        ta{i} AS (SELECT SUM(raw) AS t FROM ar{i}),
+        a{i} AS MATERIALIZED (
+            SELECT n.id,
+                   ({scale} * COALESCE(r.raw, 0)) // ta.t AS score
+            FROM nodes n CROSS JOIN ta{i} ta
+            LEFT JOIN ar{i} r ON r.id = n.id
+        ),
+        hr{i} AS MATERIALIZED (
+            SELECT e.s AS id, SUM(a.score) AS raw
+            FROM edges e JOIN a{i} a ON a.id = e.d
+            GROUP BY e.s
+        ),
+        th{i} AS (SELECT SUM(raw) AS t FROM hr{i}),
+        h{i} AS MATERIALIZED (
+            SELECT n.id,
+                   ({scale} * COALESCE(r.raw, 0)) // th.t AS score
+            FROM nodes n CROSS JOIN th{i} th
+            LEFT JOIN hr{i} r ON r.id = n.id
+        )"""
+        )
+        prev = f"h{i}"
+    parts.append(
+        f"""
+        SELECT n.id AS vertex,
+               CAST(a.score AS BIGINT) AS authority_scaled,
+               CAST(h.score AS BIGINT) AS hub_scaled,
+               CAST(a.score AS DOUBLE) / {float(scale)!r}
+                   AS authority,
+               CAST(h.score AS DOUBLE) / {float(scale)!r} AS hub
+        FROM nodes n
+        JOIN a{iterations} a ON a.id = n.id
+        JOIN h{iterations} h ON h.id = n.id"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "hits_hub_authority",
+    oracle=_hits_oracle_sql(iterations=5),
+    ops=("M5", "A1"),
+)
+def hits_hub_authority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer-exact HITS (5 iterations, L1-normalized to a 1/1e12
+    grid) over the DIRECTED supplier radius graph (each undirected
+    adjacency pair oriented low key -> high key, so hub and
+    authority roles genuinely differ): the link-analysis sibling of
+    pagerank_centrality, used to rank crawl sources (hubs) vs
+    citation targets (authorities) in corpus curation. Exactness:
+    every step is DECIMAL(38,0) multiply / floor-div / sum
+    (operators/graph.hits, _dec_floordiv) — associative, shuffle-
+    order-free, bit-identical to the unrolled HUGEINT CTE replica.
+    Scale: one edge-score equi-join + partial-agg per
+    half-iteration; normalizing totals are 1-row broadcasts, never
+    collects."""
+    from afg_data_pipeline_spark.operators.graph import (
+        hits,
+        radius_edges_grid2d,
+    )
+
+    s = read_star_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("x"),
+        (F.col("s_nationkey") * 400).cast("double").alias("y"),
+    )
+    edges = radius_edges_grid2d(
+        s, id_col="s_suppkey", x_col="x", y_col="y", radius=500.0
+    )
+    nodes = s.select(F.col("s_suppkey").alias("id"))
+    return hits(
+        nodes,
+        edges,
+        id_col="id",
+        src="id_a",
+        dst="id_b",
+        iterations=5,
+    )
+
+
 @register(
     "triangle_clustering",
     oracle=f"""

@@ -242,6 +242,7 @@ HEADLINE = [
     "bucketed_join_revenue",
     "epoch_upsample_plan",
     "dataset_manifest",
+    "hits_hub_authority",
 ]
 
 
