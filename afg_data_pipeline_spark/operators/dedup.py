@@ -1602,3 +1602,223 @@ def prefix_filter_jaccard_pairs(
         jac.alias("jaccard"),
         F.lit("exact").alias("tier"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_k: int = 2,
+    min_grams: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_cand: int | None = None,
+) -> DataFrame:
+    """EXACT asymmetric-containment self-join: all DIRECTED document
+    pairs (a -> b, a != b) with C(a->b) = |Sa ∩ Sb| / |Sa| >=
+    threshold over bigram-shingle sets — the quote / subset
+    detector that Jaccard dedup structurally misses (a 10-gram
+    quote inside a 1000-gram page has Jaccard ~0.01 but
+    containment 1.0). Output: (id_a contained, id_b container,
+    n_shared, size_a, size_b, containment, tier).
+
+    Candidate generation is the asymmetric prefix filter: order
+    each doc's shingles by GLOBAL rarity (df ASC, shingle ASC) and
+    keep the contained side's prefix of length
+    |Sa| - ceil(t·|Sa|) + 1 — any b with overlap >= ceil(t·|Sa|)
+    must share at least one PREFIX shingle of a. Unlike the
+    symmetric AllPairs join (prefix_filter_jaccard_pairs above),
+    the CONTAINER side must be indexed on its FULL shingle list
+    (containment puts no bound relative to |Sb|) — tractable
+    because prefixes hold the rarest shingles, so the join never
+    touches the hot boilerplate postings. ``min_grams`` drops
+    trivially small contained sides (a 1-shingle doc is "contained"
+    everywhere).
+
+    Exactness: the threshold is the exact rational
+    n_shared·tden >= |Sa|·tnum (never a double straddle);
+    containment itself is an exact-int IEEE division, bit-portable.
+    Identical shingle SETS collapse to one representative before
+    the pair machinery and expand back through the membership
+    table (containment depends only on the sets), with
+    within-group pairs emitted directly at containment 1 in both
+    directions — the duplication-heavy-corpus lever that keeps the
+    candidate join distinct-set-sized.
+
+    TIERED CONTRACT (the prefix_jaccard pattern): the candidate
+    bound Σ_s prefix_count(s)·df(s) is probed with one cheap
+    aggregate; above ``max_cand`` (env AFG_CONTAINMENT_MAX_CAND,
+    default 2M) the operator ANNOUNCES a switch to joining only on
+    prefix shingles with global df <= AFG_CONTAINMENT_DF_CAP
+    (default 1000) — every emitted pair stays exactly verified, but
+    recall becomes a documented subset (tier='rare_gram_subset');
+    the oracle pins tier='exact', so a budget crossing red-rows
+    rather than silently losing pairs."""
+    import os
+
+    from pyspark.sql import Window
+
+    from afg_data_pipeline_spark.operators.text import (
+        shingle_expr,
+        tokens,
+    )
+
+    tnum, tden = threshold_num, threshold_den
+    raw = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            "id",
+            F.array_sort(
+                F.array_distinct(
+                    shingle_expr("__toks", shingle_k)
+                )
+            ).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh").cast("bigint"))
+        .withColumn(
+            "setkey",
+            F.md5(F.concat_ws("\x1f", F.col("sh"))),
+        )
+        .localCheckpoint(eager=False)
+    )
+    members = raw.select("id", "setkey", "sz")
+    groups = raw.groupBy("setkey").agg(
+        F.min("id").alias("rep")
+    )
+    base = raw.join(
+        groups.select(
+            F.col("setkey").alias("__gk"), F.col("rep")
+        ),
+        (raw.setkey == F.col("__gk")) & (raw.id == F.col("rep")),
+    ).select("setkey", "sh", "sz")
+    tok = base.select(
+        F.col("setkey").alias("id"),
+        "sz",
+        F.explode("sh").alias("s"),
+    )
+    dfreq = tok.groupBy("s").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("id").orderBy("df", "s")
+    ranked = (
+        tok.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    ceil_t_sz = F.floor(
+        (F.col("sz") * tnum + (tden - 1)) / tden
+    ).cast("bigint")
+    prefix = ranked.filter(
+        (F.col("sz") >= min_grams)
+        & (F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
+    ).select("id", "sz", "s", "df")
+
+    if max_cand is None:
+        max_cand = int(
+            os.environ.get("AFG_CONTAINMENT_MAX_CAND", "2000000")
+        )
+    bound_row = (
+        prefix.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.first("df").alias("__df"),
+        )
+        .agg(
+            F.sum(
+                F.col("__n").cast("decimal(38,0)")
+                * F.col("__df").cast("decimal(38,0)")
+            ).alias("p")
+        )
+        .collect()[0]
+    )
+    bound = int(bound_row["p"] or 0)
+    tier = "exact"
+    if bound > max_cand:
+        df_cap = int(
+            os.environ.get("AFG_CONTAINMENT_DF_CAP", "1000")
+        )
+        print(
+            f"containment_pairs: candidate bound {bound} exceeds "
+            f"AFG_CONTAINMENT_MAX_CAND ({max_cand}); joining only "
+            f"prefix shingles with df <= {df_cap} — pairs stay "
+            f"exactly verified, recall is a documented subset "
+            f"(tier='rare_gram_subset')"
+        )
+        prefix = prefix.filter(F.col("df") <= df_cap)
+        tier = "rare_gram_subset"
+
+    pa = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("size_a"),
+        "s",
+    )
+    full_b = tok.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("size_b"),
+        "s",
+    )
+    cand = (
+        pa.join(full_b, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "s")
+    tb = tok.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "s"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    rep_pairs = inter.filter(
+        F.col("n_shared") * tden >= F.col("size_a") * tnum
+    )
+    ma = members.select(
+        F.col("setkey").alias("id_a"), F.col("id").alias("x")
+    )
+    mb = members.select(
+        F.col("setkey").alias("id_b"), F.col("id").alias("y")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.col("x").alias("da"),
+            F.col("y").alias("db"),
+            "n_shared",
+            "size_a",
+            "size_b",
+        )
+    )
+    within = (
+        members.alias("m1")
+        .join(
+            members.alias("m2"),
+            (F.col("m1.setkey") == F.col("m2.setkey"))
+            & (F.col("m1.id") != F.col("m2.id")),
+        )
+        .filter(F.col("m1.sz") >= min_grams)
+        .select(
+            F.col("m1.id").alias("da"),
+            F.col("m2.id").alias("db"),
+            F.col("m1.sz").alias("n_shared"),
+            F.col("m1.sz").alias("size_a"),
+            F.col("m2.sz").alias("size_b"),
+        )
+    )
+    all_pairs = cross.unionByName(within)
+    cont = F.col("n_shared").cast("double") / F.col(
+        "size_a"
+    ).cast("double")
+    return all_pairs.select(
+        F.col("da").alias("id_a"),
+        F.col("db").alias("id_b"),
+        "n_shared",
+        "size_a",
+        "size_b",
+        cont.alias("containment"),
+        F.lit(tier).alias("tier"),
+    )

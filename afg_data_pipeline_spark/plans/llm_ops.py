@@ -3870,6 +3870,64 @@ def prefix_jaccard_pairs_q(
 
 
 @register(
+    "containment_near_dup",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        side AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS sh
+            FROM tokd
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                   AS n_shared,
+               CAST(len(a.sh) AS BIGINT) AS size_a,
+               CAST(len(b.sh) AS BIGINT) AS size_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE) AS containment,
+               'exact' AS tier
+        FROM side a JOIN side b ON a.doc_id <> b.doc_id
+        WHERE len(a.sh) >= 5
+          AND len(list_intersect(a.sh, b.sh)) * 5
+              >= len(a.sh) * 4
+    """,
+    ops=("DEDUP",),
+)
+def containment_near_dup_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT asymmetric containment >= 4/5 pairs (directed: a
+    contained in b) over bigram shingles — the QUOTE / SUBSET
+    detector Jaccard dedup structurally misses: a short passage
+    lifted into a long page has near-zero Jaccard but containment
+    ~1, and repeated-quote mass is a known training-data
+    contamination vector. Candidates via the asymmetric prefix
+    filter (contained side's rare-first prefix joined against the
+    container side's FULL postings); the oracle is the brute-force
+    all-ordered-pairs join, so a prefix-length bug is a red row,
+    not a silent recall drop. Threshold comparisons are exact
+    rationals; the tier column pins 'exact' so a budget-crossing
+    fallback red-rows rather than silently losing pairs.
+    operators/dedup.containment_pairs."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return containment_pairs(docs)
+
+
+@register(
     "image_phash_near_dup",
     oracle=None,  # binary media decode — rows-only by design;
     # tests pin the DCT kernel against a scalar-python replica and

@@ -243,6 +243,7 @@ HEADLINE = [
     "epoch_upsample_plan",
     "dataset_manifest",
     "hits_hub_authority",
+    "containment_near_dup",
 ]
 
 
