@@ -1649,11 +1649,12 @@ def containment_pairs(
     bound Σ_s prefix_count(s)·df(s) is probed with one cheap
     aggregate; above ``max_cand`` (env AFG_CONTAINMENT_MAX_CAND,
     default 2M) the operator ANNOUNCES a switch to joining only on
-    prefix shingles with global df <= AFG_CONTAINMENT_DF_CAP
-    (default 1000) — every emitted pair stays exactly verified, but
-    recall becomes a documented subset (tier='rare_gram_subset');
-    the oracle pins tier='exact', so a budget crossing red-rows
-    rather than silently losing pairs."""
+    prefix shingles below an ADAPTIVE global-df cap — the largest
+    log2(df) bucket boundary whose cumulative candidate mass fits
+    the budget (lowest bucket always kept). Every emitted pair
+    stays exactly verified, but recall becomes a documented subset
+    (tier='rare_gram_subset'); the oracle pins tier='exact', so a
+    budget crossing red-rows rather than silently losing pairs."""
     import os
 
     from pyspark.sql import Window
@@ -1717,7 +1718,7 @@ def containment_pairs(
 
     if max_cand is None:
         max_cand = int(
-            os.environ.get("AFG_CONTAINMENT_MAX_CAND", "2000000")
+            os.environ.get("AFG_CONTAINMENT_MAX_CAND", "5000000")
         )
     bound_row = (
         prefix.groupBy("s")
@@ -1736,14 +1737,39 @@ def containment_pairs(
     bound = int(bound_row["p"] or 0)
     tier = "exact"
     if bound > max_cand:
-        df_cap = int(
-            os.environ.get("AFG_CONTAINMENT_DF_CAP", "1000")
+        # ADAPTIVE df cap: per-log2(df)-bucket candidate mass
+        # (<= 64 rows collected), then keep ascending buckets while
+        # the cumulative candidate count fits the budget — the cap
+        # tracks the corpus's actual df distribution instead of a
+        # fixed constant that a degenerate corpus sails past. The
+        # lowest bucket is always kept (else the fallback returns
+        # only exact-dup pairs), so worst-case work is that
+        # bucket's mass — linear in prefix rows when df is flat.
+        hist = (
+            prefix.groupBy(
+                F.floor(F.log2("df")).cast("int").alias("b")
+            )
+            .agg(
+                F.sum(
+                    F.col("df").cast("decimal(38,0)")
+                ).alias("w")
+            )
+            .collect()
         )
+        cum = 0
+        cap_b = None
+        for r in sorted(hist, key=lambda r: r["b"]):
+            if cap_b is not None and cum + int(r["w"]) > max_cand:
+                break
+            cum += int(r["w"])
+            cap_b = r["b"]
+        df_cap = 2 ** (cap_b + 1) - 1
         print(
             f"containment_pairs: candidate bound {bound} exceeds "
             f"AFG_CONTAINMENT_MAX_CAND ({max_cand}); joining only "
-            f"prefix shingles with df <= {df_cap} — pairs stay "
-            f"exactly verified, recall is a documented subset "
+            f"prefix shingles with df <= {df_cap} "
+            f"(~{cum} candidates) — pairs stay exactly verified, "
+            f"recall is a documented subset "
             f"(tier='rare_gram_subset')"
         )
         prefix = prefix.filter(F.col("df") <= df_cap)
@@ -1759,23 +1785,59 @@ def containment_pairs(
         F.col("sz").alias("size_b"),
         "s",
     )
-    cand = (
-        pa.join(full_b, "s")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "size_a", "size_b")
-        .distinct()
+    # Size filter AT the candidate join: C >= t forces
+    # |Sb| >= ceil(t·|Sa|) (the intersection can't exceed |Sb|) —
+    # pairs failing it never carry anything further.
+    # NO dedup before verification: a pair enters once per shared
+    # A-prefix shingle (multiplicity <= prefix length), and
+    # deduplicating 14M candidate rows costs a 1.2 GB groupBy
+    # shuffle (measured 9.2s of the query's 19s at sf0.1) while
+    # re-verifying a duplicate costs one in-task array_intersect
+    # (~4µs). Survivors are threshold-filtered first and THEN
+    # distinct'd — a tiny set. In the broadcast regime (hash
+    # tables under the autoBroadcast threshold) the whole candidate
+    # stream is map-side, zero shuffles.
+    cand = pa.join(full_b, "s").filter(
+        (F.col("id_a") != F.col("id_b"))
+        & (F.col("size_b") * tden >= F.col("size_a") * tnum)
     )
-    ta = tok.select(F.col("id").alias("id_a"), "s")
-    tb = tok.select(F.col("id").alias("id_b"), "s")
+    # Verify by riding xxhash64 shingle arrays (8 B/shingle) and
+    # one native array_intersect per candidate — measured regime
+    # from prefix_filter_jaccard_pairs' fallback: the exploded
+    # (candidates × |Sa|) join+agg costs minutes on a degenerate
+    # corpus (30-word vocabulary, every posting hot: 14M candidates
+    # × ~40 grams = 560M join rows at sf0.1, measured 118s/query)
+    # while the array ride shuffles each candidate once. Arrays
+    # are built lambda-free via explode + collect_list (rule 10);
+    # a 64-bit collision would surface as an oracle red row, never
+    # silently.
+    hsh = tok.groupBy("id").agg(
+        F.collect_list(F.xxhash64("s")).alias("hs")
+    )
+    sa_h = hsh.select(
+        F.col("id").alias("id_a"), F.col("hs").alias("hs_a")
+    )
+    sb_h = hsh.select(
+        F.col("id").alias("id_b"), F.col("hs").alias("hs_b")
+    )
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "s"])
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        cand.join(sa_h, "id_a")
+        .join(sb_h, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            F.size(
+                F.array_intersect(F.col("hs_a"), F.col("hs_b"))
+            )
+            .cast("bigint")
+            .alias("n_shared"),
+        )
     )
     rep_pairs = inter.filter(
         F.col("n_shared") * tden >= F.col("size_a") * tnum
-    )
+    ).distinct()
     ma = members.select(
         F.col("setkey").alias("id_a"), F.col("id").alias("x")
     )

@@ -104,13 +104,23 @@ class TestContainment:
         assert all(a != 1 for (a, _b) in got)
 
     def test_fallback_tier_announced_and_verified(self, spark):
+        # 20 boilerplate variants make the shared shingles hot
+        # (df=20) while the quote pair's shingles stay rare (df=2):
+        # the adaptive df cap keeps the rare buckets, so the quote
+        # pair survives the fallback while the hot boilerplate
+        # cross-pairs are the (documented) recall loss.
         page = "lead in . " + QUOTE + " . trailing tail tokens"
-        docs = [(1, QUOTE), (2, page)]
+        boiler = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = [(1, QUOTE), (2, page)] + [
+            (100 + i, f"{boiler} uniq{i}") for i in range(20)
+        ]
         want = _brute(docs)
-        got, tiers = _run(spark, docs, max_cand=0)
-        # tiny corpus: every shingle df is far under the cap, so
-        # the subset tier finds the same pairs — only the label
-        # changes (the oracle pins 'exact', so this tier red-rows
-        # in the driver rather than silently losing pairs)
-        assert got == want
+        got, tiers = _run(spark, docs, max_cand=100)
         assert tiers == {"rare_gram_subset"}
+        # every emitted pair is exactly verified...
+        assert set(got) <= set(want)
+        assert all(got[k] == want[k] for k in got)
+        # ...the rare-gram quote pair survives the cap...
+        assert (1, 2) in got
+        # ...and the hot boilerplate pairs are the recall loss
+        assert len(got) < len(want)

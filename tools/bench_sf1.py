@@ -171,6 +171,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "bucketed_join_revenue",
     "epoch_upsample_plan",
     "dataset_manifest",
+    "containment_near_dup",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
@@ -192,6 +193,10 @@ ORACLE_SKIP = {
     # map-side partial-aggregated DISTINCT finishes in 14.3s
     # (measured 2026-08-15) — correctness pins at sf0.01/sf0.1.
     "sequence_pattern3_counts",
+    # containment_near_dup: brute-force all-ORDERED-pairs oracle
+    # (50k docs -> 2.5e9 list_intersect pairs at sf1) is
+    # prohibitive by construction; correctness pins at sf0.01.
+    "containment_near_dup",
 }
 if SFN >= 10:
     # pack_token_sequences' oracle rebuilds every 256-token chunk
