@@ -596,8 +596,15 @@ def hits(
                 ).alias("score"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+        # Mid-loop, checkpointing HUB alone truncates the whole
+        # lineage (auth feeds hub within the iteration); auth is
+        # materialized only at the end, where the final select
+        # needs both frames. Each skipped checkpoint is one saved
+        # job on the per-round scheduling floor.
+        if it == iterations - 1:
             auth = auth.localCheckpoint()
+            hub = hub.localCheckpoint()
+        elif (it + 1) % checkpoint_every == 0:
             hub = hub.localCheckpoint()
     return (
         auth.select(
