@@ -864,6 +864,159 @@ _ANN_RECALL_ORACLE = """
     """
 
 
+def _dim_trunc_oracle_sql(
+    dims: tuple[int, ...] = (8, 16, 32, 64), k: int = 5
+) -> str:
+    """Unioned per-dimension replica of the truncation audit: one
+    (vecs, scored, top) CTE triple per dimension budget — the
+    exact double-fold cosine of the ann_cosine_topk oracle with
+    generate_series bounded at d — then hit-counting against the
+    full-dimension top-k."""
+
+    def triple(d: int, tag: str) -> str:
+        return f"""
+        vecs{tag} AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, {d}),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        ),
+        top{tag} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC
+                       ) AS rn
+                FROM (
+                    SELECT q.vec_id AS query_id,
+                           c.vec_id AS neighbor_id,
+                           list_aggregate(list_transform(
+                               generate_series(1, {d}),
+                               i -> CAST(q.embedding[i] AS DOUBLE)
+                                    * CAST(c.embedding[i]
+                                           AS DOUBLE)),
+                               'sum') / (q.nrm * c.nrm) AS cosine
+                    FROM vecs{tag} q CROSS JOIN vecs{tag} c
+                    WHERE q.vec_id <> c.vec_id AND q.vec_id < 32
+                )
+            ) WHERE rn <= {k}
+        )"""
+
+    parts = ["WITH " + triple(max(dims), "full").lstrip()]
+    rows = []
+    for d in dims:
+        tag = f"d{d}"
+        parts.append("," + triple(d, tag))
+        parts.append(
+            f""",
+        hits{tag} AS (
+            SELECT e.query_id,
+                   SUM(CASE WHEN f.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS hits
+            FROM topfull e
+            LEFT JOIN top{tag} f
+              ON f.query_id = e.query_id
+             AND f.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )"""
+        )
+        rows.append(
+            f"""
+        SELECT {d} AS dim,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(min(hits) AS BIGINT) AS worst_hits,
+               CAST(sum(hits) AS BIGINT) AS total_hits,
+               CAST(sum(hits) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * {k}.0)
+                   AS recall_at_{k}
+        FROM hits{tag}"""
+        )
+    return "".join(parts) + " UNION ALL ".join(rows)
+
+
+@register(
+    "dim_truncation_recall_audit",
+    oracle=_dim_trunc_oracle_sql(),
+    ops=("ANN", "EMB"),
+)
+def dim_truncation_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDING-DIMENSION ABLATION: measured recall@5 of exact
+    cosine search over TRUNCATED embeddings (first d of 64
+    components, d ∈ {8,16,32,64}) against the full-dimension
+    ground truth — the decision table for Matryoshka-style
+    dimension budgeting (how much retrieval quality does a 4×
+    smaller index actually cost on THIS corpus?), sibling of
+    ann_recall_audit / lsh_recall_audit in the measured-recall
+    family. One row per dimension budget: n_queries, worst
+    per-query hits, total hits, recall@5 (d=64 pins 1.0 by
+    construction — the plumbing check).
+
+    Both sides are the certified brute_force_topk shape (norms
+    hoisted per rule 12, sequential double-fold cosine, explicit
+    neighbor-id tie-break); the full-dim truth is localCheckpointed
+    once and reused across the four comparison branches. Work is
+    4 × (32 × n) pairs — query-set-sized per corpus row, same
+    budget class as the guarded ANN brute force."""
+    from afg_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    truth = (
+        brute_force_topk(
+            emb.filter(F.col("vec_id") < 32), emb, k=5
+        )
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for d in (8, 16, 32, 64):
+        t = emb.select(
+            "vec_id",
+            F.slice("embedding", 1, d).alias("embedding"),
+        )
+        top = brute_force_topk(
+            t.filter(F.col("vec_id") < 32), t, k=5
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("__f"),
+        )
+        per_q = (
+            truth.join(
+                top, ["query_id", "neighbor_id"], "left"
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("__f").isNotNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("hits")
+            )
+        )
+        row = per_q.agg(
+            F.lit(d).cast("int").alias("dim"),
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.min("hits").cast("bigint").alias("worst_hits"),
+            F.sum("hits").cast("bigint").alias("total_hits"),
+            (
+                F.sum("hits").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(5.0))
+            ).alias("recall_at_5"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @register(
     "ann_recall_audit",
     oracle=_ANN_RECALL_ORACLE,

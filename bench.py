@@ -244,6 +244,7 @@ HEADLINE = [
     "dataset_manifest",
     "hits_hub_authority",
     "containment_near_dup",
+    "dim_truncation_recall_audit",
 ]
 
 
