@@ -2006,6 +2006,112 @@ def k_anonymity_report(
 
 
 @register(
+    "l_diversity_report",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   dayofweek(ts) + 1 AS dow,
+                   CAST(floor(value / 10.0) AS BIGINT) AS vb,
+                   CAST(count(*) AS BIGINT) AS grp_n,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_sens
+            FROM events
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT CAST(sum(grp_n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM q
+        )
+        SELECT l.l,
+               CAST(sum(CASE WHEN q.n_sens < l.l
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS groups_below_l,
+               CAST(sum(CASE WHEN q.n_sens < l.l
+                             THEN q.grp_n ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(sum(CASE WHEN q.n_sens < l.l
+                             THEN q.grp_n ELSE 0 END)
+                    AS DOUBLE)
+                   / CAST(t.n_rows AS DOUBLE)
+                   AS share_at_risk,
+               t.n_groups, t.n_rows
+        FROM q, tot t,
+             (SELECT unnest([2, 3, 5, 10]) AS l) l
+        GROUP BY l.l, t.n_groups, t.n_rows
+    """,
+    ops=("A1", "A7"),
+)
+def l_diversity_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L-DIVERSITY audit — k_anonymity_report's sibling for the
+    attribute-disclosure direction: a quasi-identifier group can
+    be large (k-anonymous) yet still leak if everyone in it shares
+    the SAME sensitive value. Over events with QI =
+    (event_type, day-of-week, value decade) and user_id as the
+    sensitive attribute, report for each policy l in {2,3,5,10}
+    how many QI groups carry fewer than l distinct users and what
+    share of rows sits in them.
+
+    Engine parity: DuckDB dayofweek is 0-6 vs Spark 1-7 (rule 5c
+    — oracle adds 1); the value bucket is floor(value/10.0), one
+    IEEE division both sides. Scale: one map-side-combinable
+    groupBy + one exact distinct per group (partial-aggregated
+    (QI, user) pairs); thresholds fan out over the bounded
+    group table, corpus totals ride a 1-row broadcast."""
+    ev = read_star_table(spark, "events", sf_dir)
+    q = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.floor(F.col("value") / 10.0)
+        .cast("bigint")
+        .alias("vb"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_sens"),
+    )
+    tot = q.agg(
+        F.sum("grp_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    ls = F.explode(
+        F.array(*[F.lit(v) for v in (2, 3, 5, 10)])
+    ).alias("l")
+    fanned = q.select("grp_n", "n_sens", ls).crossJoin(
+        F.broadcast(tot)
+    )
+    risk = F.when(F.col("n_sens") < F.col("l"), F.col("grp_n"))
+    return (
+        fanned.groupBy("l", "n_groups", "n_rows")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_sens") < F.col("l"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("groups_below_l"),
+            F.sum(F.coalesce(risk, F.lit(0)))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            (
+                F.sum(F.coalesce(risk, F.lit(0))).cast("double")
+                / F.max("n_rows").cast("double")
+            ).alias("share_at_risk"),
+        )
+        .select(
+            "l",
+            "groups_below_l",
+            "rows_at_risk",
+            "share_at_risk",
+            "n_groups",
+            "n_rows",
+        )
+    )
+
+
+@register(
     "packing_efficiency_report",
     oracle=_bpe_oracle(3, through_final=True)
     + _BPE_VOCAB_SQL

@@ -192,6 +192,98 @@ def nb_classify_lang(
 
 
 @register(
+    "uncertainty_sample",
+    oracle=_NB_ORACLE_CTES
+    + """,
+        top2 AS (
+            SELECT a.doc_id, a.cls AS pred_cls,
+                   b.cls AS runner_up_cls,
+                   a.score_q - b.score_q AS margin_q
+            FROM best a JOIN best b ON a.doc_id = b.doc_id
+            WHERE a.rn = 1 AND b.rn = 2
+        )
+        SELECT t.doc_id, t.pred_cls, t.runner_up_cls,
+               CAST(t.margin_q AS BIGINT) AS margin_q,
+               CAST(t.margin_q AS DOUBLE) / 1000000000.0
+                   AS margin,
+               te.lang AS actual_cls
+        FROM top2 t JOIN test te USING (doc_id)
+        ORDER BY t.margin_q ASC, t.doc_id ASC
+        LIMIT 32
+    """,
+    ops=("TEXT", "A1", "O2"),
+)
+def uncertainty_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ACTIVE-LEARNING SELECTION: the 32 most uncertain documents
+    under the NB classifier — smallest top-1 vs top-2 log-posterior
+    margin — the labeling-budget allocator of a classifier-driven
+    curation loop (label where the filter is least sure, retrain,
+    repeat). Margins are exact integer differences on the shared
+    1e9 log grid (same trained model and quantization as
+    nb_classify_lang — the oracle extends _NB_ORACLE_CTES, so the
+    two can never drift), with (margin ASC, doc_id ASC) as the
+    fully deterministic selection order.
+
+    Scale: per-doc top-2 is a groupBy over the per-(doc, class)
+    score frame with a sort_array(collect_list) of |classes|-sized
+    structs — never a doc-partitioned window (rule 19); the final
+    top-32 is a TakeOrderedAndProject, not a global sort."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    token_model, class_model = nb_train(
+        train, "lang", TX.tokens("text")
+    )
+    from afg_data_pipeline_spark.operators.classify import (
+        nb_class_scores,
+    )
+
+    scores = nb_class_scores(
+        test, "doc_id", TX.tokens("text"), token_model,
+        class_model,
+    )
+    agg = scores.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score_q")).alias("neg"), "cls"
+                )
+            )
+        ).alias("arr")
+    )
+    top2 = agg.select(
+        "doc_id",
+        F.col("arr")[0]["cls"].alias("pred_cls"),
+        F.col("arr")[1]["cls"].alias("runner_up_cls"),
+        (F.col("arr")[1]["neg"] - F.col("arr")[0]["neg"])
+        .cast("bigint")
+        .alias("margin_q"),
+    )
+    return (
+        top2.join(
+            test.select(
+                "doc_id", F.col("lang").alias("actual_cls")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "pred_cls",
+            "runner_up_cls",
+            "margin_q",
+            (F.col("margin_q").cast("double") / F.lit(1e9)).alias(
+                "margin"
+            ),
+            "actual_cls",
+        )
+        .orderBy(F.col("margin_q").asc(), F.col("doc_id").asc())
+        .limit(32)
+    )
+
+
+@register(
     "classifier_eval_auc",
     oracle="""
         WITH scored AS (

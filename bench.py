@@ -245,6 +245,8 @@ HEADLINE = [
     "hits_hub_authority",
     "containment_near_dup",
     "dim_truncation_recall_audit",
+    "uncertainty_sample",
+    "l_diversity_report",
 ]
 
 
