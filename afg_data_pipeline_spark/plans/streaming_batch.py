@@ -82,6 +82,41 @@ def stream_attribution_join_q(
 
 
 @register(
+    "stream_attribution_outer",
+    oracle="""
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+               v.user_id, v.ts AS view_ts, c.ts AS click_ts
+        FROM (SELECT * FROM events
+              WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events
+                   WHERE event_type = 'click') c
+          ON c.user_id = v.user_id
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL 4 HOUR
+    """,
+    ops=("STREAM", "J1", "A4"),
+)
+def stream_attribution_outer_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, batch-twin oracle:
+    every view row survives — converted views with their clicks,
+    unconverted views null-extended (the rows a funnel bills
+    against). Streaming semantics (null emission only after the
+    watermark passes view_ts + window) are pinned stream==batch in
+    tests/test_streaming.py with a watermark-flush sentinel."""
+    ev = read_star_table(spark, "events", sf_dir)
+    from afg_data_pipeline_spark.streaming.joins import (
+        attribution_join_outer,
+    )
+
+    return attribution_join_outer(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+@register(
     "tumbling_window_agg",
     oracle=f"""
         SELECT event_type,

@@ -63,6 +63,54 @@ def attribution_join(
     )
 
 
+def attribution_join_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    window: str = "4 hours",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER view→click attribution: every view appears —
+    matched views with their click(s), unconverted views with NULL
+    click columns. The unconverted rows are what a funnel actually
+    bills against, and they are the semantically hard half of a
+    stream-stream join: Structured Streaming can only emit a
+    null-extended row once the CLICK watermark has passed
+    view_ts + window (no future click can match anymore), so
+    unconverted views surface with watermark latency, not
+    immediately. In batch the same function is a plain left join,
+    which is how the oracle checks it; the stream==batch test
+    drives the watermark past the last real view with a flush
+    sentinel (the production heartbeat pattern — without it the
+    tail's unmatched views stay buffered forever on a quiet
+    stream).
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    ).withWatermark("view_ts", delay)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    ).withWatermark("click_ts", delay)
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    return v.join(c, cond, "leftOuter").select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "click_ts",
+    )
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dim: DataFrame,

@@ -247,6 +247,7 @@ HEADLINE = [
     "dim_truncation_recall_audit",
     "uncertainty_sample",
     "l_diversity_report",
+    "stream_attribution_outer",
 ]
 
 

@@ -620,3 +620,77 @@ class TestStorePurge:
         assert (
             purge_ids_from_store(spark, store, [7])["bands"] == 0
         )
+
+
+@pytest.fixture(scope="module")
+def events_dir_flushed(spark, tmp_path_factory):
+    """events_dir plus a LATER file holding watermark-flush
+    sentinels (one far-future view and one far-future click,
+    negative user_ids so they never match real rows): the
+    production heartbeat that lets a left-outer stream-stream
+    join emit its trailing unmatched rows — the GLOBAL watermark
+    is the min over both sides, so BOTH streams need the flush."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("events_stream_flush"))
+    ev = read_star_table(spark, "events", SF_DIR)
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    flush_ts = mx + dt.timedelta(hours=10)
+    sent = spark.createDataFrame(
+        [
+            (-1, flush_ts, -1, "view", 0.0, "{}"),
+            (-2, flush_ts, -2, "click", 0.0, "{}"),
+        ],
+        EVENTS_RAW_SCHEMA,
+    )
+    sent.coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+class TestStreamStreamOuterJoin:
+    def test_attribution_outer_stream_equals_batch(
+        self, spark, events_dir_flushed
+    ):
+        from pyspark.sql import functions as F
+
+        from afg_data_pipeline_spark.streaming.joins import (
+            attribution_join_outer,
+        )
+
+        stream = read_events_stream(
+            spark,
+            events_dir_flushed,
+            schemas.EVENTS,
+            max_files_per_trigger=2,
+        )
+        got = run_append_to_memory_sink(
+            attribution_join_outer(
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "click"),
+            ),
+            "t_attr_outer",
+            spark,
+        )
+        # real rows only: the sentinels themselves stay buffered
+        # (nothing ever advances the watermark past THEM)
+        got_rows = [
+            r for r in got.collect() if r["user_id"] >= 0
+        ]
+        b = _batch(spark, events_dir_flushed).filter(
+            F.col("user_id") >= 0
+        )
+        want = attribution_join_outer(
+            b.filter(F.col("event_type") == "view"),
+            b.filter(F.col("event_type") == "click"),
+        )
+        want_rows = want.collect()
+        # the outer join's point: unconverted views exist and
+        # surface in BOTH modes
+        assert any(r["click_id"] is None for r in want_rows)
+        assert any(r["click_id"] is None for r in got_rows)
+        assert normalize_rows(
+            got_rows, got.columns
+        ) == normalize_rows(want_rows, want.columns)
