@@ -826,3 +826,92 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         query_filter=F.col("neighbor_id") < 32,
     )
+
+
+def _kcenter_oracle_sql(
+    k: int = 8, grid: int = 10**6, dim: int = 64
+) -> str:
+    """Unrolled MATERIALIZED-CTE replica of
+    operators/coreset.kcenter_select: one (argmax, distance-update)
+    CTE pair per greedy round, all-integer grid distances."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            "list_aggregate(list_transform("
+            f"generate_series(1, {dim}), "
+            f"i -> ({a}.qa[i] - {b}.qa[i])"
+            f" * ({a}.qa[i] - {b}.qa[i])), 'sum')"
+        )
+
+    parts = [
+        f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * {grid}.0)
+                     AS BIGINT)) AS qa
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS sid, qa FROM q
+               ORDER BY vec_id ASC LIMIT 1),
+        d1 AS MATERIALIZED (
+            SELECT d.vec_id, d.qa, {dist('d', 'c')} AS dmin
+            FROM q d CROSS JOIN c0 c
+        )"""
+    ]
+    rows = [
+        """
+        SELECT 0 AS sel_round, (SELECT sid FROM c0) AS vec_id,
+               CAST(0 AS BIGINT) AS dist_sq"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+        s{r} AS (SELECT vec_id, qa, dmin FROM d{r}
+                 ORDER BY dmin DESC, vec_id ASC LIMIT 1)"""
+        )
+        rows.append(
+            f"""
+        SELECT {r}, (SELECT vec_id FROM s{r}),
+               (SELECT CAST(dmin AS BIGINT) FROM s{r})"""
+        )
+        if r < k - 1:
+            parts.append(
+                f""",
+        d{r + 1} AS MATERIALIZED (
+            SELECT d.vec_id, d.qa,
+                   LEAST(d.dmin, {dist('d', 'c')}) AS dmin
+            FROM d{r} d CROSS JOIN s{r} c
+        )"""
+            )
+    return "".join(parts) + " UNION ALL ".join(rows)
+
+
+@register(
+    "kcenter_coreset_select",
+    oracle=_kcenter_oracle_sql(k=8),
+    ops=("EMB", "SAMPLE"),
+)
+def kcenter_coreset_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K-CENTER CORESET (farthest-point sampling, Gonzalez 1985):
+    greedily select 8 maximally-diverse embedding vectors — the
+    data-pruning / diverse-eval-set / annotation-batch seeding
+    primitive (a 2-approximation of the optimal k-center cover).
+    All distances are exact int64 squared-Euclidean on the 1e6
+    grid, so the greedy trajectory (dist DESC, vec_id ASC
+    tie-break, min-vec_id seed) is bit-identical to the unrolled
+    CTE oracle. Per round: ONE projection updating the running
+    min-distance against the newest driver-literal center + one
+    max(struct) aggregate — no joins, no windows, no corpus
+    shuffle (rule 14 literal model state; rule 15 HOF fold
+    distances). operators/coreset.kcenter_select."""
+    from afg_data_pipeline_spark.operators.coreset import (
+        kcenter_select,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    out = kcenter_select(emb, k=8)
+    return out.select(
+        F.col("round").alias("sel_round"), "vec_id", "dist_sq"
+    )

@@ -248,6 +248,7 @@ HEADLINE = [
     "uncertainty_sample",
     "l_diversity_report",
     "stream_attribution_outer",
+    "kcenter_coreset_select",
 ]
 
 
