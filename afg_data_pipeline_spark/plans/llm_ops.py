@@ -4081,6 +4081,141 @@ def containment_near_dup_q(
 
 
 @register(
+    "containment_dedup_keep",
+    oracle="""
+        WITH RECURSIVE tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        side AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS sh
+            FROM tokd
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM side a JOIN side b ON a.doc_id <> b.doc_id
+            WHERE len(a.sh) >= 5
+              AND len(list_intersect(a.sh, b.sh)) * 5
+                  >= len(a.sh) * 4
+        ),
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach AS (
+            SELECT src AS v, src AS r FROM sym
+            UNION
+            SELECT reach.v, s.dst
+            FROM reach JOIN sym s ON reach.r = s.src
+        ),
+        comp AS (SELECT v, min(r) AS c FROM reach GROUP BY v),
+        m AS (
+            SELECT comp.v AS doc_id, comp.c,
+                   CAST(len(s.sh) AS BIGINT) AS n_grams
+            FROM comp JOIN side s ON s.doc_id = comp.v
+        ),
+        kept AS (
+            SELECT c, doc_id AS kept_id FROM (
+                SELECT c, doc_id,
+                       row_number() OVER (
+                           PARTITION BY c
+                           ORDER BY n_grams DESC, doc_id ASC
+                       ) AS rn
+                FROM m) WHERE rn = 1
+        ),
+        cn AS (
+            SELECT c, CAST(count(*) AS BIGINT) AS cluster_n
+            FROM m GROUP BY c
+        )
+        SELECT m.doc_id, k.kept_id,
+               CAST(CASE WHEN m.doc_id = k.kept_id
+                         THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_kept,
+               m.n_grams, cn.cluster_n
+        FROM m JOIN kept k USING (c) JOIN cn USING (c)
+    """,
+    ops=("DEDUP",),
+)
+def containment_dedup_keep_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment detection graduated to ACTION (the
+    dedup_keep_best pattern for the quote/subset family): the
+    directed containment pairs become an undirected graph, quote
+    CHAINS collapse via connected components (A⊂B, B⊂C must
+    resolve together — pairwise keep decisions can't see the
+    chain), and each cluster keeps its LARGEST document (most
+    distinct shingles — the superset that subsumes the others;
+    tie → smallest doc_id). Output: every pair-involved doc with
+    its cluster's kept_id, is_kept flag, gram count, cluster
+    size. Oracle: brute pairs + WITH RECURSIVE closure (the
+    entity_resolution contract); at budget-crossing scale the
+    subset tier changes the pair set and therefore red-rows here
+    too — never a silent divergence."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+    from afg_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    pairs = containment_pairs(docs).localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.least("id_a", "id_b").alias("src"),
+        F.greatest("id_a", "id_b").alias("dst"),
+    ).distinct()
+    comps = connected_components(edges)
+    sizes = (
+        pairs.select(
+            F.col("id_a").alias("doc_id"),
+            F.col("size_a").alias("n_grams"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("doc_id"),
+                F.col("size_b").alias("n_grams"),
+            )
+        )
+        .distinct()
+    )
+    m = comps.join(
+        sizes, comps.vertex == sizes.doc_id
+    ).select("doc_id", "component", "n_grams")
+    kept = m.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("n_grams"),
+                (-F.col("doc_id")).alias("negid"),
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_n"),
+    ).select(
+        "component",
+        (-F.col("b.negid")).alias("kept_id"),
+        "cluster_n",
+    )
+    return m.join(kept, "component").select(
+        "doc_id",
+        "kept_id",
+        (F.col("doc_id") == F.col("kept_id"))
+        .cast("int")
+        .alias("is_kept"),
+        "n_grams",
+        "cluster_n",
+    )
+
+
+@register(
     "image_phash_near_dup",
     oracle=None,  # binary media decode — rows-only by design;
     # tests pin the DCT kernel against a scalar-python replica and

@@ -249,6 +249,7 @@ HEADLINE = [
     "l_diversity_report",
     "stream_attribution_outer",
     "kcenter_coreset_select",
+    "containment_dedup_keep",
 ]
 
 
