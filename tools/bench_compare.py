@@ -47,7 +47,14 @@ def main() -> None:
     # (tools/check_correctness.py); timing them at sf0.1 measures
     # only the brute-force strawman (prefix_jaccard's all-pairs
     # list_intersect over 20k docs runs for tens of minutes).
-    skip_oracle = {"prefix_jaccard_pairs"}
+    skip_oracle = {
+        "prefix_jaccard_pairs",
+        # brute all-ordered-pairs containment: measured ONCE at
+        # sf0.1 for the PERF.md row (566.1s vs Spark 6.3s) — a
+        # full sweep can't afford the strawman re-run
+        "containment_near_dup",
+        "containment_dedup_keep",
+    }
     rows = []
     for name, q in sorted(REGISTRY.items()):
         if only and name not in only:
