@@ -537,12 +537,18 @@ def hits(
     normalizing total is a 1-row broadcast crossJoin, never a
     collect. Lineage localCheckpoint()ed every ``checkpoint_every``
     rounds (the pagerank discipline). O(iterations · |E|), no
-    global sort."""
+    global sort.
+
+    Empty-graph semantics: a zero (or absent) normalizing total —
+    no edges at all, or all remaining mass stranded on sink nodes —
+    yields all-zero scores for that side (guarded BEFORE the
+    floor-div: ANSI would otherwise raise DIVIDE_BY_ZERO), matching
+    the oracle's ``COALESCE(x // NULLIF(t, 0), 0)``. The sf0.001
+    supplier radius graph is exactly this case (10 nodes, no pair
+    within radius)."""
     dedges = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).localCheckpoint()
-    if dedges.limit(1).count() == 0:
-        raise ValueError("hits over an empty edge list")
     n = nodes.count()
     if n == 0:
         raise ValueError("hits over an empty node set")
@@ -569,11 +575,20 @@ def hits(
             .crossJoin(F.broadcast(ta))
             .select(
                 "vertex",
-                _dec_floordiv(
-                    scale_lit
-                    * F.coalesce(F.col("raw"), F.lit(0).cast(dec)),
-                    F.col("t"),
-                ).alias("score"),
+                F.when(
+                    F.col("t").isNull() | (F.col("t") == 0),
+                    F.lit(0).cast(dec),
+                )
+                .otherwise(
+                    _dec_floordiv(
+                        scale_lit
+                        * F.coalesce(
+                            F.col("raw"), F.lit(0).cast(dec)
+                        ),
+                        F.col("t"),
+                    )
+                )
+                .alias("score"),
             )
         )
         hraw = (
@@ -589,11 +604,20 @@ def hits(
             .crossJoin(F.broadcast(th))
             .select(
                 "vertex",
-                _dec_floordiv(
-                    scale_lit
-                    * F.coalesce(F.col("raw"), F.lit(0).cast(dec)),
-                    F.col("t"),
-                ).alias("score"),
+                F.when(
+                    F.col("t").isNull() | (F.col("t") == 0),
+                    F.lit(0).cast(dec),
+                )
+                .otherwise(
+                    _dec_floordiv(
+                        scale_lit
+                        * F.coalesce(
+                            F.col("raw"), F.lit(0).cast(dec)
+                        ),
+                        F.col("t"),
+                    )
+                )
+                .alias("score"),
             )
         )
         # Mid-loop, checkpointing HUB alone truncates the whole

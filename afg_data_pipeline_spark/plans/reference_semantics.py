@@ -692,7 +692,8 @@ def _hits_oracle_sql(
         ta{i} AS (SELECT SUM(raw) AS t FROM ar{i}),
         a{i} AS MATERIALIZED (
             SELECT n.id,
-                   ({scale} * COALESCE(r.raw, 0)) // ta.t AS score
+                   COALESCE(({scale} * COALESCE(r.raw, 0))
+                            // NULLIF(ta.t, 0), 0) AS score
             FROM nodes n CROSS JOIN ta{i} ta
             LEFT JOIN ar{i} r ON r.id = n.id
         ),
@@ -704,7 +705,8 @@ def _hits_oracle_sql(
         th{i} AS (SELECT SUM(raw) AS t FROM hr{i}),
         h{i} AS MATERIALIZED (
             SELECT n.id,
-                   ({scale} * COALESCE(r.raw, 0)) // th.t AS score
+                   COALESCE(({scale} * COALESCE(r.raw, 0))
+                            // NULLIF(th.t, 0), 0) AS score
             FROM nodes n CROSS JOIN th{i} th
             LEFT JOIN hr{i} r ON r.id = n.id
         )"""

@@ -76,11 +76,20 @@ class TestHits:
         assert auth == want_auth
         assert hub == want_hub
 
-    def test_empty_edges_raise(self, spark):
-        nodes = spark.createDataFrame([(1,)], "id long")
+    def test_empty_edges_all_zero(self, spark):
+        # the sf0.001 supplier graph regime: nodes, no edges —
+        # scores are all zero on both engines (oracle COALESCEs
+        # the NULLIF'd division), never a DIVIDE_BY_ZERO
+        nodes = spark.createDataFrame(
+            [(1,), (2,)], "id long"
+        )
         edges = spark.createDataFrame([], "src long, dst long")
-        with pytest.raises(ValueError, match="empty edge"):
-            hits(nodes, edges)
+        rows = hits(nodes, edges).collect()
+        assert len(rows) == 2
+        assert all(
+            r["authority_scaled"] == 0 and r["hub_scaled"] == 0
+            for r in rows
+        )
 
     def test_empty_nodes_raise(self, spark):
         nodes = spark.createDataFrame([], "id long")
