@@ -172,6 +172,10 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "epoch_upsample_plan",
     "dataset_manifest",
     "containment_near_dup",
+    "uncertainty_sample",
+    "l_diversity_report",
+    "kcenter_coreset_select",
+    "containment_dedup_keep",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
@@ -197,6 +201,7 @@ ORACLE_SKIP = {
     # (50k docs -> 2.5e9 list_intersect pairs at sf1) is
     # prohibitive by construction; correctness pins at sf0.01.
     "containment_near_dup",
+    "containment_dedup_keep",
 }
 if SFN >= 10:
     # pack_token_sequences' oracle rebuilds every 256-token chunk
