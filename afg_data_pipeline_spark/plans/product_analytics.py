@@ -2901,3 +2901,241 @@ def markov_steady_state(
             (F.coalesce(sp, F.lit(0.0)) - ep).alias("prob_gap"),
         )
     )
+
+
+_MRA_CHANNELS = ("click", "error", "signup", "view")
+_MRA_ITERS = 20
+
+
+def _mra_chain_ctes(tag: str, pinned: str | None) -> str:
+    """One value-iteration chain (20 unrolled rounds) computing
+    P(conversion | state) on the 1e12 grid; ``pinned`` zeroes a
+    channel's value everywhere it appears as a destination — the
+    removal-effect counterfactual."""
+    pin = (
+        f"WHEN t.dst = '{pinned}' THEN CAST(0 AS HUGEINT) "
+        if pinned
+        else ""
+    )
+    parts = [
+        f"""
+        v{tag}0 AS (SELECT src AS ty, CAST(0 AS HUGEINT) AS p
+                    FROM rt),"""
+    ]
+    for i in range(1, _MRA_ITERS + 1):
+        parts.append(
+            f"""
+        v{tag}{i} AS MATERIALIZED (
+            SELECT t.src AS ty,
+                   CAST(sum((CASE
+                        WHEN t.dst = 'purchase'
+                             THEN CAST(1000000000000 AS HUGEINT)
+                        WHEN t.dst = '__END__'
+                             THEN CAST(0 AS HUGEINT)
+                        {pin}ELSE COALESCE(v.p, 0) END
+                        * CAST(t.c AS HUGEINT))
+                        // CAST(rt.r AS HUGEINT)) AS HUGEINT)
+                       AS p
+            FROM trans t
+            LEFT JOIN v{tag}{i - 1} v ON v.ty = t.dst
+            JOIN rt ON rt.src = t.src
+            GROUP BY 1
+        ),"""
+        )
+    return "".join(parts)
+
+
+def _mra_oracle() -> str:
+    """First-purchase journeys -> transition counts -> one base
+    chain + one pinned chain per channel -> removal effects."""
+    head = """
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        fp AS (
+            SELECT user_id, min(rn) AS prn
+            FROM ordered WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        j AS MATERIALIZED (
+            SELECT o.user_id, o.event_type, o.rn
+            FROM ordered o LEFT JOIN fp USING (user_id)
+            WHERE fp.prn IS NULL OR o.rn <= fp.prn
+        ),
+        steps AS (
+            SELECT user_id, event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY rn
+                   ) AS nxt
+            FROM j
+        ),
+        trans AS MATERIALIZED (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT src, COALESCE(nxt, '__END__') AS dst
+                FROM steps WHERE src <> 'purchase'
+                UNION ALL
+                SELECT '__START__', event_type FROM j
+                WHERE rn = 1
+            )
+            GROUP BY 1, 2
+        ),
+        rt AS MATERIALIZED (
+            SELECT src, CAST(sum(c) AS BIGINT) AS r
+            FROM trans GROUP BY 1
+        ),"""
+    chains = [_mra_chain_ctes("b", None)]
+    for ch in _MRA_CHANNELS:
+        chains.append(_mra_chain_ctes(ch, ch))
+    starts = ", ".join(
+        f"""(SELECT COALESCE((SELECT p FROM v{ch}{_MRA_ITERS}
+             WHERE ty = '__START__'), 0)) AS p_{ch}"""
+        for ch in _MRA_CHANNELS
+    )
+    re_rows = " UNION ALL ".join(
+        f"""SELECT '{ch}' AS channel, s.p_base,
+            s.p_base - s.p_{ch} AS re
+            FROM s"""
+        for ch in _MRA_CHANNELS
+    )
+    tail = f"""
+        s AS (
+            SELECT
+            (SELECT COALESCE((SELECT p FROM vb{_MRA_ITERS}
+             WHERE ty = '__START__'), 0)) AS p_base,
+            {starts}
+        ),
+        re AS (SELECT * FROM ({re_rows})),
+        tot AS (SELECT sum(re) AS t FROM re)
+        SELECT re.channel,
+               CAST(re.p_base AS DOUBLE) / 1000000000000.0
+                   AS p_conv_base,
+               CAST(re.p_base - re.re AS DOUBLE)
+                   / 1000000000000.0 AS p_conv_removed,
+               CAST(re.re AS BIGINT) AS removal_effect_q,
+               CASE WHEN tot.t > 0
+                    THEN CAST(re.re AS DOUBLE)
+                         / CAST(tot.t AS DOUBLE)
+                    ELSE 0.0 END AS attribution_share
+        FROM re, tot
+    """
+    return head + "".join(chains) + tail
+
+
+@register(
+    "markov_removal_attribution",
+    oracle=_mra_oracle(),
+    ops=("O1", "A1"),
+)
+def markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MODEL-BASED marketing attribution (Markov removal effects)
+    — the data-driven complement to purchase_attribution's
+    rule-based first/last-touch: journeys are each user's events
+    up to their FIRST purchase (conversion absorbs; no purchase →
+    the journey ends in a failure state), a first-order chain is
+    fit on (START, type→type, END) transition counts, and each
+    channel's credit is its REMOVAL EFFECT — how much
+    P(conversion from START) drops when every transition into the
+    channel is redirected to failure. Shares are removal effects
+    normalized over channels.
+
+    Exactness: P(conversion|state) by 20 rounds of value iteration
+    on the 1e12 grid with per-edge floor contributions
+    (markov_steady_state's conventions) — the 5 chains (base + 4
+    pinned counterfactuals) run DRIVER-SIDE on the bounded
+    collected count matrix (≤(|types|+2)² cells, limit-guarded),
+    bit-identical to the unrolled HUGEINT CTE oracle. The corpus
+    pays two user-windows (rank, lead) and one combinable
+    aggregate; the 100 iteration rounds cost zero Spark jobs."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    fp = (
+        o.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = o.join(fp, "user_id", "left").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    steps = j.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wj).alias("nxt"),
+    )
+    internal = steps.filter(
+        F.col("src") != "purchase"
+    ).select(
+        "src",
+        F.coalesce(F.col("nxt"), F.lit("__END__")).alias("dst"),
+    )
+    start = j.filter(F.col("rn") == 1).select(
+        F.lit("__START__").alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    # bound-check BEFORE materializing (wordpiece.py pattern)
+    rows = (
+        internal.unionByName(start)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(100_001)
+        .collect()
+    )
+    if len(rows) > 100_000:
+        raise ValueError(
+            "attribution transition matrix exceeds the bounded-"
+            f"collect guard ({len(rows)} cells)"
+        )
+    grid = 1_000_000_000_000
+    c = {(r["src"], r["dst"]): r["c"] for r in rows}
+    rt: dict[str, int] = {}
+    for (s, _d), n in c.items():
+        rt[s] = rt.get(s, 0) + n
+
+    def pconv(pinned: str | None) -> int:
+        v = {s: 0 for s in rt}
+        for _ in range(_MRA_ITERS):
+            nv: dict[str, int] = {}
+            for (s, d), n in c.items():
+                if d == "purchase":
+                    pd = grid
+                elif d == "__END__" or d == pinned:
+                    pd = 0
+                else:
+                    pd = v.get(d, 0)
+                nv[s] = nv.get(s, 0) + (pd * n) // rt[s]
+            v = nv
+        return v.get("__START__", 0)
+
+    base = pconv(None)
+    res = [(ch, base - pconv(ch)) for ch in _MRA_CHANNELS]
+    tot = sum(re for _, re in res)
+    out = [
+        (
+            ch,
+            base / 1e12,
+            (base - re) / 1e12,
+            int(re),
+            (float(re) / float(tot)) if tot > 0 else 0.0,
+        )
+        for ch, re in res
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conv_base double, "
+        "p_conv_removed double, removal_effect_q long, "
+        "attribution_share double",
+    )

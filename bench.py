@@ -250,6 +250,7 @@ HEADLINE = [
     "stream_attribution_outer",
     "kcenter_coreset_select",
     "containment_dedup_keep",
+    "markov_removal_attribution",
 ]
 
 
