@@ -176,6 +176,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "l_diversity_report",
     "kcenter_coreset_select",
     "containment_dedup_keep",
+    "markov_removal_attribution",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
