@@ -476,6 +476,128 @@ def weighted_sample_docs(
 
 
 @register(
+    "doc_keywords_tfidf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS MATERIALIZED (
+            SELECT doc_id, term,
+                   CAST(count(*) AS BIGINT) AS tfc
+            FROM toks GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS dfc
+            FROM tf GROUP BY 1
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n
+               FROM documents),
+        idf AS (
+            SELECT term,
+                   CAST(round(ln(CAST(nd.n AS DOUBLE)
+                                 / CAST(dfc AS DOUBLE))
+                              * 1000000000.0) AS BIGINT)
+                       AS idf_q
+            FROM dfreq, nd
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tfc * idf.idf_q AS score_q
+            FROM tf JOIN idf USING (term)
+        )
+        SELECT doc_id, term,
+               CAST(rn AS INTEGER) AS rank,
+               CAST(score_q AS BIGINT) AS score_q,
+               CAST(score_q AS DOUBLE) / 1000000000.0 AS score
+        FROM (
+            SELECT doc_id, term, score_q,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_q DESC, term ASC
+                   ) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    """,
+    ops=("TEXT", "A1", "O3"),
+)
+def doc_keywords_tfidf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-DOCUMENT keyword extraction: each doc's top-5 terms by
+    TF·IDF — the corpus-exploration / tagging primitive
+    (top_terms_per_lang ranks raw frequency per language; this
+    weights by rarity and is doc-keyed). Each idf = ln(n/df) is
+    quantized ONCE to the 1e9 grid (rule 1c) so every score is an
+    exact tf·idf_q integer, ranked (score DESC, term ASC).
+
+    Scale: tf/df are map-side-combinable aggregates over the
+    token explode; per-doc top-5 is sort_array(collect_list) over
+    each doc's OWN term list (bounded by doc length — rule 19:
+    never a corpus-wide window partitioned by millions of docs...
+    actually doc-partitioned windows parallelize, but the groupBy
+    form combines map-side and carries 5 rows per doc out of the
+    shuffle instead of every (doc, term) pair)."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tfc")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("dfc")
+    )
+    idf = dfreq.select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(float(n_docs))
+                / F.col("dfc").cast("double")
+            )
+            * F.lit(1e9)
+        )
+        .cast("bigint")
+        .alias("idf_q"),
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tfc") * F.col("idf_q")).alias("score_q"),
+    )
+    top = scored.groupBy("doc_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score_q")).alias("neg"),
+                        "term",
+                    )
+                )
+            ),
+            1,
+            5,
+        ).alias("arr")
+    )
+    ex = top.select(
+        "doc_id",
+        F.posexplode("arr").alias("pos", "kv"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("kv.term").alias("term"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        (-F.col("kv.neg")).cast("bigint").alias("score_q"),
+        ((-F.col("kv.neg")).cast("double") / F.lit(1e9)).alias(
+            "score"
+        ),
+    )
+
+
+@register(
     "top_terms_per_lang",
     oracle="""
         WITH toks AS (

@@ -251,6 +251,7 @@ HEADLINE = [
     "kcenter_coreset_select",
     "containment_dedup_keep",
     "markov_removal_attribution",
+    "doc_keywords_tfidf",
 ]
 
 
