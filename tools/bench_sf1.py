@@ -177,6 +177,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "kcenter_coreset_select",
     "containment_dedup_keep",
     "markov_removal_attribution",
+    "doc_keywords_tfidf",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
