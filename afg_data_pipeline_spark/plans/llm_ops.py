@@ -4338,6 +4338,169 @@ def containment_dedup_keep_q(
 
 
 @register(
+    "containment_recall_audit",
+    oracle="""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        side AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS sh
+            FROM tokd
+        ),
+        ranked AS (
+            SELECT doc_id, row_number() OVER (
+                       ORDER BY md5('contaudit:'
+                                    || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+            FROM documents
+        ),
+        sample AS (SELECT doc_id FROM ranked WHERE rk <= 128),
+        truth AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) AS i,
+                   len(a.sh) AS sza
+            FROM side a
+            JOIN sample s ON s.doc_id = a.doc_id
+            JOIN side b ON a.doc_id <> b.doc_id
+            WHERE len(a.sh) >= 5
+              AND len(list_intersect(a.sh, b.sh)) * 5
+                  >= len(a.sh) * 4
+        ),
+        banded AS (
+            SELECT CASE WHEN i = sza THEN '1.00'
+                        WHEN i * 10 >= sza * 9 THEN '0.90-0.99'
+                        ELSE '0.80-0.89' END AS band
+            FROM truth
+        )
+        -- the engine runs the EXACT tier at sf0.01 (candidate
+        -- bound under budget), so its audited hits must equal the
+        -- brute truth band-for-band: recall pinned 1.0, a lost
+        -- pair red-rows here
+        SELECT band,
+               CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(count(*) AS BIGINT) AS n_hit,
+               1.0 AS recall
+        FROM banded GROUP BY band
+    """,
+    ops=("DEDUP",),
+)
+def containment_recall_audit_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MEASURED RECALL of containment_near_dup per containment
+    band, against brute-force truth for a 128-doc md5-ranked
+    subsample of contained sides — the lsh_recall_audit pattern
+    for the new adaptive-cap tier: at exact-tier scales recall
+    pins 1.0 (the oracle's assertion); at budget-crossing scales
+    this query MEASURES what the announced rare-gram subset
+    actually recalls per band instead of leaving 'documented
+    subset' unquantified. Truth is the subsample × corpus exact
+    intersect join (bounded: 128 × distinct-set count pairs —
+    constant in corpus duplication); the audited side is the full
+    registered operator's output restricted to the subsample."""
+    from afg_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+    from afg_data_pipeline_spark.operators.text import (
+        shingle_expr,
+        tokens,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    sample = (
+        docs.select("doc_id")
+        .orderBy(
+            F.md5(
+                F.concat(
+                    F.lit("contaudit:"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            "doc_id",
+        )
+        .limit(128)
+    )
+    sh = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(shingle_expr("__toks", 2)).alias("sh"),
+    )
+    a = (
+        sh.join(sample, "doc_id")
+        .filter(F.size("sh") >= 5)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            F.size("sh").alias("sza"),
+        )
+    )
+    par = spark.sparkContext.defaultParallelism
+    truth = (
+        sh.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+        )
+        .repartition(par)
+        .crossJoin(F.broadcast(a))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.array_intersect("sh_a", "sh_b")
+            ).alias("i"),
+            "sza",
+        )
+        .filter(F.col("i") * 5 >= F.col("sza") * 4)
+    )
+    got = (
+        containment_pairs(docs)
+        .join(
+            sample.select(F.col("doc_id").alias("id_a")),
+            "id_a",
+        )
+        .select("id_a", "id_b", F.lit(1).alias("__hit"))
+    )
+    band = (
+        F.when(F.col("i") == F.col("sza"), F.lit("1.00"))
+        .when(
+            F.col("i") * 10 >= F.col("sza") * 9,
+            F.lit("0.90-0.99"),
+        )
+        .otherwise(F.lit("0.80-0.89"))
+    )
+    joined = truth.join(got, ["id_a", "id_b"], "left").select(
+        band.alias("band"), "__hit"
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum(
+            F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+        (
+            F.sum(
+                F.when(F.col("__hit").isNotNull(), 1).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
+@register(
     "image_phash_near_dup",
     oracle=None,  # binary media decode — rows-only by design;
     # tests pin the DCT kernel against a scalar-python replica and
