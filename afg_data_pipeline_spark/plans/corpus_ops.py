@@ -3768,3 +3768,397 @@ def dataset_manifest(
         .cast("string")
         .alias("content_checksum"),
     )
+
+
+@register(
+    "t_closeness_report",
+    oracle="""
+        WITH gv AS (
+            SELECT dayofweek(ts) + 1 AS dow,
+                   CAST(floor(value / 10.0) AS BIGINT) AS vb,
+                   event_type,
+                   CAST(count(*) AS HUGEINT) AS n_gv
+            FROM events
+            GROUP BY 1, 2, 3
+        ),
+        g AS (
+            SELECT dow, vb, CAST(sum(n_gv) AS HUGEINT) AS n_g
+            FROM gv GROUP BY 1, 2
+        ),
+        v AS (
+            SELECT event_type,
+                   CAST(sum(n_gv) AS HUGEINT) AS n_v
+            FROM gv GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n_gv) AS HUGEINT) AS big_n FROM gv
+        ),
+        pres AS (
+            SELECT gv.dow, gv.vb,
+                   sum(abs(gv.n_gv * t.big_n
+                           - v.n_v * g.n_g)) AS psum,
+                   sum(v.n_v) AS pnv
+            FROM gv
+            JOIN g USING (dow, vb)
+            JOIN v USING (event_type)
+            CROSS JOIN tot t
+            GROUP BY 1, 2
+        ),
+        sg AS (
+            SELECT p.dow, p.vb, g.n_g,
+                   p.psum + (t.big_n - p.pnv) * g.n_g AS s_num
+            FROM pres p
+            JOIN g USING (dow, vb)
+            CROSS JOIN tot t
+        ),
+        gt AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(n_g) AS BIGINT) AS n_rows
+            FROM sg
+        )
+        SELECT th.t_pct,
+               CAST(sum(CASE WHEN 100 * sg.s_num
+                             > 2 * sg.n_g * t.big_n * th.t_pct
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS groups_above_t,
+               CAST(sum(CASE WHEN 100 * sg.s_num
+                             > 2 * sg.n_g * t.big_n * th.t_pct
+                             THEN sg.n_g ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+               CAST(sum(CASE WHEN 100 * sg.s_num
+                             > 2 * sg.n_g * t.big_n * th.t_pct
+                             THEN sg.n_g ELSE 0 END) AS DOUBLE)
+                   / CAST(t.big_n AS DOUBLE) AS share_at_risk,
+               gt.n_groups, gt.n_rows
+        FROM sg
+        CROSS JOIN tot t
+        CROSS JOIN gt
+        CROSS JOIN (SELECT unnest([5, 10, 20, 30]) AS t_pct) th
+        GROUP BY th.t_pct, gt.n_groups, gt.n_rows, t.big_n
+    """,
+    ops=("A1", "A7"),
+)
+def t_closeness_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T-CLOSENESS audit — the third leg of the privacy trio
+    (k_anonymity_report: group size; l_diversity_report: sensitive
+    diversity; here: sensitive DISTRIBUTION). A QI group can be
+    k-anonymous AND l-diverse yet still leak if its sensitive
+    distribution diverges from the global one (skewness attack —
+    Li/Li/Venkatasubramanian 2007 use earth-mover distance; for a
+    categorical attribute EMD over the discrete metric IS total
+    variation distance). Over events with QI = (day-of-week,
+    value decade) and event_type as the sensitive attribute:
+    TVD_g = (1/2) * sum_v |n_gv/n_g - n_v/N|, and for each policy
+    t in {5,10,20,30}% report how many QI groups exceed it and the
+    row share they carry.
+
+    Exactness: TVD is compared by integer cross-multiplication —
+    100 * S_g > 2 * n_g * N * t_pct where
+    S_g = sum_v |n_gv*N - n_v*n_g| — zero float surface until the
+    final share division (one IEEE op, rule 5). Sensitive values
+    ABSENT from a group contribute (N - sum_present n_v) * n_g,
+    so the per-group sum never fans out to the full type
+    vocabulary. Products reach n_g*N*t ~ 1e20 at sf10 —
+    DECIMAL(38,0) on the Spark side, HUGEINT in the oracle
+    (rule 11). Scale shape: ONE corpus scan collapses to the
+    (QI, type) cell table (value-space-bounded); every later
+    join/window/fan-out runs over that bounded table, the corpus
+    never shuffles again; dayofweek+1 on the oracle (rule 5c)."""
+    ev = read_star_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    gv = (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.floor(F.col("value") / 10.0)
+            .cast("bigint")
+            .alias("vb"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("n_gv"))
+        .localCheckpoint(eager=False)
+    )
+    g = gv.groupBy("dow", "vb").agg(
+        F.sum("n_gv").cast(dec).alias("n_g")
+    )
+    v = gv.groupBy("event_type").agg(
+        F.sum("n_gv").cast(dec).alias("n_v")
+    )
+    tot = gv.agg(F.sum("n_gv").cast(dec).alias("big_n"))
+    pres = (
+        gv.join(g, ["dow", "vb"])
+        .join(v, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("dow", "vb")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_gv") * F.col("big_n")
+                    - F.col("n_v") * F.col("n_g")
+                )
+            )
+            .cast(dec)
+            .alias("psum"),
+            F.sum("n_v").cast(dec).alias("pnv"),
+        )
+    )
+    sg = (
+        pres.join(g, ["dow", "vb"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "vb",
+            "n_g",
+            "big_n",
+            (
+                F.col("psum")
+                + (F.col("big_n") - F.col("pnv")) * F.col("n_g")
+            )
+            .cast(dec)
+            .alias("s_num"),
+        )
+    )
+    gt = sg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_g").cast("bigint").alias("n_rows"),
+    )
+    ths = F.explode(
+        F.array(*[F.lit(t) for t in (5, 10, 20, 30)])
+    ).alias("t_pct")
+    fanned = sg.select("n_g", "big_n", "s_num", ths).crossJoin(
+        F.broadcast(gt)
+    )
+    above = (
+        F.lit(100).cast(dec) * F.col("s_num")
+        > F.lit(2).cast(dec)
+        * F.col("n_g")
+        * F.col("big_n")
+        * F.col("t_pct").cast(dec)
+    )
+    return (
+        fanned.groupBy("t_pct", "n_groups", "n_rows")
+        .agg(
+            F.sum(F.when(above, 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_above_t"),
+            F.sum(F.when(above, F.col("n_g")).otherwise(0))
+            .cast(dec)
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            (
+                F.sum(
+                    F.when(above, F.col("n_g")).otherwise(0)
+                ).cast("double")
+                / F.max("big_n").cast("double")
+            ).alias("share_at_risk"),
+        )
+        .select(
+            "t_pct",
+            "groups_above_t",
+            "rows_at_risk",
+            "share_at_risk",
+            "n_groups",
+            "n_rows",
+        )
+    )
+
+
+def _mw_oracle() -> str:
+    """Unrolled multiplicative-weights oracle (8 rounds).
+
+    Every step re-references the previous weights table (raw sum +
+    per-row), so each round is AS MATERIALIZED (CLAUDE.md rule 5 —
+    plain CTEs inline and the plan tree grows exponentially)."""
+    rounds = []
+    prev = "w0"
+    for k in range(1, 9):
+        rounds.append(
+            f"""w{k} AS MATERIALIZED (
+            SELECT source, n_tokens, loss_q, excess, ep,
+                   (w * (4000 + ep)
+                    * CAST(1000000000000 AS HUGEINT))
+                   // (SELECT sum(w * (4000 + ep)) FROM {prev})
+                       AS w
+            FROM {prev}
+        )"""
+        )
+        prev = f"w{k}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS t
+            FROM documents
+        ),
+        freqs AS (
+            SELECT t, count(*) AS cnt FROM toks GROUP BY t
+        ),
+        tot AS (
+            SELECT count(*) AS n FROM toks
+        ),
+        src AS MATERIALIZED (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CAST(round(
+                       (-ln(CAST(cnt AS DOUBLE)
+                            / CAST(n AS DOUBLE)))
+                       * 1000000000.0, 0) AS BIGINT))
+                       AS HUGEINT) AS nll_sum
+            FROM toks JOIN freqs USING (t) CROSS JOIN tot
+            GROUP BY source
+        ),
+        losses AS MATERIALIZED (
+            SELECT source, n_tokens,
+                   (nll_sum * 1000000)
+                   // CAST(n_tokens AS HUGEINT) AS loss_q
+            FROM src
+        ),
+        ex AS MATERIALIZED (
+            SELECT source, n_tokens, loss_q,
+                   loss_q - (SELECT min(loss_q) FROM losses)
+                       AS excess
+            FROM losses
+        ),
+        e AS MATERIALIZED (
+            SELECT source, n_tokens, loss_q, excess,
+                   CASE WHEN (SELECT max(excess) FROM ex) > 0
+                        THEN (excess * 1000)
+                             // (SELECT max(excess) FROM ex)
+                        ELSE CAST(0 AS HUGEINT) END AS ep
+            FROM ex
+        ),
+        w0 AS MATERIALIZED (
+            SELECT source, n_tokens, loss_q, excess, ep,
+                   CAST(1000000000000 AS HUGEINT)
+                   // (SELECT count(*) FROM e) AS w
+            FROM e
+        ),
+        {chain}
+        SELECT source,
+               n_tokens,
+               CAST(loss_q AS BIGINT) AS loss_q,
+               CAST(excess AS BIGINT) AS excess_q,
+               CAST(ep AS BIGINT) AS ep_permille,
+               CAST(n_tokens AS DOUBLE)
+                   / CAST((SELECT sum(n_tokens) FROM src)
+                          AS DOUBLE) AS baseline_share,
+               CAST(w AS BIGINT) AS mw_weight_q,
+               CAST(w AS DOUBLE) / 1000000000000.0 AS mw_weight,
+               (CAST(w AS DOUBLE) / 1000000000000.0)
+                   / (CAST(n_tokens AS DOUBLE)
+                      / CAST((SELECT sum(n_tokens) FROM src)
+                             AS DOUBLE)) AS weight_ratio
+        FROM w8
+    """
+
+
+@register(
+    "domain_reweight_mw",
+    oracle=_mw_oracle(),
+    ops=("SAMPLE", "A1"),
+)
+def domain_reweight_mw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOMAIN REWEIGHTING, DoReMi-style (Xie et al. 2023): upweight
+    the training-mixture domains whose EXCESS loss is largest.
+    DoReMi runs exponentiated-gradient over a proxy model's
+    per-domain excess loss; here the loss is the corpus's own
+    unigram LM mean NLL (the certified unigram_lm_score machinery)
+    and the update is the POLYNOMIAL multiplicative-weights variant
+    w <- w * (1 + eta*excess) — rational arithmetic instead of
+    exp(), so every round is exact-integer and engine-portable
+    (the pagerank/markov discipline; exp() would differ by ulps
+    across engines).
+
+    Spec: per-token nll_q = round(-ln(cnt/N) * 1e9) as BIGINT
+    (rule 1c: quantize once, sum exactly); per-source mean loss by
+    integer floor-div on a 1e6 grid; excess vs the min-loss
+    domain, scaled to per-mille of the max excess; 8 MW rounds
+    w <- w*(4000+ep) renormalized to the 1e12 grid by exact
+    floor-div (eta = 1/(4*max_excess); max per-round factor 1.25).
+
+    Scale shape: the corpus pays the unigram-LM token pass ONCE
+    collapsing to a |sources|-row table; the 8 rounds run
+    DRIVER-SIDE on that bounded table (limit-guarded collect, rule
+    14 — zero Spark jobs per round), bit-identical to the unrolled
+    HUGEINT CTE oracle."""
+    from afg_data_pipeline_spark.operators import text as TX
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    toks_long = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("t")
+    )
+    freqs = toks_long.groupBy("t").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = toks_long.agg(F.count(F.lit(1)).alias("n"))
+    nll_q = F.round(
+        -F.log(
+            F.col("cnt").cast("double")
+            / F.col("n").cast("double")
+        )
+        * 1e9,
+        0,
+    ).cast("bigint")
+    src = (
+        toks_long.join(freqs, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(nll_q.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("nll_sum"),
+        )
+    )
+    # bound-check BEFORE materializing (wordpiece.py pattern)
+    rows = src.limit(10_001).collect()
+    if len(rows) > 10_000:
+        raise ValueError(
+            "domain_reweight_mw: source cardinality exceeds the "
+            f"bounded-collect guard ({len(rows)} sources)"
+        )
+    grid = 1_000_000_000_000
+    n_tok = {r["source"]: int(r["n_tokens"]) for r in rows}
+    loss = {
+        r["source"]: (int(r["nll_sum"]) * 1_000_000)
+        // int(r["n_tokens"])
+        for r in rows
+    }
+    total = sum(n_tok.values())
+    min_l = min(loss.values())
+    excess = {s: l - min_l for s, l in loss.items()}
+    max_e = max(excess.values())
+    ep = {
+        s: (e * 1000) // max_e if max_e > 0 else 0
+        for s, e in excess.items()
+    }
+    w = {s: grid // len(rows) for s in loss}
+    for _ in range(8):
+        raw = {s: w[s] * (4000 + ep[s]) for s in w}
+        tot_raw = sum(raw.values())
+        w = {s: (raw[s] * grid) // tot_raw for s in w}
+    out = [
+        (
+            s,
+            n_tok[s],
+            loss[s],
+            excess[s],
+            ep[s],
+            n_tok[s] / float(total),
+            w[s],
+            w[s] / 1e12,
+            (w[s] / 1e12) / (n_tok[s] / float(total)),
+        )
+        for s in sorted(loss)
+    ]
+    return spark.createDataFrame(
+        out,
+        "source string, n_tokens bigint, loss_q bigint, "
+        "excess_q bigint, ep_permille bigint, "
+        "baseline_share double, mw_weight_q bigint, "
+        "mw_weight double, weight_ratio double",
+    )

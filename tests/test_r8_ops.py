@@ -444,3 +444,102 @@ class TestDatasetManifest:
             .collect()
         }
         assert base == again
+
+
+class TestTCloseness:
+    def test_replica(self, spark):
+        import pandas as pd
+
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        ts = pd.to_datetime(ev["ts"])
+        # Spark dayofweek: Sun=1..Sat=7; pandas: Mon=0..Sun=6
+        dow = (ts.dt.dayofweek + 1) % 7 + 1
+        vb = (ev["value"] / 10.0).apply(
+            lambda x: int(math.floor(x))
+        )
+        df = pd.DataFrame(
+            {
+                "dow": dow,
+                "vb": vb,
+                "t": ev["event_type"],
+            }
+        )
+        big_n = len(df)
+        nv = df.groupby("t").size().to_dict()
+        counts = {}
+        for (d, b, t), n in (
+            df.groupby(["dow", "vb", "t"]).size().items()
+        ):
+            counts.setdefault((d, b), {})[t] = n
+        s_num, n_g = {}, {}
+        for grp, tv in counts.items():
+            ng = sum(tv.values())
+            n_g[grp] = ng
+            s = sum(
+                abs(c * big_n - nv[t] * ng)
+                for t, c in tv.items()
+            )
+            s += (big_n - sum(nv[t] for t in tv)) * ng
+            s_num[grp] = s
+        out = {
+            r["t_pct"]: r
+            for r in REGISTRY["t_closeness_report"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(out) == {5, 10, 20, 30}
+        for t_pct, r in out.items():
+            above = [
+                grp
+                for grp, s in s_num.items()
+                if 100 * s > 2 * n_g[grp] * big_n * t_pct
+            ]
+            assert r["groups_above_t"] == len(above), t_pct
+            assert r["rows_at_risk"] == sum(
+                n_g[g] for g in above
+            ), t_pct
+            assert r["n_groups"] == len(s_num)
+            assert r["n_rows"] == big_n
+            assert r["share_at_risk"] == (
+                sum(n_g[g] for g in above) / float(big_n)
+            )
+        # monotone: a looser t flags fewer groups
+        ts_sorted = sorted(out)
+        for a, b in zip(ts_sorted, ts_sorted[1:]):
+            assert (
+                out[a]["groups_above_t"]
+                >= out[b]["groups_above_t"]
+            )
+
+
+class TestDomainReweightMW:
+    def test_invariants(self, spark):
+        rows = (
+            REGISTRY["domain_reweight_mw"]
+            .fn(spark, SF_DIR)
+            .collect()
+        )
+        assert len(rows) == 20  # 20 sources in the testdata
+        grid = 1_000_000_000_000
+        wsum = sum(r["mw_weight_q"] for r in rows)
+        # exact floor-div renormalization: sum in (grid-n, grid]
+        assert grid - len(rows) <= wsum <= grid
+        # uniform start + monotone update factor => weight order
+        # follows excess order
+        by_ep = sorted(
+            rows, key=lambda r: (r["ep_permille"], r["source"])
+        )
+        for a, b in zip(by_ep, by_ep[1:]):
+            if a["ep_permille"] < b["ep_permille"]:
+                assert a["mw_weight_q"] <= b["mw_weight_q"]
+        # min-loss domain has zero excess; max has ep = 1000
+        assert min(r["excess_q"] for r in rows) == 0
+        assert max(r["ep_permille"] for r in rows) == 1000
+        # per-round factor bound 1.25 => total spread <= 1.25^8
+        ws = [r["mw_weight_q"] for r in rows]
+        assert max(ws) <= min(ws) * (1.25**8) + len(rows)
+        # baseline shares sum to 1
+        assert (
+            abs(sum(r["baseline_share"] for r in rows) - 1.0)
+            < 1e-12
+        )
