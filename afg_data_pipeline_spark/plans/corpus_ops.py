@@ -3992,21 +3992,26 @@ def _mw_oracle() -> str:
                                                 '\\s+')) AS t
             FROM documents
         ),
+        gv AS MATERIALIZED (
+            SELECT source, t, count(*) AS cnt_st
+            FROM toks GROUP BY 1, 2
+        ),
         freqs AS (
-            SELECT t, count(*) AS cnt FROM toks GROUP BY t
+            SELECT t, sum(cnt_st) AS cnt FROM gv GROUP BY t
         ),
         tot AS (
-            SELECT count(*) AS n FROM toks
+            SELECT sum(cnt_st) AS n FROM gv
         ),
         src AS MATERIALIZED (
             SELECT source,
-                   CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(sum(CAST(round(
+                   CAST(sum(cnt_st) AS BIGINT) AS n_tokens,
+                   CAST(sum(CAST(cnt_st AS HUGEINT)
+                            * CAST(round(
                        (-ln(CAST(cnt AS DOUBLE)
                             / CAST(n AS DOUBLE)))
                        * 1000000000.0, 0) AS BIGINT))
                        AS HUGEINT) AS nll_sum
-            FROM toks JOIN freqs USING (t) CROSS JOIN tot
+            FROM gv JOIN freqs USING (t) CROSS JOIN tot
             GROUP BY source
         ),
         losses AS MATERIALIZED (
@@ -4088,13 +4093,20 @@ def domain_reweight_mw(
     from afg_data_pipeline_spark.operators import text as TX
 
     docs = read_star_table(spark, "documents", sf_dir)
-    toks_long = docs.select(
-        "source", F.explode(TX.tokens("text")).alias("t")
+    # ONE corpus pass collapses the token stream to the
+    # vocabulary-x-sources cell table; the nll join and every
+    # aggregate below run over THAT (rule 12: checkpointed once
+    # for its three consumers), never over per-token rows.
+    gv = (
+        docs.select(
+            "source", F.explode(TX.tokens("text")).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("cnt_st"))
+        .localCheckpoint(eager=False)
     )
-    freqs = toks_long.groupBy("t").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    tot = toks_long.agg(F.count(F.lit(1)).alias("n"))
+    freqs = gv.groupBy("t").agg(F.sum("cnt_st").alias("cnt"))
+    tot = gv.agg(F.sum("cnt_st").alias("n"))
     nll_q = F.round(
         -F.log(
             F.col("cnt").cast("double")
@@ -4104,12 +4116,15 @@ def domain_reweight_mw(
         0,
     ).cast("bigint")
     src = (
-        toks_long.join(freqs, "t")
+        gv.join(freqs, "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(nll_q.cast("decimal(38,0)"))
+            F.sum("cnt_st").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("cnt_st").cast("decimal(38,0)")
+                * nll_q.cast("decimal(38,0)")
+            )
             .cast("decimal(38,0)")
             .alias("nll_sum"),
         )

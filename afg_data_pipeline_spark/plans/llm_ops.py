@@ -5004,3 +5004,186 @@ def dedup_threshold_sweep(
             ).alias("dup_doc_rate"),
         )
     )
+
+
+def _mmr_oracle_sql(n_queries: int = 16, k_cand: int = 20) -> str:
+    """Unrolled greedy-MMR oracle: brute top-k_cand candidates,
+    candidate-pair cosines, then 5 selection steps. Every CTE that
+    later steps re-reference is AS MATERIALIZED (rule 5); the
+    selected-set join is set-based (no correlated subqueries — the
+    WordPiece recursive-CTE lesson)."""
+    dot_ab = (
+        "list_aggregate(list_transform("
+        "generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE)"
+        " * CAST(b.embedding[i] AS DOUBLE)), 'sum')"
+    )
+    dot_vavb = (
+        "list_aggregate(list_transform("
+        "generate_series(1, len(va.embedding)),"
+        " i -> CAST(va.embedding[i] AS DOUBLE)"
+        " * CAST(vb.embedding[i] AS DOUBLE)), 'sum')"
+    )
+    steps = []
+    for k in range(2, 6):
+        selu = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM sel{j}"
+            for j in range(1, k)
+        )
+        steps.append(
+            f"""selu{k} AS MATERIALIZED ({selu}),
+        sel{k} AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rel,
+                   mmr_score, {k} AS sel_rank
+            FROM (
+                SELECT c.query_id, c.neighbor_id, c.cosine AS rel,
+                       0.5 * c.cosine
+                           - 0.5 * coalesce(mx.ms, 0.0)
+                           AS mmr_score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY 0.5 * c.cosine
+                                    - 0.5 * coalesce(mx.ms, 0.0)
+                                    DESC,
+                                    c.neighbor_id ASC
+                       ) AS rn
+                FROM cand c
+                LEFT JOIN selu{k} d
+                  ON d.query_id = c.query_id
+                 AND d.neighbor_id = c.neighbor_id
+                LEFT JOIN (
+                    SELECT p.query_id, p.cand,
+                           max(p.sim) AS ms
+                    FROM pairs p
+                    JOIN selu{k} s
+                      ON s.query_id = p.query_id
+                     AND s.neighbor_id = p.other
+                    GROUP BY 1, 2
+                ) mx
+                  ON mx.query_id = c.query_id
+                 AND mx.cand = c.neighbor_id
+                WHERE d.neighbor_id IS NULL
+            ) WHERE rn = 1
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    finals = " UNION ALL ".join(
+        f"SELECT query_id, sel_rank, neighbor_id, rel AS relevance,"
+        f" mmr_score FROM sel{j}"
+        for j in range(1, 6)
+    )
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        ),
+        cand AS MATERIALIZED (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC
+                   ) AS rn
+            FROM (
+                SELECT a.vec_id AS query_id,
+                       b.vec_id AS neighbor_id,
+                       {dot_ab} / (a.nrm * b.nrm) AS cosine
+                FROM vecs a CROSS JOIN vecs b
+                WHERE a.vec_id < {n_queries}
+                  AND a.vec_id <> b.vec_id
+            )
+            QUALIFY rn <= {k_cand}
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.query_id, a.neighbor_id AS cand,
+                   b.neighbor_id AS other,
+                   {dot_vavb} / (va.nrm * vb.nrm) AS sim
+            FROM cand a
+            JOIN cand b ON a.query_id = b.query_id
+            JOIN vecs va ON va.vec_id = a.neighbor_id
+            JOIN vecs vb ON vb.vec_id = b.neighbor_id
+            WHERE a.neighbor_id <> b.neighbor_id
+        ),
+        sel1 AS MATERIALIZED (
+            SELECT query_id, neighbor_id, cosine AS rel,
+                   0.5 * cosine - 0.5 * 0.0 AS mmr_score,
+                   1 AS sel_rank
+            FROM cand WHERE rn = 1
+        ),
+        {chain}
+        SELECT * FROM ({finals})
+    """
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle_sql(),
+    ops=("ANN",),
+)
+def mmr_diversified_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MMR DIVERSIFIED RERANKING (Carbonell & Goldstein 1998) —
+    the retrieval consumer's answer to "my top-5 are five copies
+    of the same page": from each query's exact-cosine top-20
+    candidate pool, greedily select 5 maximizing
+    0.5*relevance - 0.5*max-similarity-to-already-selected.
+
+    Execution shape (operators/mmr.py): candidates ride the
+    certified brute_force_topk (swap in ann_funnel_topk's
+    candidate stream at scale — the selection is
+    candidate-source-agnostic); candidate-pair cosines are
+    computed Spark-side with the portable sequential-fold dot and
+    PER-CANDIDATE norms hoisted before the pair join (rule 12);
+    the greedy loop itself is per-query LOCAL, so it runs as
+    groupBy(query_id).applyInPandas — parallelism scales with Q,
+    zero iteration barriers, and the pandas side only compares /
+    linearly combines Spark-computed doubles (single IEEE ops),
+    keeping the result bit-identical to the unrolled 5-step CTE
+    oracle."""
+    from afg_data_pipeline_spark.operators.mmr import mmr_rerank
+    from afg_data_pipeline_spark.operators.similarity import (
+        dot_decimal,
+        norm_decimal,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 16)
+    cand = brute_force_topk(queries, emb, k=20)
+    vecs = emb.select(
+        "vec_id", "embedding"
+    ).withColumn("nrm", norm_decimal("embedding"))
+    a = (
+        cand.join(
+            vecs, cand["neighbor_id"] == vecs["vec_id"]
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand"),
+            F.col("cosine").alias("rel"),
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = a.select(
+        F.col("query_id"),
+        F.col("cand").alias("other"),
+        F.col("va").alias("vb"),
+        F.col("na").alias("nb"),
+    )
+    pairs = a.join(b, "query_id").select(
+        "query_id",
+        "cand",
+        "rel",
+        "other",
+        (
+            dot_decimal("va", "vb")
+            / (F.col("na") * F.col("nb"))
+        ).alias("sim"),
+    )
+    return mmr_rerank(pairs)

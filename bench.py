@@ -252,6 +252,9 @@ HEADLINE = [
     "containment_dedup_keep",
     "markov_removal_attribution",
     "doc_keywords_tfidf",
+    "t_closeness_report",
+    "domain_reweight_mw",
+    "mmr_diversified_topk",
 ]
 
 

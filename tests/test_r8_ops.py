@@ -543,3 +543,87 @@ class TestDomainReweightMW:
             abs(sum(r["baseline_share"] for r in rows) - 1.0)
             < 1e-12
         )
+
+
+class TestMMRDiversified:
+    def test_full_replica(self, spark):
+        import pandas as pd
+
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        vecs = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for _, r in emb.iterrows()
+        }
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        nrm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+
+        def cos(i, j):
+            return dot(vecs[i], vecs[j]) / (nrm[i] * nrm[j])
+
+        expected = []
+        for q in sorted(i for i in vecs if i < 16):
+            scored = sorted(
+                ((cos(q, c), c) for c in vecs if c != q),
+                key=lambda t: (-t[0], t[1]),
+            )[:20]
+            rel = {c: s for s, c in scored}
+            sel = []
+            for rank in range(1, min(5, len(rel)) + 1):
+                best, bs = None, None
+                for c in sorted(rel):
+                    if c in sel:
+                        continue
+                    ms = (
+                        max(cos(c, s) for s in sel)
+                        if sel
+                        else 0.0
+                    )
+                    score = 0.5 * rel[c] - 0.5 * ms
+                    if best is None or score > bs:
+                        best, bs = c, score
+                sel.append(best)
+                expected.append((q, rank, best, rel[best], bs))
+        got = sorted(
+            (
+                int(r["query_id"]),
+                int(r["sel_rank"]),
+                int(r["neighbor_id"]),
+                r["relevance"],
+                r["mmr_score"],
+            )
+            for r in REGISTRY["mmr_diversified_topk"]
+            .fn(spark, SF_DIR)
+            .collect()
+        )
+        assert got == sorted(expected)
+
+    def test_diversifies(self, spark):
+        # MMR's selection must differ from plain top-5 relevance
+        # for at least one query on this corpus (otherwise the
+        # penalty term is dead code), and rank 1 must ALWAYS be
+        # the relevance argmax.
+        rows = (
+            REGISTRY["mmr_diversified_topk"]
+            .fn(spark, SF_DIR)
+            .collect()
+        )
+        byq = {}
+        for r in rows:
+            byq.setdefault(r["query_id"], []).append(r)
+        diffs = 0
+        for q, rs in byq.items():
+            rs = sorted(rs, key=lambda r: r["sel_rank"])
+            top_rel = sorted(
+                rs, key=lambda r: (-r["relevance"], r["neighbor_id"])
+            )
+            assert rs[0]["neighbor_id"] == top_rel[0]["neighbor_id"]
+            mmr_set = [r["neighbor_id"] for r in rs]
+            if mmr_set != [r["neighbor_id"] for r in top_rel]:
+                diffs += 1
+        assert diffs > 0

@@ -177,6 +177,9 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "kcenter_coreset_select",
     "containment_dedup_keep",
     "markov_removal_attribution",
+    "t_closeness_report",
+    "domain_reweight_mw",
+    "mmr_diversified_topk",
     "doc_keywords_tfidf",
 ]
 
