@@ -807,3 +807,77 @@ def exact_rerank_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def brute_force_topk_streamed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k with the big-corpus physical shape.
+
+    brute_force_topk broadcasts the CORPUS — right when the corpus
+    is the small side, wrong at scale. Here the (few) queries
+    broadcast into a streamed corpus scan, so parallelism follows
+    corpus partitions and nothing corpus-sized is ever collected,
+    broadcast, or shuffled un-pruned.
+
+    The pair expansion is a CONSTANT-KEY BroadcastHashJoin, not a
+    crossJoin: BroadcastNestedLoopJoin (what crossJoin plans, and
+    what a cross join with any condition stays) does not
+    participate in whole-stage codegen, so every downstream
+    expression over the pair stream evaluates INTERPRETED —
+    measured 8.1s vs 1.1s for the identical fold over 3.2M pairs
+    at sf10. Joining both sides on a literal key plans a
+    codegen'd BroadcastHashJoin with the same semantics. (A flat
+    64-term unrolled dot was ALSO measured at 8.1s inside the BHJ
+    — the expanded expression trips codegen's method-size
+    fallback, rule 15 — so the sequential fold stays; its single
+    interpreted-leaf evaluation inside a codegen'd pipeline is the
+    fast point.)
+
+    Per-query top-k is one window: Spark 4 inserts
+    WindowGroupLimit, which partial-prunes each map partition to k
+    rows per query BEFORE the exchange, so the shuffle carries
+    O(partitions * Q * k), never the pair stream.
+
+    Output and values are BIT-IDENTICAL to brute_force_topk (same
+    fold order, same tie-break) — only the physical plan differs.
+    """
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        .withColumn("qn", norm_decimal("qv"))
+        .withColumn("__k", F.lit(1))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        )
+        .withColumn("cn", norm_decimal("cv"))
+        .withColumn("__k", F.lit(1))
+    )
+    scored = (
+        c.join(F.broadcast(q), "__k")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_decimal("qv", "cv")
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -3865,9 +3865,18 @@ def t_closeness_report(
     (rule 11). Scale shape: ONE corpus scan collapses to the
     (QI, type) cell table (value-space-bounded); every later
     join/window/fan-out runs over that bounded table, the corpus
-    never shuffles again; dayofweek+1 on the oracle (rule 5c)."""
+    never shuffles again; dayofweek+1 on the oracle (rule 5c).
+    The corpus total and the group totals ride PARTITIONLESS
+    WINDOWS over the bounded cell/group tables instead of 1-row
+    broadcast cross joins — sanctioned global windows (the input
+    is value-space-bounded, never the corpus) that cut two
+    aggregate+broadcast jobs of pure scheduling floor (measured
+    sf30 2.16s -> ~1.3s)."""
+    from pyspark.sql import Window
+
     ev = read_star_table(spark, "events", sf_dir)
     dec = "decimal(38,0)"
+    wall = Window.partitionBy()
     gv = (
         ev.groupBy(
             F.dayofweek("ts").alias("dow"),
@@ -3877,6 +3886,9 @@ def t_closeness_report(
             "event_type",
         )
         .agg(F.count(F.lit(1)).cast(dec).alias("n_gv"))
+        .withColumn(
+            "big_n", F.sum("n_gv").over(wall).cast(dec)
+        )
         .localCheckpoint(eager=False)
     )
     g = gv.groupBy("dow", "vb").agg(
@@ -3885,13 +3897,12 @@ def t_closeness_report(
     v = gv.groupBy("event_type").agg(
         F.sum("n_gv").cast(dec).alias("n_v")
     )
-    tot = gv.agg(F.sum("n_gv").cast(dec).alias("big_n"))
     pres = (
         gv.join(g, ["dow", "vb"])
         .join(v, "event_type")
-        .crossJoin(F.broadcast(tot))
         .groupBy("dow", "vb")
         .agg(
+            F.max("big_n").alias("big_n"),
             F.sum(
                 F.abs(
                     F.col("n_gv") * F.col("big_n")
@@ -3905,7 +3916,6 @@ def t_closeness_report(
     )
     sg = (
         pres.join(g, ["dow", "vb"])
-        .crossJoin(F.broadcast(tot))
         .select(
             "dow",
             "vb",
@@ -3918,16 +3928,19 @@ def t_closeness_report(
             .cast(dec)
             .alias("s_num"),
         )
-    )
-    gt = sg.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-        F.sum("n_g").cast("bigint").alias("n_rows"),
+        .withColumn(
+            "n_groups",
+            F.count(F.lit(1)).over(wall).cast("bigint"),
+        )
+        .withColumn(
+            "n_rows", F.sum("n_g").over(wall).cast("bigint")
+        )
     )
     ths = F.explode(
         F.array(*[F.lit(t) for t in (5, 10, 20, 30)])
     ).alias("t_pct")
-    fanned = sg.select("n_g", "big_n", "s_num", ths).crossJoin(
-        F.broadcast(gt)
+    fanned = sg.select(
+        "n_g", "big_n", "s_num", "n_groups", "n_rows", ths
     )
     above = (
         F.lit(100).cast(dec) * F.col("s_num")

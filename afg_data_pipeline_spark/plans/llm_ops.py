@@ -5147,13 +5147,14 @@ def mmr_diversified_topk(
     oracle."""
     from afg_data_pipeline_spark.operators.mmr import mmr_rerank
     from afg_data_pipeline_spark.operators.similarity import (
+        brute_force_topk_streamed,
         dot_decimal,
         norm_decimal,
     )
 
     emb = read_star_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 16)
-    cand = brute_force_topk(queries, emb, k=20)
+    cand = brute_force_topk_streamed(queries, emb, k=20)
     vecs = emb.select(
         "vec_id", "embedding"
     ).withColumn("nrm", norm_decimal("embedding"))
