@@ -64,7 +64,7 @@ def _coverage_order(names: list[str]) -> list[str]:
         "pack_token_stream": 4,
         "embedding_near_dup_lsh": 4,
         "ann_lsh_topk": 4,
-        "ann_cosine_topk": 4,
+        "ann_cosine_topk": 8,
         "nn_assign": 4,
         "nn_assign_bucketed": 4,
         "nn_assign_grid2d": 4,
@@ -140,8 +140,8 @@ def _coverage_order(names: list[str]) -> list[str]:
         "image_phash_near_dup": 7,
         # round-7 classify.py refactor (_scored_pairs extraction,
         # same plan, re-certify consumers with prior rows):
-        "nb_classify_lang": 7,
-        "classifier_eval_report": 7,
+        "nb_classify_lang": 8,
+        "classifier_eval_report": 8,
         "classifier_eval_auc": 7,
         # round-8 driver-canonicalization fixes (r7 red row class):
         # unigram token_ids string-projected; frame payload
@@ -154,6 +154,17 @@ def _coverage_order(names: list[str]) -> list[str]:
         # round-8 resample-generator change (md5 slices -> counter
         # mixer; intervals differ by design, oracle in lockstep):
         "bootstrap_ci_mean": 8,
+        # round-8 kernel changes: constant-key BroadcastHashJoin
+        # replaces the interpreted-BNLJ pair streams in
+        # brute_force_topk and classify._scored_pairs (plans
+        # changed, values bit-identical) — consumers with prior
+        # rows re-certify; t_closeness window-total rewrite:
+        "ann_recall_audit": 8,
+        "dim_truncation_recall_audit": 8,
+        "uncertainty_sample": 8,
+        "classifier_kappa": 8,
+        "label_noise_report": 8,
+        "score_calibration_bins": 8,
     }
 
     # Verdict-r7 #2: the driver window MUST sample the fixed red

@@ -172,11 +172,23 @@ def _scored_pairs(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     vocab = token_model.select("token").distinct()
+    # Constant-key BroadcastHashJoin, NOT crossJoin: BNLJ is
+    # excluded from whole-stage codegen, so the doc-token x class
+    # pair stream (corpus-token-sized x |classes|) would evaluate
+    # every downstream decimal expression interpreted (the
+    # brute_force_topk_streamed lesson, measured 8x there).
     per_class = (
         doc_tokens.join(F.broadcast(vocab), "token", "left_semi")
-        .crossJoin(
-            F.broadcast(class_model.select("cls", "floor_q"))
+        .withColumn("__k", F.lit(1))
+        .join(
+            F.broadcast(
+                class_model.select(
+                    "cls", "floor_q"
+                ).withColumn("__k", F.lit(1))
+            ),
+            "__k",
         )
+        .drop("__k")
         .join(F.broadcast(token_model), ["token", "cls"], "left")
         .select(
             "_id",

@@ -62,18 +62,31 @@ def brute_force_topk(
     # Norms computed ONCE per vector before the pair expansion —
     # inside it each candidate row would re-run both 64-term norm
     # folds (the dot is the only per-pair work left).
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-    ).withColumn("qn", norm_decimal("qv"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-    ).withColumn("cn", norm_decimal("cv"))
+    # Constant-key BroadcastHashJoin, NOT crossJoin: BNLJ is
+    # excluded from whole-stage codegen, so the fold over the
+    # pair stream would evaluate interpreted (measured 8.1s vs
+    # 1.1s over 3.2M pairs — see brute_force_topk_streamed).
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        .withColumn("qn", norm_decimal("qv"))
+        .withColumn("__k", F.lit(1))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        )
+        .withColumn("cn", norm_decimal("cv"))
+        .withColumn("__k", F.lit(1))
+    )
     par = q.sparkSession.sparkContext.defaultParallelism
     pairs = (
         q.repartition(par)
-        .crossJoin(F.broadcast(c))
+        .join(F.broadcast(c), "__k")
+        .drop("__k")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     cosine = dot_decimal("qv", "cv") / (
