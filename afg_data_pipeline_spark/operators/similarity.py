@@ -409,14 +409,20 @@ def ivf_assign(
     row_number — centroid counts are small by construction (IVF
     nlist << corpus), so this is a map-side-only pass.
     """
+    # Constant-key BroadcastHashJoin, NOT crossJoin (rule 23):
+    # BNLJ is excluded from whole-stage codegen, so the per-pair
+    # squared-L2 fold over the corpus x centroid stream — the
+    # index-build hot pass — would evaluate interpreted.
     c = centroids.select(
         F.col("centroid_id"), F.col("centroid").alias("cv")
-    )
+    ).withColumn("__k", F.lit(1))
     par = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
         df.select(F.col(id_col), F.col(vec_col).alias("v"))
         .repartition(par)
-        .crossJoin(F.broadcast(c))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(c), "__k")
+        .drop("__k")
     )
     # squared L2 = |v|^2 - 2 v.c + |c|^2; the fold computes it
     # directly as sum of squared diffs (deterministic double fold).
@@ -602,18 +608,21 @@ def binary_hamming_topk(
     funnel is hamming-topk (cheap, recall<1) then exact-cosine
     re-rank of the survivors (brute_force_topk on the candidate
     set)."""
+    # Constant-key BroadcastHashJoin, NOT crossJoin (rule 23) —
+    # keeps the XOR+bit_count stream inside whole-stage codegen.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         binarize_code(vec_col, dim).alias("qc"),
-    )
+    ).withColumn("__k", F.lit(1))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         binarize_code(vec_col, dim).alias("cc"),
-    )
+    ).withColumn("__k", F.lit(1))
     par = q.sparkSession.sparkContext.defaultParallelism
     pairs = (
         q.repartition(par)
-        .crossJoin(F.broadcast(c))
+        .join(F.broadcast(c), "__k")
+        .drop("__k")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "hamming",

@@ -66,8 +66,18 @@ def nearest_neighbor_assign(
     # cross join multiplies rows without re-splitting them. A cheap
     # round-robin of the *input* rows parallelizes the O(L×R)
     # distance evaluation across all cores/executors.
+    # Constant-key BroadcastHashJoin, NOT crossJoin (rule 23):
+    # BNLJ is excluded from whole-stage codegen, so the per-pair
+    # distance expression would evaluate interpreted.
     par = left.sparkSession.sparkContext.defaultParallelism
-    pairs = left.repartition(par).crossJoin(F.broadcast(right))
+    pairs = (
+        left.repartition(par)
+        .withColumn("__k", F.lit(1))
+        .join(
+            F.broadcast(right.withColumn("__k", F.lit(1))), "__k"
+        )
+        .drop("__k")
+    )
     d = distance.alias("__dist")
     ordkey = F.struct(distance.alias("d"), F.col(right_key).alias("k"))
     aggs = [

@@ -53,11 +53,51 @@ CATEGORIES = (
     "pandas_udf",
 )
 
-# logical Window node: Window [exprs], [partitionCols], [orderCols]
-# — empty partition spec prints as "], [], [" between the expr list
-# and the order list. The physical node prints the same bracket
-# shape. Counted on the optimized logical plan (stable across AQE).
-_WINDOW_RE = re.compile(r"Window \[[^\n]*\], \[\], \[")
+def _partitionless_windows(plan: str) -> int:
+    """Count windowspecdefinition(...) occurrences with an empty
+    partition spec. The spec prints its args as
+    ``windowspecdefinition(pcols..., ocols ASC/DESC..., specified
+    windowframe(...))`` and EMPTY lists are simply omitted, so a
+    partitionless window is one whose args (minus the frame) are
+    all ORDER specs (contain ASC/DESC) or absent. Args are split
+    at paren depth 1 to survive nested expressions."""
+    n = 0
+    start = 0
+    needle = "windowspecdefinition("
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            return n
+        j = i + len(needle)
+        depth = 1
+        args, cur = [], []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if depth == 1 and ch == ",":
+                args.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+            j += 1
+        args.append("".join(cur))
+        # drop the frame arg(s) — anything from the first
+        # specifiedwindowframe onward
+        spec = [
+            a
+            for a in args
+            if "specifiedwindowframe" not in a and a.strip()
+        ]
+        if all(
+            (" ASC" in a or " DESC" in a) for a in spec
+        ):
+            n += 1
+        start = j + 1
 
 
 def _counts(plan_logical: str, plan_physical: str) -> dict:
@@ -66,8 +106,8 @@ def _counts(plan_logical: str, plan_physical: str) -> dict:
             plan_physical.count("CartesianProduct")
             + plan_logical.count("Join Cross")
         ),
-        "partitionless_window": len(
-            _WINDOW_RE.findall(plan_logical)
+        "partitionless_window": _partitionless_windows(
+            plan_logical
         ),
         "python_udf_row": plan_physical.count("BatchEvalPython"),
         "pandas_udf": (
