@@ -249,3 +249,91 @@ def trigram_lm_nll(
         .agg(n_expr, avg_expr)
         .select("id", "n_trigrams", "avg_nll")
     )
+
+
+def kn_p_sql() -> str:
+    """Interpolated Kneser-Ney bigram probability as ONE infix
+    string evaluated verbatim by BOTH engines (the ols/_cramer3
+    shared-infix discipline — identical operation order, so the
+    resulting double is bit-identical on identical integer
+    inputs). Expects columns: cb (bigram count), ctx (context
+    bigram-token count sum_w c(v,w)), n1v (distinct continuations
+    of v), n1w (distinct left contexts of w), n1/n2 (bigram types
+    seen once/twice), n1tot (distinct bigram types).
+
+    P(w|v) = max(cb - D, 0)/ctx + D*n1v/ctx * n1w/n1tot with the
+    standard discount D = n1/(n1 + 2*n2) (Chen & Goodman 1998);
+    D's denominator is guarded for degenerate corpora.
+    """
+    d = (
+        "(CASE WHEN n1 + 2 * n2 > 0 THEN CAST(n1 AS DOUBLE)"
+        " / CAST(n1 + 2 * n2 AS DOUBLE) ELSE 0.5 END)"
+    )
+    return (
+        f"greatest(CAST(cb AS DOUBLE) - {d}, 0.0)"
+        " / CAST(ctx AS DOUBLE)"
+        f" + ({d} * CAST(n1v AS DOUBLE) / CAST(ctx AS DOUBLE))"
+        " * (CAST(n1w AS DOUBLE) / CAST(n1tot AS DOUBLE))"
+    )
+
+
+def kneser_ney_bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean NLL under an interpolated KNESER-NEY
+    bigram LM — the smoothing that actually ships in n-gram LM
+    toolkits (absolute discounting + CONTINUATION-count backoff:
+    'Francisco' is frequent but only ever follows 'San', so its
+    unigram backoff mass is tiny). One rung above
+    bigram_lm_nll's fixed-lambda interpolation.
+
+    All model statistics are exact integers from two aggregations
+    of the bigram-type table; the probability is evaluated through
+    kn_p_sql()'s shared infix and the per-row NLL quantized once
+    to the 1e-9 integer grid (rules 1b/1c). Context mass here IS
+    the bigram-token count sum_w c(v,w) (not the raw unigram
+    count), so the discounted conditional normalizes properly.
+
+    Scale shape mirrors bigram_lm_nll: per-doc lag windows, map-
+    side-combined counts, equi-joins, scalars on one broadcast row.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(TX.tokens(text_col)).alias("pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("t").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    big = pairs.groupBy("prev", "t").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    vstats = big.groupBy("prev").agg(
+        F.sum("cb").alias("ctx"),
+        F.count(F.lit(1)).alias("n1v"),
+    )
+    wstats = big.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n1w")
+    )
+    scal = big.agg(
+        F.sum(F.when(F.col("cb") == 1, 1).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum(F.when(F.col("cb") == 2, 1).otherwise(0)).alias(
+            "n2"
+        ),
+        F.count(F.lit(1)).alias("n1tot"),
+    )
+    p = F.expr(kn_p_sql())
+    n_expr, avg_expr = _nll_mean(p, "n_bigrams")
+    return (
+        pairs.join(big, ["prev", "t"])
+        .join(vstats, "prev")
+        .join(wstats, "t")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("id")
+        .agg(n_expr, avg_expr)
+        .select("id", "n_bigrams", "avg_nll")
+    )

@@ -4190,3 +4190,87 @@ def domain_reweight_mw(
         "baseline_share double, mw_weight_q bigint, "
         "mw_weight double, weight_ratio double",
     )
+
+
+def _kn_oracle() -> str:
+    """Kneser-Ney oracle sharing kn_p_sql()'s infix verbatim."""
+    from afg_data_pipeline_spark.operators.lm import kn_p_sql
+
+    return f"""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, pos, list_extract(arr, pos) AS tok
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(1, len(arr)))
+                             AS pos
+                  FROM tokd)
+        ),
+        bigrams AS (
+            SELECT doc_id, prev, tok FROM (
+                SELECT doc_id,
+                       lag(tok) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS prev,
+                       tok
+                FROM toks)
+            WHERE prev IS NOT NULL
+        ),
+        bg AS (
+            SELECT prev, tok, count(*) AS cb
+            FROM bigrams GROUP BY prev, tok
+        ),
+        vstats AS (
+            SELECT prev, sum(cb) AS ctx, count(*) AS n1v
+            FROM bg GROUP BY prev
+        ),
+        wstats AS (
+            SELECT tok, count(*) AS n1w FROM bg GROUP BY tok
+        ),
+        scal AS (
+            SELECT sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS n2,
+                   count(*) AS n1tot
+            FROM bg
+        )
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round((- ln(
+                   {kn_p_sql()}
+               )) * 1000000000.0, 0) AS BIGINT)) AS DOUBLE) / 1e9
+                   / CAST(count(*) AS DOUBLE) AS avg_nll
+        FROM bigrams b
+        JOIN bg ON bg.prev = b.prev AND bg.tok = b.tok
+        JOIN vstats v ON v.prev = b.prev
+        JOIN wstats ws ON ws.tok = b.tok
+        CROSS JOIN scal
+        GROUP BY b.doc_id
+    """
+
+
+@register(
+    "kneser_ney_bigram_score",
+    oracle=_kn_oracle(),
+    ops=("TEXT", "A1"),
+)
+def kneser_ney_bigram_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KNESER-NEY bigram LM quality score — the top rung of the
+    n-gram LM ladder (unigram -> fixed-lambda bigram -> trigram ->
+    here): per-doc mean NLL under absolute discounting with
+    continuation-count backoff, the Chen & Goodman 1998 estimator
+    (D = n1/(n1+2*n2)). operators/lm.kneser_ney_bigram_nll; the
+    probability is ONE shared infix (kn_p_sql) evaluated verbatim
+    by both engines on exact integer statistics, per-row NLL
+    quantized once to the 1e-9 grid (rules 1b/1c)."""
+    from afg_data_pipeline_spark.operators.lm import (
+        kneser_ney_bigram_nll,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    return kneser_ney_bigram_nll(docs).select(
+        F.col("id").alias("doc_id"), "n_bigrams", "avg_nll"
+    )

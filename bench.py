@@ -255,6 +255,7 @@ HEADLINE = [
     "t_closeness_report",
     "domain_reweight_mw",
     "mmr_diversified_topk",
+    "kneser_ney_bigram_score",
 ]
 
 

@@ -627,3 +627,92 @@ class TestMMRDiversified:
             if mmr_set != [r["neighbor_id"] for r in top_rel]:
                 diffs += 1
         assert diffs > 0
+
+
+class TestKneserNey:
+    def test_replica(self, spark):
+        import pandas as pd
+        from collections import Counter
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        bigrams_by_doc = {}
+        bg = Counter()
+        for _, row in docs.iterrows():
+            toks = (row["text"] or "").strip().split()
+            bs = list(zip(toks, toks[1:]))
+            if bs:
+                bigrams_by_doc[row["doc_id"]] = bs
+                bg.update(bs)
+        ctx = Counter()
+        n1v = Counter()
+        n1w = Counter()
+        for (v, w), c in bg.items():
+            ctx[v] += c
+            n1v[v] += 1
+            n1w[w] += 1
+        n1 = sum(1 for c in bg.values() if c == 1)
+        n2 = sum(1 for c in bg.values() if c == 2)
+        n1tot = len(bg)
+        D = n1 / (n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.5
+
+        def p_kn(v, w):
+            return max(bg[(v, w)] - D, 0.0) / ctx[v] + (
+                D * n1v[v] / ctx[v]
+            ) * (n1w[w] / n1tot)
+
+        expected = {}
+        for d, bs in bigrams_by_doc.items():
+            qs = 0
+            for v, w in bs:
+                x = -math.log(p_kn(v, w)) * 1e9
+                qs += math.floor(x + 0.5)  # HALF_UP like round()
+            expected[d] = (len(bs), qs / 1e9 / len(bs))
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in REGISTRY["kneser_ney_bigram_score"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(expected)
+        for d in expected:
+            assert got[d][0] == expected[d][0], d
+            assert abs(got[d][1] - expected[d][1]) < 1e-12, d
+
+    def test_probabilities_normalize(self, spark):
+        # For each context v, sum_w P_KN(w|v) over OBSERVED w plus
+        # the backoff mass for unobserved w must be exactly 1 up to
+        # float tolerance: sum over observed (cb-D)/ctx = 1 -
+        # D*n1v/ctx, and the continuation term distributes
+        # D*n1v/ctx * (sum_w n1w/n1tot) = D*n1v/ctx over the FULL
+        # vocabulary. Verify on a small constructed corpus.
+        import pandas as pd
+        from collections import Counter
+
+        texts = [
+            "a b a c a b b c a",
+            "b c b a c c a b",
+            "c a c b a a b c",
+        ]
+        bg = Counter()
+        for t in texts:
+            toks = t.split()
+            bg.update(zip(toks, toks[1:]))
+        ctx = Counter()
+        n1v = Counter()
+        n1w = Counter()
+        for (v, w), c in bg.items():
+            ctx[v] += c
+            n1v[v] += 1
+            n1w[w] += 1
+        n1 = sum(1 for c in bg.values() if c == 1)
+        n2 = sum(1 for c in bg.values() if c == 2)
+        n1tot = len(bg)
+        D = n1 / (n1 + 2 * n2)
+        vocab = set(n1w)
+        for v in ctx:
+            total = sum(
+                max(bg.get((v, w), 0) - D, 0.0) / ctx[v]
+                + (D * n1v[v] / ctx[v]) * (n1w[w] / n1tot)
+                for w in vocab
+            )
+            assert abs(total - 1.0) < 1e-12, (v, total)

@@ -180,6 +180,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "t_closeness_report",
     "domain_reweight_mw",
     "mmr_diversified_topk",
+    "kneser_ney_bigram_score",
     "doc_keywords_tfidf",
 ]
 
