@@ -5188,3 +5188,115 @@ def mmr_diversified_topk(
         ).alias("sim"),
     )
     return mmr_rerank(pairs)
+
+
+@register(
+    "embedding_domain_shift",
+    oracle="""
+        WITH j AS (
+            SELECT d.source, e.embedding
+            FROM embeddings e
+            JOIN documents d ON d.doc_id = e.vec_id
+        ),
+        comp AS (
+            SELECT source, i AS pos,
+                   CAST(round(CAST(embedding[i] AS DOUBLE)
+                              * 10000.0, 0) AS BIGINT) AS xq
+            FROM j, unnest(generate_series(1, len(embedding)))
+                     AS t(i)
+        ),
+        per AS (
+            SELECT source, pos,
+                   CAST(sum(xq) AS HUGEINT) AS s_q,
+                   CAST(count(*) AS HUGEINT) AS n_s
+            FROM comp GROUP BY 1, 2
+        ),
+        gtab AS (
+            SELECT pos, CAST(sum(s_q) AS HUGEINT) AS g_q,
+                   CAST(sum(n_s) AS HUGEINT) AS big_n
+            FROM per GROUP BY pos
+        )
+        SELECT source,
+               CAST(max(n_s) AS BIGINT) AS n_vecs,
+               sqrt(CAST(sum((s_q * big_n - g_q * n_s)
+                             * (s_q * big_n - g_q * n_s))
+                         AS DOUBLE)
+                    / CAST((max(n_s) * max(big_n))
+                           * (max(n_s) * max(big_n))
+                           AS DOUBLE)) / 10000.0 AS shift_l2
+        FROM per JOIN gtab USING (pos)
+        GROUP BY source
+    """,
+    ops=("ANN", "A1"),
+)
+def embedding_domain_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDING DOMAIN SHIFT — per-source mean-vector displacement
+    from the corpus centroid, ||mean_s - mean_global||_2: the
+    vector-table sibling of distribution_drift_psi
+    (embedding_stats_report watches per-dim health; this watches
+    per-SOURCE health — an embedding-model version mix-up or a
+    contaminated source shows up as one source's centroid walking
+    away from the corpus).
+
+    Exactness: components CAST to DOUBLE (rule 16) then quantized
+    ONCE to the 1e4 integer grid (rule 1b); the mean difference is
+    kept as an exact integer numerator over the common denominator
+    n_s*N — (s_q*N - g_q*n_s) per dim, squared and summed in
+    DECIMAL(38,0)/HUGEINT (bounded through ~sf30 at this grid;
+    rule 11) — and converted to double only in the final
+    sqrt(num/den) (each step one correctly-rounded IEEE op, both
+    engines). Scale shape: one posexplode collapses the vector
+    table to |sources| x 64 moment rows; everything after is
+    bounded-table work."""
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    docs = read_star_table(spark, "documents", sf_dir)
+    dec = "decimal(38,0)"
+    j = emb.join(
+        docs.select("doc_id", "source"),
+        emb["vec_id"] == F.col("doc_id"),
+    )
+    comp = j.select(
+        "source",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "source",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 10000.0, 0)
+        .cast("bigint")
+        .alias("xq"),
+    )
+    per = comp.groupBy("source", "pos").agg(
+        F.sum("xq").cast(dec).alias("s_q"),
+        F.count(F.lit(1)).cast(dec).alias("n_s"),
+    )
+    glob = per.groupBy("pos").agg(
+        F.sum("s_q").cast(dec).alias("g_q"),
+        F.sum("n_s").cast(dec).alias("big_n"),
+    )
+    num = F.col("s_q") * F.col("big_n") - F.col("g_q") * F.col(
+        "n_s"
+    )
+    return (
+        per.join(glob, "pos")
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_vecs"),
+            (
+                F.sqrt(
+                    F.sum((num * num).cast(dec))
+                    .cast(dec)
+                    .cast("double")
+                    / (
+                        (F.max("n_s") * F.max("big_n"))
+                        * (F.max("n_s") * F.max("big_n"))
+                    )
+                    .cast(dec)
+                    .cast("double")
+                )
+                / F.lit(10000.0)
+            ).alias("shift_l2"),
+        )
+        .select("source", "n_vecs", "shift_l2")
+    )

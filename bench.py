@@ -256,6 +256,7 @@ HEADLINE = [
     "domain_reweight_mw",
     "mmr_diversified_topk",
     "kneser_ney_bigram_score",
+    "embedding_domain_shift",
 ]
 
 

@@ -716,3 +716,49 @@ class TestKneserNey:
                 for w in vocab
             )
             assert abs(total - 1.0) < 1e-12, (v, total)
+
+
+class TestEmbeddingDomainShift:
+    def test_replica(self, spark):
+        import pandas as pd
+        from collections import defaultdict
+
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        src = dict(zip(docs["doc_id"], docs["source"]))
+        sums = defaultdict(lambda: defaultdict(int))
+        ns = defaultdict(int)
+        for _, r in emb.iterrows():
+            s = src.get(int(r["vec_id"]))
+            if s is None:
+                continue
+            ns[s] += 1
+            for i, x in enumerate(r["embedding"]):
+                sums[s][i] += math.floor(float(x) * 1e4 + 0.5)
+        big_n = sum(ns.values())
+        gsum = defaultdict(int)
+        for s in sums:
+            for i, v in sums[s].items():
+                gsum[i] += v
+        got = {
+            r["source"]: (r["n_vecs"], r["shift_l2"])
+            for r in REGISTRY["embedding_domain_shift"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(ns)
+        for s in ns:
+            num_sq = sum(
+                (sums[s][i] * big_n - gsum[i] * ns[s]) ** 2
+                for i in gsum
+            )
+            exp = (
+                math.sqrt(num_sq / float((ns[s] * big_n) ** 2))
+                / 1e4
+            )
+            assert got[s][0] == ns[s], s
+            assert abs(got[s][1] - exp) < 1e-12, s
+        # mean-shift identity: sum over sources of n_s * shift
+        # VECTOR is zero; as a weaker scalar check, not every
+        # source can have zero shift unless all centroids match
+        assert any(v[1] > 0 for v in got.values())

@@ -181,6 +181,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "domain_reweight_mw",
     "mmr_diversified_topk",
     "kneser_ney_bigram_score",
+    "embedding_domain_shift",
     "doc_keywords_tfidf",
 ]
 
