@@ -2343,3 +2343,167 @@ def logistic_newton_purchase(
         F.expr(_LG2_B[1]).alias("b1_step2"),
         F.expr(_LG2_B[2]).alias("b2_step2"),
     )
+
+
+@register(
+    "mi_feature_rank",
+    oracle="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS t
+            FROM documents
+        ),
+        nydoc AS (
+            SELECT lang, count(DISTINCT doc_id) AS n_y
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS big_n
+            FROM documents
+        ),
+        joint AS (
+            SELECT t, lang, count(*) AS c1
+            FROM dt GROUP BY t, lang
+        ),
+        nt AS (
+            SELECT t, CAST(sum(c1) AS BIGINT) AS n_t
+            FROM joint GROUP BY t
+        ),
+        grid AS (
+            SELECT n.t, y.lang, n.n_t, y.n_y,
+                   COALESCE(j.c1, 0) AS c1
+            FROM nt n
+            CROSS JOIN nydoc y
+            LEFT JOIN joint j
+              ON j.t = n.t AND j.lang = y.lang
+        ),
+        cells AS (
+            SELECT t,
+                   CASE WHEN c1 > 0 THEN c1 * CAST(round(ln(
+                       (CAST(big_n AS DOUBLE) * CAST(c1 AS DOUBLE))
+                       / (CAST(n_t AS DOUBLE)
+                          * CAST(n_y AS DOUBLE)))
+                       * 1000000000.0, 0) AS BIGINT)
+                       ELSE 0 END
+                   + CASE WHEN n_y - c1 > 0 AND big_n - n_t > 0
+                          THEN (n_y - c1) * CAST(round(ln(
+                       (CAST(big_n AS DOUBLE)
+                        * CAST(n_y - c1 AS DOUBLE))
+                       / (CAST(big_n - n_t AS DOUBLE)
+                          * CAST(n_y AS DOUBLE)))
+                       * 1000000000.0, 0) AS BIGINT)
+                       ELSE 0 END AS cell_q
+            FROM grid CROSS JOIN tot
+        ),
+        mi AS (
+            SELECT t AS token,
+                   CAST(sum(cell_q) AS BIGINT) AS mi_q
+            FROM cells GROUP BY t
+        )
+        SELECT token,
+               mi_q,
+               CAST(mi_q AS DOUBLE) / 1e9
+                   / CAST(t.big_n AS DOUBLE) AS mi,
+               n.n_t AS n_docs_with
+        FROM mi JOIN nt n ON n.t = mi.token CROSS JOIN tot t
+        ORDER BY mi_q DESC, token ASC
+        LIMIT 50
+    """,
+    ops=("TEXT", "A1"),
+)
+def mi_feature_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MUTUAL-INFORMATION FEATURE RANKING — the classical feature-
+    selection audit for the NB language classifier: MI(token
+    presence; lang) over documents, top 50 tokens. High-MI tokens
+    are what the classifier actually keys on — the table a curator
+    reads to catch spurious shortcuts (a boilerplate token
+    identifying a source rather than a language).
+
+    Exactness: all four contingency cells per (token, lang) are
+    exact integers (joint from DISTINCT doc-token presence, x=0
+    cells derived as n_y - c1); each cell's ln(N*c/(n_t*n_y)) is
+    quantized ONCE to the 1e9 integer grid (rule 1c) and
+    multiplied by the exact integer count, so the RANKING compares
+    exact BIGINTs — no float order anywhere; 0*ln(0) cells are 0
+    by the case guards. Scale shape: one distinct-presence pass
+    collapses the corpus to the vocabulary x classes cell table;
+    the grid completion is a bounded crossJoin of two vocabulary-
+    sized tables; top-50 is TakeOrderedAndProject (per-task
+    partial top-k, no global sort)."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    dt = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens("text")).alias("t")
+    ).distinct()
+    nydoc = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_y")
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("big_n")
+    )
+    joint = dt.groupBy("t", "lang").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    nt = joint.groupBy("t").agg(
+        F.sum("c1").cast("bigint").alias("n_t")
+    )
+    grid = (
+        nt.crossJoin(F.broadcast(nydoc))
+        .join(joint, ["t", "lang"], "left")
+        .select(
+            "t",
+            "n_t",
+            "n_y",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def lnq(num, den):
+        return F.round(
+            F.log(num.cast("double") / den.cast("double"))
+            * F.lit(1e9),
+            0,
+        ).cast("bigint")
+
+    cell = F.when(
+        F.col("c1") > 0,
+        F.col("c1")
+        * lnq(
+            F.col("big_n") * F.col("c1"),
+            F.col("n_t") * F.col("n_y"),
+        ),
+    ).otherwise(F.lit(0)) + F.when(
+        (F.col("n_y") - F.col("c1") > 0)
+        & (F.col("big_n") - F.col("n_t") > 0),
+        (F.col("n_y") - F.col("c1"))
+        * lnq(
+            F.col("big_n") * (F.col("n_y") - F.col("c1")),
+            (F.col("big_n") - F.col("n_t")) * F.col("n_y"),
+        ),
+    ).otherwise(
+        F.lit(0)
+    )
+    mi = (
+        grid.select("t", cell.alias("cell_q"))
+        .groupBy("t")
+        .agg(F.sum("cell_q").cast("bigint").alias("mi_q"))
+    )
+    return (
+        mi.join(nt, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("token"),
+            "mi_q",
+            (
+                F.col("mi_q").cast("double")
+                / F.lit(1e9)
+                / F.col("big_n").cast("double")
+            ).alias("mi"),
+            F.col("n_t").alias("n_docs_with"),
+        )
+        .orderBy(F.col("mi_q").desc(), F.col("token").asc())
+        .limit(50)
+    )

@@ -257,6 +257,7 @@ HEADLINE = [
     "mmr_diversified_topk",
     "kneser_ney_bigram_score",
     "embedding_domain_shift",
+    "mi_feature_rank",
 ]
 
 

@@ -762,3 +762,51 @@ class TestEmbeddingDomainShift:
         # VECTOR is zero; as a weaker scalar check, not every
         # source can have zero shift unless all centroids match
         assert any(v[1] > 0 for v in got.values())
+
+
+class TestMIFeatureRank:
+    def test_replica(self, spark):
+        import pandas as pd
+        from collections import Counter, defaultdict
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        big_n = len(docs)
+        n_y = Counter(docs["lang"])
+        joint = defaultdict(Counter)  # t -> lang -> c1
+        for _, r in docs.iterrows():
+            toks = set((r["text"] or "").strip().split())
+            for t in toks:
+                joint[t][r["lang"]] += 1
+
+        def lnq(num, den):
+            return math.floor(
+                math.log(num / den) * 1e9 + 0.5
+            )
+
+        rows = []
+        for t, by_y in joint.items():
+            n_t = sum(by_y.values())
+            mi_q = 0
+            for y, ny in n_y.items():
+                c1 = by_y.get(y, 0)
+                if c1 > 0:
+                    mi_q += c1 * lnq(big_n * c1, n_t * ny)
+                c0 = ny - c1
+                if c0 > 0 and big_n - n_t > 0:
+                    mi_q += c0 * lnq(
+                        big_n * c0, (big_n - n_t) * ny
+                    )
+            rows.append((t, mi_q, n_t))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        expected = rows[:50]
+        got = [
+            (r["token"], r["mi_q"], r["n_docs_with"])
+            for r in REGISTRY["mi_feature_rank"]
+            .fn(spark, SF_DIR)
+            .collect()
+        ]
+        assert got == expected
+        # MI is non-negative up to grid rounding: the quantized
+        # sum can dip a hair below zero only by accumulated
+        # half-ulps; top-ranked entries must be strictly positive
+        assert got[0][1] > 0

@@ -182,6 +182,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "mmr_diversified_topk",
     "kneser_ney_bigram_score",
     "embedding_domain_shift",
+    "mi_feature_rank",
     "doc_keywords_tfidf",
 ]
 
