@@ -2507,3 +2507,180 @@ def mi_feature_rank(
         .orderBy(F.col("mi_q").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+@register(
+    "conformal_filter_threshold",
+    oracle=_NB_ORACLE_CTES
+    + """
+        , cal AS MATERIALIZED (
+            SELECT s.doc_id, s.score_q
+            FROM scores s
+            JOIN test te
+              ON te.doc_id = s.doc_id AND s.cls = te.lang
+            WHERE te.doc_id % 4 = 1
+        ),
+        ncal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+        ranked AS MATERIALIZED (
+            SELECT score_q,
+                   row_number() OVER (ORDER BY score_q ASC)
+                       AS rn
+            FROM cal
+        ),
+        alph AS (SELECT unnest([5, 10, 20]) AS alpha_pct),
+        thr AS MATERIALIZED (
+            SELECT a.alpha_pct, n.n AS n_cal,
+                   (a.alpha_pct * (n.n + 1)) // 100 AS k_rank,
+                   r.score_q AS thr_q
+            FROM alph a
+            CROSS JOIN ncal n
+            JOIN ranked r
+              ON r.rn = (a.alpha_pct * (n.n + 1)) // 100
+        ),
+        evaltrue AS MATERIALIZED (
+            SELECT s.doc_id, s.score_q
+            FROM scores s
+            JOIN test te
+              ON te.doc_id = s.doc_id AND s.cls = te.lang
+            WHERE te.doc_id % 4 = 3
+        ),
+        evalall AS MATERIALIZED (
+            SELECT s.doc_id, s.score_q
+            FROM scores s
+            JOIN test te ON te.doc_id = s.doc_id
+            WHERE te.doc_id % 4 = 3
+        ),
+        neval AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_eval
+            FROM evaltrue
+        ),
+        cov AS (
+            SELECT t.alpha_pct,
+                   CAST(sum(CASE WHEN e.score_q >= t.thr_q
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_covered
+            FROM thr t CROSS JOIN evaltrue e
+            GROUP BY 1
+        ),
+        sz AS (
+            SELECT t.alpha_pct,
+                   CAST(sum(CASE WHEN e.score_q >= t.thr_q
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS set_sum
+            FROM thr t CROSS JOIN evalall e
+            GROUP BY 1
+        )
+        SELECT t.alpha_pct,
+               t.n_cal,
+               CAST(t.k_rank AS BIGINT) AS k_rank,
+               CAST(t.thr_q AS BIGINT) AS threshold_q,
+               ne.n_eval,
+               CAST(c.n_covered AS DOUBLE)
+                   / CAST(ne.n_eval AS DOUBLE) AS coverage,
+               CAST(s.set_sum AS DOUBLE)
+                   / CAST(ne.n_eval AS DOUBLE) AS avg_set_size
+        FROM thr t
+        JOIN cov c USING (alpha_pct)
+        JOIN sz s USING (alpha_pct)
+        CROSS JOIN neval ne
+    """,
+    ops=("TEXT", "A1", "O2"),
+)
+def conformal_filter_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLIT-CONFORMAL THRESHOLDING (Vovk; Angelopoulos & Bates
+    2021 tutorial form) for the NB classifier-as-filter: pick the
+    score threshold that guarantees >= 1-alpha coverage of the
+    true class on exchangeable data, then MEASURE what it delivers
+    on a held-out eval split. For each alpha in {5,10,20}%: the
+    threshold is the k-th smallest calibration true-class score
+    with k = floor(alpha*(n_cal+1)) (the finite-sample-correct
+    rank), plus empirical eval coverage and the average
+    prediction-SET size (the conformal efficiency metric — how
+    decisive the filter is at that guarantee).
+
+    Exactness: scores are the shared exact-integer NB log grid
+    (oracle extends _NB_ORACLE_CTES — model and audit can't
+    drift); the k-th order statistic is rank selection on exact
+    BIGINTs (tie-independent); coverage/set-size are exact counts
+    with one final division each. Scale shape: thresholds come
+    from orderBy(score).limit(k).max — TakeOrderedAndProject, no
+    global window; k = alpha-tail size, small for the alphas that
+    matter (for alpha near 1 flip to the symmetric largest-k
+    selection). The three eval aggregates run over the
+    checkpointed score frame (rule 12); per-alpha arithmetic runs
+    driver-side on collected exact integers (rule 14)."""
+    from afg_data_pipeline_spark.operators.classify import (
+        nb_class_scores,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    token_model, class_model = nb_train(
+        train, "lang", TX.tokens("text")
+    )
+    scores = nb_class_scores(
+        test, "doc_id", TX.tokens("text"), token_model,
+        class_model,
+    ).localCheckpoint(eager=False)
+    truth = test.select("doc_id", F.col("lang").alias("cls"))
+    cal_true = scores.join(truth, ["doc_id", "cls"]).filter(
+        F.col("doc_id") % 4 == 1
+    )
+    eval_true = scores.join(truth, ["doc_id", "cls"]).filter(
+        F.col("doc_id") % 4 == 3
+    )
+    eval_all = scores.filter(F.col("doc_id") % 4 == 3)
+    n_cal = cal_true.count()
+    alphas = (5, 10, 20)
+    thr = {}
+    for a in alphas:
+        k = (a * (n_cal + 1)) // 100
+        thr[a] = (
+            cal_true.orderBy(F.col("score_q").asc())
+            .limit(k)
+            .agg(F.max("score_q").alias("t"))
+            .collect()[0]["t"]
+        )
+    aggs = [
+        F.count(F.lit(1)).alias("n_eval")
+    ] + [
+        F.sum(
+            F.when(
+                F.col("score_q") >= F.lit(int(thr[a])), 1
+            ).otherwise(0)
+        ).alias(f"cov{a}")
+        for a in alphas
+    ]
+    row_t = eval_true.agg(*aggs).collect()[0]
+    row_a = eval_all.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("score_q") >= F.lit(int(thr[a])), 1
+                ).otherwise(0)
+            ).alias(f"sz{a}")
+            for a in alphas
+        ]
+    ).collect()[0]
+    n_eval = int(row_t["n_eval"])
+    out = [
+        (
+            a,
+            n_cal,
+            (a * (n_cal + 1)) // 100,
+            int(thr[a]),
+            n_eval,
+            int(row_t[f"cov{a}"]) / float(n_eval),
+            int(row_a[f"sz{a}"]) / float(n_eval),
+        )
+        for a in alphas
+    ]
+    return spark.createDataFrame(
+        out,
+        "alpha_pct int, n_cal bigint, k_rank bigint, "
+        "threshold_q bigint, n_eval bigint, coverage double, "
+        "avg_set_size double",
+    )

@@ -258,6 +258,7 @@ HEADLINE = [
     "kneser_ney_bigram_score",
     "embedding_domain_shift",
     "mi_feature_rank",
+    "conformal_filter_threshold",
 ]
 
 

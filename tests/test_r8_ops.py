@@ -810,3 +810,44 @@ class TestMIFeatureRank:
         # sum can dip a hair below zero only by accumulated
         # half-ulps; top-ranked entries must be strictly positive
         assert got[0][1] > 0
+
+
+class TestConformal:
+    def test_guarantee_and_invariants(self, spark):
+        rows = {
+            r["alpha_pct"]: r
+            for r in REGISTRY["conformal_filter_threshold"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(rows) == {5, 10, 20}
+        for a, r in rows.items():
+            # rank formula
+            assert r["k_rank"] == (a * (r["n_cal"] + 1)) // 100
+            # coverage and set size live in [0, 1] x [0, |classes|]
+            assert 0.0 <= r["coverage"] <= 1.0
+            assert 0.0 <= r["avg_set_size"] <= 5.0
+            # a prediction set always contains at least the
+            # covered true class
+            assert r["avg_set_size"] >= r["coverage"]
+        # monotone in alpha: larger alpha -> higher threshold ->
+        # less coverage, smaller sets
+        assert (
+            rows[5]["threshold_q"]
+            <= rows[10]["threshold_q"]
+            <= rows[20]["threshold_q"]
+        )
+        assert (
+            rows[5]["coverage"]
+            >= rows[10]["coverage"]
+            >= rows[20]["coverage"]
+        )
+        assert (
+            rows[5]["avg_set_size"]
+            >= rows[10]["avg_set_size"]
+            >= rows[20]["avg_set_size"]
+        )
+        # the conformal guarantee holds on this exchangeable
+        # synthetic split with slack for finite-sample noise: at
+        # alpha=20% coverage should not collapse far below 0.8
+        assert rows[20]["coverage"] > 0.6

@@ -183,6 +183,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "kneser_ney_bigram_score",
     "embedding_domain_shift",
     "mi_feature_rank",
+    "conformal_filter_threshold",
     "doc_keywords_tfidf",
 ]
 
