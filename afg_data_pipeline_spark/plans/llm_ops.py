@@ -5300,3 +5300,256 @@ def embedding_domain_shift(
         )
         .select("source", "n_vecs", "shift_l2")
     )
+
+
+_LSH_PLAN_BANDINGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def _lsh_band_plan_oracle() -> str:
+    """Oracle for lsh_band_plan: 16-hash md5 signatures (the
+    minhash_near_dup SQL-replica conventions), any-single-hash
+    candidate pairs, per-banding qualification flags."""
+    sig_cols = ",\n                   ".join(
+        "list_aggregate(list_transform(s, x -> md5('"
+        f"{i}|' || x)), 'min') AS mh{i}"
+        for i in range(16)
+    )
+    keys = ", ".join(
+        f"'{i}|' || mh{i}" for i in range(16)
+    )
+    flags = []
+    for b, r in _LSH_PLAN_BANDINGS:
+        ors = " OR ".join(
+            "("
+            + " AND ".join(
+                f"a.mh{j * r + i} = c.mh{j * r + i}"
+                for i in range(r)
+            )
+            + ")"
+            for j in range(b)
+        )
+        flags.append(
+            f"CASE WHEN {ors} THEN 1 ELSE 0 END AS f_{b}_{r}"
+        )
+    flag_sql = ",\n                   ".join(flags)
+    matches = " + ".join(
+        f"CASE WHEN a.mh{i} = c.mh{i} THEN 1 ELSE 0 END"
+        for i in range(16)
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {b} AS n_bands, {r} AS band_rows,
+               CAST(sum(f_{b}_{r}) AS BIGINT)
+                   AS n_candidate_pairs,
+               CAST(sum(CASE WHEN f_{b}_{r} = 1
+                             AND matches >= 8
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_est_dups,
+               CASE WHEN sum(f_{b}_{r}) > 0 THEN
+                   CAST(sum(CASE WHEN f_{b}_{r} = 1
+                                 AND matches >= 8
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(f_{b}_{r}) AS DOUBLE)
+               ELSE NULL END AS est_precision,
+               CAST({(1.0 / b) ** (1.0 / r)!r} AS DOUBLE) AS t_star
+           FROM flagged"""
+        for b, r in _LSH_PLAN_BANDINGS
+    )
+    return f"""
+        WITH tokd AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) < 2
+                            THEN [concat_ws(' ', t)]
+                       ELSE list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])
+                       END) AS s
+            FROM tokd
+        ),
+        sig AS MATERIALIZED (
+            SELECT doc_id,
+                   {sig_cols}
+            FROM sh
+        ),
+        long AS (
+            SELECT doc_id, unnest([{keys}]) AS hk
+            FROM sig
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM long a JOIN long b USING (hk)
+            WHERE a.doc_id < b.doc_id
+        ),
+        flagged AS MATERIALIZED (
+            SELECT {matches} AS matches,
+                   {flag_sql}
+            FROM pairs p
+            JOIN sig a ON a.doc_id = p.da
+            JOIN sig c ON c.doc_id = p.db
+        )
+        SELECT * FROM ({rows})
+    """
+
+
+@register(
+    "lsh_band_plan",
+    oracle=_lsh_band_plan_oracle(),
+    ops=("DEDUP", "SAMPLE"),
+)
+def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING DECISION TABLE — the 'pick your (bands, rows)'
+    companion to dedup_threshold_sweep's 'pick your tau': for each
+    banding of a 16-hash MinHash signature ((16,1), (8,2), (4,4),
+    (2,8)), the measured candidate-pair volume ON THIS CORPUS, the
+    estimated-duplicate count among candidates (signature
+    agreement >= 8/16, a verification-free duplicate proxy), the
+    precision proxy, and the theoretical S-curve midpoint
+    t* = (1/b)^(1/r). Loose bandings buy recall with candidate
+    explosion; this table prices that trade with data instead of
+    folklore.
+
+    Engineering: ONE signature pass (lambda-free explode +
+    partial-agg min, rule 10) and ONE pair table — the (16,1)
+    single-hash collisions are a superset of every coarser
+    banding's candidates (an r-row band match implies each
+    constituent hash matches), so all four bandings are FLAGS on
+    the same joined pair stream, never four pipelines. t* is one
+    python-formatted literal injected into BOTH engines (no
+    pow() ulp exposure). At production scale this report runs on
+    a corpus sample; the plan itself stays sub-quadratic exactly
+    like the certified banded pipeline."""
+    docs = read_star_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    from afg_data_pipeline_spark.operators.text import (
+        shingle_expr,
+        tokens,
+    )
+
+    base = (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .withColumn("__toks", tokens("text"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                shingle_expr("__toks", 2)
+            ).alias("shingles"),
+        )
+    )
+    exploded = base.select(
+        "doc_id", F.explode("shingles").alias("__s")
+    )
+    hashed = exploded.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(F.lit(f"{i}|"), F.col("__s"))
+            ).alias(f"h{i}")
+            for i in range(16)
+        ],
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(16)]
+    ).localCheckpoint(eager=True)
+    long = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", F.lit(str(i)), F.col(f"mh{i}")
+                    )
+                    for i in range(16)
+                ]
+            )
+        ).alias("hk"),
+    )
+    a = long.select(F.col("doc_id").alias("da"), "hk")
+    b = long.select(F.col("doc_id").alias("db"), "hk")
+    pairs = (
+        a.join(b, "hk")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .dropDuplicates()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
+    )
+    joined = pairs.join(sa, "da").join(sb, "db")
+    eqs = [
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(16)
+    ]
+    matches = sum(eqs[1:], eqs[0])
+    flag_cols = []
+    for bb, r in _LSH_PLAN_BANDINGS:
+        band_ok = None
+        for j in range(bb):
+            cond = None
+            for i in range(r):
+                e = F.col(f"a{j * r + i}") == F.col(
+                    f"b{j * r + i}"
+                )
+                cond = e if cond is None else (cond & e)
+            band_ok = (
+                cond if band_ok is None else (band_ok | cond)
+            )
+        flag_cols.append(
+            F.when(band_ok, 1).otherwise(0).alias(f"f_{bb}_{r}")
+        )
+    flagged = joined.select(
+        matches.alias("matches"), *flag_cols
+    )
+    rows = flagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("n_bands"),
+                        F.lit(r).alias("band_rows"),
+                        F.col(f"f_{bb}_{r}").alias("f"),
+                        F.lit(float((1.0 / bb) ** (1.0 / r)))
+                        .alias("t_star"),
+                    )
+                    for bb, r in _LSH_PLAN_BANDINGS
+                ]
+            )
+        ).alias("s"),
+        "matches",
+    ).select("s.*", "matches")
+    return (
+        rows.groupBy("n_bands", "band_rows", "t_star")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_candidate_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("f") == 1) & (F.col("matches") >= 8),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_est_dups"),
+        )
+        .select(
+            "n_bands",
+            "band_rows",
+            "n_candidate_pairs",
+            "n_est_dups",
+            F.when(
+                F.col("n_candidate_pairs") > 0,
+                F.col("n_est_dups").cast("double")
+                / F.col("n_candidate_pairs").cast("double"),
+            ).alias("est_precision"),
+            "t_star",
+        )
+    )

@@ -259,6 +259,7 @@ HEADLINE = [
     "embedding_domain_shift",
     "mi_feature_rank",
     "conformal_filter_threshold",
+    "lsh_band_plan",
 ]
 
 

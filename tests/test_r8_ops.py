@@ -851,3 +851,35 @@ class TestConformal:
         # synthetic split with slack for finite-sample noise: at
         # alpha=20% coverage should not collapse far below 0.8
         assert rows[20]["coverage"] > 0.6
+
+
+class TestLshBandPlan:
+    def test_invariants(self, spark):
+        rows = {
+            (r["n_bands"], r["band_rows"]): r
+            for r in REGISTRY["lsh_band_plan"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(rows) == {(16, 1), (8, 2), (4, 4), (2, 8)}
+        # tighter banding => fewer candidates (subset property)
+        order = [(16, 1), (8, 2), (4, 4), (2, 8)]
+        for a, b in zip(order, order[1:]):
+            assert (
+                rows[a]["n_candidate_pairs"]
+                >= rows[b]["n_candidate_pairs"]
+            )
+        for k, r in rows.items():
+            assert r["n_est_dups"] <= r["n_candidate_pairs"]
+            b, rr = k
+            assert abs(
+                r["t_star"] - (1.0 / b) ** (1.0 / rr)
+            ) < 1e-15
+        # est-dups (>=8/16 signature agreement) survive every
+        # banding whose threshold is at/below 0.5: a pair agreeing
+        # on >=8 of 16 hashes agrees on at least one 2-row band of
+        # the (8,2) scheme only probabilistically — but it ALWAYS
+        # shares a single hash, so (16,1) retains every est-dup
+        assert rows[(16, 1)]["n_est_dups"] == max(
+            r["n_est_dups"] for r in rows.values()
+        )

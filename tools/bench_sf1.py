@@ -184,6 +184,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "embedding_domain_shift",
     "mi_feature_rank",
     "conformal_filter_threshold",
+    "lsh_band_plan",
     "doc_keywords_tfidf",
 ]
 
