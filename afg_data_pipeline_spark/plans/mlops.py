@@ -2684,3 +2684,69 @@ def conformal_filter_threshold(
         "threshold_q bigint, n_eval bigint, coverage double, "
         "avg_set_size double",
     )
+
+
+def _ece_oracle() -> str:
+    """ECE oracle: the FULL score_calibration_bins oracle as a
+    subquery (the bins and their rollup cannot drift), with the
+    per-bin contribution quantized to an exact BIGINT before the
+    cross-bin sum — an unordered SUM of 10 doubles is NOT portable
+    (engine accumulation order), the integer sum is."""
+    from afg_data_pipeline_spark.plans.registry import REGISTRY
+
+    bins = REGISTRY["score_calibration_bins"].oracle
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(round(
+                   abs(accuracy - mean_score)
+                   * CAST(n AS DOUBLE) * 1000000000.0, 0)
+                   AS BIGINT)) AS DOUBLE) / 1e9
+                   / CAST(sum(n) AS DOUBLE) AS ece,
+               max(abs(accuracy - mean_score)) AS mce
+        FROM ({bins}) b
+    """
+
+
+@register(
+    "ece_calibration",
+    oracle=_ece_oracle(),
+    ops=("TEXT", "A1"),
+)
+def ece_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR — the one-number rollup of the
+    reliability diagram (Naeini et al. 2015; Guo et al. 2017):
+    ECE = sum_b (n_b/N)*|acc_b - conf_b| over the same exact
+    decile bins score_calibration_bins reports, plus MCE (the
+    worst bin). Built ON the registered bins query on both sides
+    (Spark calls it; the oracle wraps its SQL as a subquery), so
+    diagram and scalar cannot drift.
+
+    Portability: each bin's |acc - conf|*n is a product of
+    portable doubles quantized ONCE to a BIGINT (rule 1c) — a
+    cross-bin SUM of raw doubles would depend on accumulation
+    order; the integer sum does not. MCE is a max of portable
+    doubles (order-free)."""
+    from afg_data_pipeline_spark.plans.registry import REGISTRY
+
+    bins = REGISTRY["score_calibration_bins"].fn(spark, sf_dir)
+    contrib = F.round(
+        F.abs(F.col("accuracy") - F.col("mean_score"))
+        * F.col("n").cast("double")
+        * F.lit(1e9),
+        0,
+    ).cast("bigint")
+    return bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        (
+            F.sum(contrib.cast("decimal(38,0)")).cast("double")
+            / F.lit(1e9)
+            / F.sum("n").cast("double")
+        ).alias("ece"),
+        F.max(
+            F.abs(F.col("accuracy") - F.col("mean_score"))
+        ).alias("mce"),
+    )

@@ -3139,3 +3139,161 @@ def markov_removal_attribution(
         "p_conv_removed double, removal_effect_q long, "
         "attribution_share double",
     )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS d,
+                   CAST(sum(CAST(round(value * 100.0, 0)
+                                 AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.d AS di, b.d AS dj,
+                   CAST(b.v - a.v AS DOUBLE)
+                       / CAST(b.d - a.d AS DOUBLE) AS slope
+            FROM daily a JOIN daily b ON b.d > a.d
+        ),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs
+               FROM pairs),
+        ms AS (
+            SELECT slope FROM (
+                SELECT slope,
+                       row_number() OVER (
+                           ORDER BY slope ASC, di ASC, dj ASC
+                       ) AS rn
+                FROM pairs
+            ), np
+            WHERE rn = (np.n_pairs + 1) // 2
+        ),
+        resid AS (
+            SELECT daily.d,
+                   CAST(daily.v AS DOUBLE)
+                       - ms.slope * CAST(daily.d AS DOUBLE)
+                       AS r
+            FROM daily, ms
+        ),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days
+               FROM daily),
+        mi AS (
+            SELECT r FROM (
+                SELECT r, row_number() OVER (
+                           ORDER BY r ASC, d ASC) AS rn
+                FROM resid
+            ), nd
+            WHERE rn = (nd.n_days + 1) // 2
+        )
+        SELECT nd.n_days, np.n_pairs,
+               ms.slope AS slope_cents_per_day,
+               mi.r AS intercept_cents
+        FROM nd, np, ms, mi
+    """,
+    ops=("A1", "A2"),
+)
+def theil_sen_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THEIL-SEN ROBUST TREND of daily total spend — the
+    median-of-pairwise-slopes estimator (29% breakdown point; the
+    robust answer to ols_forecast's least squares, which one
+    outlier day can drag arbitrarily): slope = lower median of
+    (v_j-v_i)/(d_j-d_i) over all day pairs, intercept = lower
+    median of v_i - slope*d_i.
+
+    Exactness: daily totals are exact integer cents (round half-up
+    per rule 1b); each pairwise slope is ONE double division of
+    exact integers (portable); medians are INTEGER-rank order
+    statistics — floor((n+1)/2), rule 5's rank discipline — with
+    full deterministic tie-breaks. Scale shape: the corpus
+    collapses to the DAY table in one combinable aggregate; the
+    O(days^2) pair table and its rank windows are value-space
+    bounded (365 days = 66k pairs), never corpus-sized —
+    partitionless windows over bounded tables are the sanctioned
+    kind."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    daily = (
+        ev.groupBy(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100.0, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        F.col("d").alias("di"), F.col("v").alias("vi")
+    )
+    b = daily.select(
+        F.col("d").alias("dj"), F.col("v").alias("vj")
+    )
+    pairs = a.join(b, F.col("dj") > F.col("di")).select(
+        "di",
+        "dj",
+        (
+            (F.col("vj") - F.col("vi")).cast("double")
+            / (F.col("dj") - F.col("di")).cast("double")
+        ).alias("slope"),
+    )
+    wall = Window.partitionBy()
+    ranked = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy().orderBy(
+                F.col("slope").asc(),
+                F.col("di").asc(),
+                F.col("dj").asc(),
+            )
+        ),
+    ).withColumn("n_pairs", F.count(F.lit(1)).over(wall))
+    # integer lower-median rank: floor((n+1)/2), exact — (n+1) and
+    # the halving are exact in double at this magnitude, matching
+    # DuckDB's (n+1)//2 (rule 5's rank discipline)
+    ms = ranked.filter(
+        F.col("rn")
+        == F.floor(
+            (F.col("n_pairs").cast("double") + 1.0) / 2.0
+        ).cast("bigint")
+    ).select(
+        F.col("slope"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+    )
+    resid = daily.crossJoin(F.broadcast(ms)).select(
+        "d",
+        "n_pairs",
+        "slope",
+        (
+            F.col("v").cast("double")
+            - F.col("slope") * F.col("d").cast("double")
+        ).alias("r"),
+    )
+    wd = Window.partitionBy().orderBy(
+        F.col("r").asc(), F.col("d").asc()
+    )
+    out = (
+        resid.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n_days", F.count(F.lit(1)).over(wall))
+        .filter(
+            F.col("rn")
+            == F.floor(
+                (F.col("n_days").cast("double") + 1.0) / 2.0
+            ).cast("bigint")
+        )
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            "n_pairs",
+            F.col("slope").alias("slope_cents_per_day"),
+            F.col("r").alias("intercept_cents"),
+        )
+    )
+    return out

@@ -260,6 +260,8 @@ HEADLINE = [
     "mi_feature_rank",
     "conformal_filter_threshold",
     "lsh_band_plan",
+    "ece_calibration",
+    "theil_sen_trend",
 ]
 
 

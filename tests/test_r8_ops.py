@@ -883,3 +883,67 @@ class TestLshBandPlan:
         assert rows[(16, 1)]["n_est_dups"] == max(
             r["n_est_dups"] for r in rows.values()
         )
+
+
+class TestTheilSen:
+    def test_replica(self, spark):
+        import pandas as pd
+        from collections import defaultdict
+
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        ts = pd.to_datetime(ev["ts"])
+        day = (
+            ts.dt.normalize() - pd.Timestamp("1970-01-01")
+        ).dt.days
+        cents = ev["value"].apply(
+            lambda x: math.floor(x * 100.0 + 0.5)
+        )
+        daily = defaultdict(int)
+        for d, c in zip(day, cents):
+            daily[int(d)] += int(c)
+        days = sorted(daily)
+        slopes = []
+        for i, di in enumerate(days):
+            for dj in days[i + 1:]:
+                slopes.append(
+                    (
+                        (daily[dj] - daily[di]) / (dj - di),
+                        di,
+                        dj,
+                    )
+                )
+        slopes.sort()
+        n_pairs = len(slopes)
+        slope = slopes[(n_pairs + 1) // 2 - 1][0]
+        resid = sorted(
+            (daily[d] - slope * d, d) for d in days
+        )
+        n_days = len(days)
+        intercept = resid[(n_days + 1) // 2 - 1][0]
+        r = (
+            REGISTRY["theil_sen_trend"]
+            .fn(spark, SF_DIR)
+            .collect()
+        )
+        assert len(r) == 1
+        r = r[0]
+        assert r["n_days"] == n_days
+        assert r["n_pairs"] == n_pairs
+        assert r["slope_cents_per_day"] == slope
+        assert r["intercept_cents"] == intercept
+
+    def test_outlier_robustness_property(self, spark):
+        # identity on constructed data: one wild outlier day must
+        # not move the Theil-Sen slope (it moves OLS arbitrarily)
+        days = list(range(20))
+        vals = [100 + 5 * d for d in days]
+        vals[10] = 10_000_000
+        slopes = []
+        for i in range(20):
+            for j in range(i + 1, 20):
+                slopes.append(
+                    (vals[j] - vals[i]) / (j - i)
+                )
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        assert abs(med - 5.0) < 1e-9

@@ -185,6 +185,8 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "mi_feature_rank",
     "conformal_filter_threshold",
     "lsh_band_plan",
+    "ece_calibration",
+    "theil_sen_trend",
     "doc_keywords_tfidf",
 ]
 
