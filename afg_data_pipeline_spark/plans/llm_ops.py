@@ -5553,3 +5553,201 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_star",
         )
     )
+
+
+_BM25_CTES_50 = """
+        WITH q(query_id, term) AS (
+            VALUES ('q_dup', 'batch'), ('q_dup', 'dup'),
+                   ('q_dup', 'merge'),
+                   ('q_quality', 'filter'), ('q_quality', 'scan'),
+                   ('q_quality', 'slow'),
+                   ('q_vector', 'hash'), ('q_vector', 'join'),
+                   ('q_vector', 'vector')
+        ),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text),
+                                                '\\s+')) AS term
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+            FROM toks GROUP BY doc_id
+        ),
+        corpus AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_len
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks
+            WHERE term IN (SELECT DISTINCT term FROM q)
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(round(
+                       ln(1.0 + (CAST(n_docs AS DOUBLE)
+                                 - CAST(df AS DOUBLE) + 0.5)
+                                / (CAST(df AS DOUBLE) + 0.5))
+                       * (CAST(tf AS DOUBLE) * 2.2)
+                         / (CAST(tf AS DOUBLE)
+                            + 1.2 * (0.25
+                                     + 0.75 * CAST(dl AS DOUBLE)
+                                       / (CAST(total_len AS DOUBLE)
+                                          / CAST(n_docs AS DOUBLE))))
+                       * 1000000000.0) AS BIGINT) AS c
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN q USING (term)
+            JOIN dl USING (doc_id), corpus
+        ),
+        s AS (
+            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS s
+            FROM contrib GROUP BY query_id, doc_id
+        ),
+        cand AS MATERIALIZED (
+            SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC,
+                                               doc_id ASC) AS r1
+            FROM s
+            QUALIFY r1 <= 50
+        )
+"""
+
+
+@register(
+    "rrf_hybrid_rerank",
+    oracle=_BM25_CTES_50
+    + """
+        , cids AS (SELECT DISTINCT doc_id FROM cand),
+        dq AS MATERIALIZED (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(count(DISTINCT term) AS BIGINT) AS dt
+            FROM toks t JOIN cids USING (doc_id)
+            GROUP BY t.doc_id
+        ),
+        ranked AS MATERIALIZED (
+            SELECT c.query_id, c.doc_id, c.r1,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY CAST(dq.dt AS DOUBLE)
+                                / CAST(dq.n_tok AS DOUBLE) DESC,
+                                c.doc_id ASC) AS r2
+            FROM cand c JOIN dq USING (doc_id)
+        ),
+        fused AS (
+            SELECT query_id, doc_id,
+                   CAST(r1 AS INTEGER) AS bm25_rank,
+                   CAST(r2 AS INTEGER) AS quality_rank,
+                   CAST(1000000000000 // (60 + r1)
+                        + 1000000000000 // (60 + r2)
+                        AS BIGINT) AS rrf_q
+            FROM ranked
+        )
+        SELECT query_id, doc_id, bm25_rank, quality_rank, rrf_q,
+               CAST(rn AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_q DESC, doc_id ASC) AS rn
+            FROM fused
+        ) WHERE rn <= 10
+    """,
+    ops=("RETRIEVAL",),
+)
+def rrf_hybrid_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECIPROCAL RANK FUSION (Cormack/Clarke/Buettcher 2009) —
+    the standard hybrid-retrieval combiner, here fusing BM25
+    relevance with a lexical-quality signal (distinct-token
+    ratio): candidates are the certified bm25_topk pipeline at
+    k=50 per probe query, each candidate gets a second rank by
+    quality within the candidate pool, and the final top-10 is by
+    RRF(d) = sum_r 1/(60 + rank_r(d)). Targeted data selection in
+    practice retrieves-then-quality-reranks exactly like this.
+
+    Exactness: ranks are exact integers; each RRF term is an exact
+    integer floor division 1e12 // (60 + r) on BOTH engines (no
+    float reciprocals, no ordered-sum exposure); quality ordering
+    is one portable double division of exact counts with a doc_id
+    tie-break. Scale shape: everything after the certified BM25
+    scoring runs on the <= 50*|queries| candidate pool — the
+    quality aggregate token-scans ONLY candidate docs (semi-join
+    prune before the explode), windows are per-query over <= 50
+    rows."""
+    from afg_data_pipeline_spark.operators.bm25 import bm25_topk
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    cand = bm25_topk(
+        docs,
+        [
+            ("q_vector", "vector hash join"),
+            ("q_quality", "slow scan filter"),
+            ("q_dup", "dup merge batch"),
+        ],
+        k=50,
+    ).localCheckpoint(eager=False)
+    cids = cand.select("doc_id").distinct()
+    dq = (
+        docs.join(F.broadcast(cids), "doc_id", "left_semi")
+        .select(
+            "doc_id", F.explode(TX.tokens("text")).alias("term")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.countDistinct("term").cast("bigint").alias("dt"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(
+        (
+            F.col("dt").cast("double")
+            / F.col("n_tok").cast("double")
+        ).desc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = (
+        cand.select(
+            "query_id", "doc_id", F.col("rank").alias("r1")
+        )
+        .join(dq, "doc_id")
+        .withColumn("r2", F.row_number().over(wq))
+    )
+    fused = ranked.select(
+        "query_id",
+        "doc_id",
+        F.col("r1").cast("int").alias("bm25_rank"),
+        F.col("r2").cast("int").alias("quality_rank"),
+        (
+            F.expr("1000000000000 div (60 + r1)")
+            + F.expr("1000000000000 div (60 + r2)")
+        )
+        .cast("bigint")
+        .alias("rrf_q"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            "quality_rank",
+            "rrf_q",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

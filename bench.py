@@ -262,6 +262,7 @@ HEADLINE = [
     "lsh_band_plan",
     "ece_calibration",
     "theil_sen_trend",
+    "rrf_hybrid_rerank",
 ]
 
 

@@ -947,3 +947,41 @@ class TestTheilSen:
         slopes.sort()
         med = slopes[(len(slopes) + 1) // 2 - 1]
         assert abs(med - 5.0) < 1e-9
+
+
+class TestRRFHybrid:
+    def test_invariants(self, spark):
+        rows = (
+            REGISTRY["rrf_hybrid_rerank"]
+            .fn(spark, SF_DIR)
+            .collect()
+        )
+        byq = {}
+        for r in rows:
+            byq.setdefault(r["query_id"], []).append(r)
+        assert set(byq) == {"q_vector", "q_quality", "q_dup"}
+        for q, rs in byq.items():
+            rs = sorted(rs, key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(
+                range(1, len(rs) + 1)
+            )
+            # rrf ordering is consistent with the rank column
+            for a, b in zip(rs, rs[1:]):
+                assert (a["rrf_q"], -a["doc_id"]) >= (
+                    b["rrf_q"],
+                    -b["doc_id"],
+                ), q
+            # every fused rrf value equals the closed form
+            for r in rs:
+                assert r["rrf_q"] == (
+                    10**12 // (60 + r["bm25_rank"])
+                    + 10**12 // (60 + r["quality_rank"])
+                )
+            # fusion must not simply replicate bm25 order for
+            # every query (otherwise the quality leg is dead)
+        assert any(
+            [r["bm25_rank"] for r in sorted(
+                rs, key=lambda x: x["rank"])]
+            != sorted(r["bm25_rank"] for r in rs)
+            for rs in byq.values()
+        )

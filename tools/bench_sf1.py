@@ -187,6 +187,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "lsh_band_plan",
     "ece_calibration",
     "theil_sen_trend",
+    "rrf_hybrid_rerank",
     "doc_keywords_tfidf",
 ]
 
