@@ -51,6 +51,7 @@ CATEGORIES = (
     "partitionless_window",
     "python_udf_row",
     "pandas_udf",
+    "bnlj",
 )
 
 def _partitionless_windows(plan: str) -> int:
@@ -106,6 +107,10 @@ def _counts(plan_logical: str, plan_physical: str) -> dict:
             plan_physical.count("CartesianProduct")
             + plan_logical.count("Join Cross")
         ),
+        # BNLJ is excluded from whole-stage codegen (rule 23):
+        # fine for 1-row stat broadcasts, an interpreted-evaluation
+        # trap for real pair streams — counted so new ones surface.
+        "bnlj": plan_physical.count("BroadcastNestedLoopJoin"),
         "partitionless_window": _partitionless_windows(
             plan_logical
         ),
