@@ -4274,3 +4274,163 @@ def kneser_ney_bigram_score(
     return kneser_ney_bigram_nll(docs).select(
         F.col("id").alias("doc_id"), "n_bigrams", "avg_nll"
     )
+
+
+@register(
+    "ks_two_sample_drift",
+    oracle="""
+        WITH pv AS (
+            SELECT source, n_chars AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        ns AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+            FROM pv GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS big_n FROM pv
+        ),
+        vals AS (SELECT DISTINCT v FROM pv),
+        gcum AS (
+            SELECT v, CAST(sum(sum(c)) OVER (
+                       ORDER BY v ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_g
+            FROM pv GROUP BY v
+        ),
+        grid AS (
+            SELECT s.source, s.n_s, vl.v
+            FROM ns s CROSS JOIN vals vl
+        ),
+        scum AS (
+            SELECT g.source, g.n_s, g.v,
+                   CAST(sum(COALESCE(p.c, 0)) OVER (
+                       PARTITION BY g.source ORDER BY g.v ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_s
+            FROM grid g
+            LEFT JOIN pv p
+              ON p.source = g.source AND p.v = g.v
+        )
+        SELECT s.source,
+               s.n_s,
+               t.big_n - s.n_s AS n_rest,
+               CAST(max(abs(CAST(s.cum_s AS HUGEINT)
+                            * (t.big_n - s.n_s)
+                            - CAST(gc.cum_g - s.cum_s AS HUGEINT)
+                              * s.n_s)) AS BIGINT) AS d_num,
+               CAST(max(abs(CAST(s.cum_s AS HUGEINT)
+                            * (t.big_n - s.n_s)
+                            - CAST(gc.cum_g - s.cum_s AS HUGEINT)
+                              * s.n_s)) AS DOUBLE)
+                   / (CAST(s.n_s AS DOUBLE)
+                      * CAST(t.big_n - s.n_s AS DOUBLE))
+                   AS ks_d,
+               sqrt(CAST(s.n_s AS DOUBLE)
+                    * CAST(t.big_n - s.n_s AS DOUBLE)
+                    / CAST(t.big_n AS DOUBLE))
+                   * (CAST(max(abs(CAST(s.cum_s AS HUGEINT)
+                            * (t.big_n - s.n_s)
+                            - CAST(gc.cum_g - s.cum_s AS HUGEINT)
+                              * s.n_s)) AS DOUBLE)
+                      / (CAST(s.n_s AS DOUBLE)
+                         * CAST(t.big_n - s.n_s AS DOUBLE)))
+                   AS ks_stat
+        FROM scum s
+        JOIN gcum gc USING (v)
+        CROSS JOIN tot t
+        GROUP BY s.source, s.n_s, t.big_n
+    """,
+    ops=("A1", "A6"),
+)
+def ks_two_sample_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test, each source vs
+    the REST of the corpus over the doc-length distribution — the
+    BINLESS sibling of distribution_drift_psi (PSI needs bin
+    choices; KS is the sup-norm ECDF distance, sensitive anywhere
+    on the distribution). Reports D, the exact integer numerator
+    it came from, and the sample-size-scaled KS statistic
+    sqrt(n*m/(n+m))*D (compare to the 1.36 alpha=0.05 line).
+
+    Exactness: D's argmax compares EXACT integers —
+    |cum_s(v)*n_rest - cum_rest(v)*n_s| over the common
+    denominator n_s*n_rest (HUGEINT/DECIMAL(38,0), rule 11) —
+    floats appear only in the final division and sqrt (single
+    correctly-rounded IEEE ops). Scale shape: one corpus scan
+    collapses to the (source, value) count table; the ECDF
+    cumulative windows run per-source over the VALUE-compressed
+    grid (distinct n_chars values — bounded), never over corpus
+    rows; the rest-ECDF is derived from the global cumulative by
+    subtraction, so no second corpus pass."""
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    dec = "decimal(38,0)"
+    pv = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ns = pv.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    tot = pv.agg(F.sum("c").cast("bigint").alias("big_n"))
+    vals = pv.select("v").distinct()
+    wg = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gcum = (
+        pv.groupBy("v")
+        .agg(F.sum("c").alias("cv"))
+        .withColumn("cum_g", F.sum("cv").over(wg).cast("bigint"))
+        .select("v", "cum_g")
+    )
+    grid = ns.crossJoin(vals)
+    ws = (
+        Window.partitionBy("source")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scum = (
+        grid.join(pv, ["source", "v"], "left")
+        .withColumn(
+            "cum_s",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(ws)
+            .cast("bigint"),
+        )
+        .select("source", "n_s", "v", "cum_s")
+    )
+    num = F.abs(
+        F.col("cum_s").cast(dec)
+        * (F.col("big_n") - F.col("n_s")).cast(dec)
+        - (F.col("cum_g") - F.col("cum_s")).cast(dec)
+        * F.col("n_s").cast(dec)
+    )
+    den = F.col("n_s").cast("double") * (
+        F.col("big_n") - F.col("n_s")
+    ).cast("double")
+    return (
+        scum.join(gcum, "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "big_n")
+        .agg(F.max(num).cast(dec).alias("__dn"))
+        .select(
+            "source",
+            "n_s",
+            (F.col("big_n") - F.col("n_s"))
+            .cast("bigint")
+            .alias("n_rest"),
+            F.col("__dn").cast("bigint").alias("d_num"),
+            (F.col("__dn").cast("double") / den).alias("ks_d"),
+            (
+                F.sqrt(
+                    den / F.col("big_n").cast("double")
+                )
+                * (F.col("__dn").cast("double") / den)
+            ).alias("ks_stat"),
+        )
+    )

@@ -263,6 +263,7 @@ HEADLINE = [
     "ece_calibration",
     "theil_sen_trend",
     "rrf_hybrid_rerank",
+    "ks_two_sample_drift",
 ]
 
 

@@ -985,3 +985,41 @@ class TestRRFHybrid:
             != sorted(r["bm25_rank"] for r in rs)
             for rs in byq.values()
         )
+
+
+class TestKSTwoSample:
+    def test_replica(self, spark):
+        import pandas as pd
+        from collections import Counter
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        big_n = len(docs)
+        vals = sorted(docs["n_chars"].unique())
+        got = {
+            r["source"]: r
+            for r in REGISTRY["ks_two_sample_drift"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        for s in docs["source"].unique():
+            mine = Counter(
+                docs.loc[docs["source"] == s, "n_chars"]
+            )
+            alln = Counter(docs["n_chars"])
+            n_s = sum(mine.values())
+            n_r = big_n - n_s
+            cum_s = cum_g = 0
+            dnum = 0
+            for v in vals:
+                cum_s += mine.get(v, 0)
+                cum_g += alln[v]
+                dnum = max(
+                    dnum,
+                    abs(cum_s * n_r - (cum_g - cum_s) * n_s),
+                )
+            r = got[s]
+            assert r["n_s"] == n_s and r["n_rest"] == n_r
+            assert r["d_num"] == dnum, s
+            assert r["ks_d"] == dnum / (n_s * n_r)
+            assert 0.0 <= r["ks_d"] <= 1.0
+            assert r["ks_stat"] >= 0.0

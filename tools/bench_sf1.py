@@ -188,6 +188,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "ece_calibration",
     "theil_sen_trend",
     "rrf_hybrid_rerank",
+    "ks_two_sample_drift",
     "doc_keywords_tfidf",
 ]
 
