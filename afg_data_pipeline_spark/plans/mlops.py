@@ -2750,3 +2750,137 @@ def ece_calibration(
             F.abs(F.col("accuracy") - F.col("mean_score"))
         ).alias("mce"),
     )
+
+
+_MWU_CLES = (
+    "CAST(u2 AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)"
+    " * CAST(nb AS DOUBLE))"
+)
+_MWU_Z = (
+    "((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE)"
+    " * CAST(nb AS DOUBLE)) / 2.0)"
+    " / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0"
+    " * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)"
+    " - CAST(tsum AS DOUBLE)"
+    " / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"
+    " * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))))"
+)
+
+
+@register(
+    "ab_test_mann_whitney",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(user_id % 2 AS INTEGER) AS grp,
+                   CAST(round(CAST(value AS DOUBLE) * 100, 0)
+                        AS BIGINT) AS x
+            FROM events
+        ),
+        pv AS (
+            SELECT event_type, x,
+                   CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS a,
+                   CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS b
+            FROM base GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, x, a, b,
+                   CAST(COALESCE(sum(b) OVER (
+                       PARTITION BY event_type ORDER BY x ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS HUGEINT)
+                       AS cumb
+            FROM pv
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(a) AS BIGINT) AS na,
+                   CAST(sum(b) AS BIGINT) AS nb,
+                   CAST(sum(a * (2 * cumb + b)) AS BIGINT)
+                       AS u2,
+                   sum((a + b) * (a + b) * (a + b) - (a + b))
+                       AS tsum
+            FROM cum GROUP BY event_type
+        )
+        SELECT event_type, na, nb, u2,
+               {_MWU_CLES} AS cles,
+               {_MWU_Z} AS z
+        FROM agg
+        WHERE na > 1 AND nb > 1
+    """,
+    ops=("A1", "A6"),
+)
+def ab_test_mann_whitney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANN-WHITNEY U — ab_test_welch's NONPARAMETRIC twin on the
+    same user-parity cohorts: rank-sum comparison per event_type,
+    valid when spend distributions are skewed/heavy-tailed (they
+    always are) and Welch's normality lean is suspect. Reports 2U
+    (exact integer; ties counted half so the doubled statistic
+    stays integral), the common-language effect size
+    U/(n_a*n_b) = P(A beats B) + P(tie)/2, and the tie-corrected
+    normal z.
+
+    Exactness: U's pair counting runs entirely on the
+    VALUE-COMPRESSED cents table — 2U = sum_v a_v*(2*cumB<(v) +
+    b_v) with exact integer counts (HUGEINT/DECIMAL, rule 11; the
+    tie term sums (t^3 - t) which needs wide integers); the ECDF
+    window is per-type over distinct values, never corpus rows;
+    cles/z are SHARED infix strings (ols discipline). Degenerate
+    cohorts (n <= 1) excluded like the Welch twin."""
+    from pyspark.sql import Window
+
+    ev = read_star_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("bigint")
+        .alias("x"),
+    )
+    pv = base.groupBy("event_type", "x").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast(dec)
+        .alias("a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast(dec)
+        .alias("b"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("x").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pv.withColumn(
+        "cumb",
+        F.coalesce(
+            F.sum("b").over(wc), F.lit(0).cast(dec)
+        ).cast(dec),
+    )
+    t = F.col("a") + F.col("b")
+    agg = cum.groupBy("event_type").agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+        F.sum(
+            F.col("a")
+            * (F.lit(2).cast(dec) * F.col("cumb") + F.col("b"))
+        )
+        .cast(dec)
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(t * t * t - t).cast(dec).alias("tsum"),
+    )
+    return agg.filter(
+        (F.col("na") > 1) & (F.col("nb") > 1)
+    ).select(
+        "event_type",
+        "na",
+        "nb",
+        "u2",
+        F.expr(_MWU_CLES).alias("cles"),
+        F.expr(_MWU_Z).alias("z"),
+    )

@@ -264,6 +264,7 @@ HEADLINE = [
     "theil_sen_trend",
     "rrf_hybrid_rerank",
     "ks_two_sample_drift",
+    "ab_test_mann_whitney",
 ]
 
 

@@ -1023,3 +1023,58 @@ class TestKSTwoSample:
             assert r["ks_d"] == dnum / (n_s * n_r)
             assert 0.0 <= r["ks_d"] <= 1.0
             assert r["ks_stat"] >= 0.0
+
+
+class TestMannWhitney:
+    def test_replica(self, spark):
+        import pandas as pd
+        from collections import Counter
+
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+        got = {
+            r["event_type"]: r
+            for r in REGISTRY["ab_test_mann_whitney"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        for et in ev["event_type"].unique():
+            sub = ev[ev["event_type"] == et]
+            xa = [
+                math.floor(v * 100 + 0.5)
+                for u, v in zip(sub["user_id"], sub["value"])
+                if u % 2 == 0
+            ]
+            xb = [
+                math.floor(v * 100 + 0.5)
+                for u, v in zip(sub["user_id"], sub["value"])
+                if u % 2 == 1
+            ]
+            if len(xa) <= 1 or len(xb) <= 1:
+                assert et not in got
+                continue
+            # O(n^2) reference U (doubled)
+            u2 = 0
+            for a in xa:
+                for b in xb:
+                    if a > b:
+                        u2 += 2
+                    elif a == b:
+                        u2 += 1
+            r = got[et]
+            assert r["na"] == len(xa) and r["nb"] == len(xb)
+            assert r["u2"] == u2, et
+            assert r["cles"] == u2 / (
+                2.0 * len(xa) * len(xb)
+            )
+            # z sanity: symmetric counterpart sums to 2*na*nb
+            ca = Counter(xa + xb)
+            ts = sum(t**3 - t for t in ca.values())
+            n = len(xa) + len(xb)
+            var = (
+                len(xa) * len(xb) / 12.0
+                * ((n + 1.0) - ts / (n * (n - 1.0)))
+            )
+            zexp = ((u2 - len(xa) * len(xb)) / 2.0) / math.sqrt(
+                var
+            )
+            assert abs(r["z"] - zexp) < 1e-9, et

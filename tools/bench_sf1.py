@@ -189,6 +189,7 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "theil_sen_trend",
     "rrf_hybrid_rerank",
     "ks_two_sample_drift",
+    "ab_test_mann_whitney",
     "doc_keywords_tfidf",
 ]
 
