@@ -31,12 +31,14 @@ partition pruning; the PSI arithmetic is a 10-row frame.
 
 from __future__ import annotations
 
-import os
+import posixpath
 from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..fs import store_exists
 
 
 def _bin_expr(value_col: str, cuts: Sequence[int]):
@@ -67,19 +69,7 @@ def drift_monitor_sink(
         raise ValueError(
             f"cuts must be the 9 decile boundaries, got {len(cuts)}"
         )
-    # The prior-histogram existence probe below is
-    # os.path.exists — driver-local filesystem ONLY. On an
-    # HDFS/S3 store URI it would silently return False forever
-    # and every batch would be scored against the uniform prior
-    # (wrong PSI, no error), so refuse non-local stores up front
-    # (ADVICE r7). A distributed deployment should swap the probe
-    # for the Hadoop FileSystem API.
-    if "://" in store_dir and not store_dir.startswith("file://"):
-        raise ValueError(
-            "drift_monitor_sink requires a driver-local store_dir "
-            f"(os.path.exists probe); got URI {store_dir!r}"
-        )
-    bins_dir = os.path.join(store_dir, "bins")
+    bins_dir = posixpath.join(store_dir, "bins")
     n_bins = 10
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -95,7 +85,7 @@ def drift_monitor_sink(
         spine = spark.range(n_bins).select(
             F.col("id").cast("int").alias("bin")
         )
-        if os.path.exists(bins_dir):
+        if store_exists(spark, bins_dir):
             prior = (
                 spark.read.parquet(bins_dir)
                 .filter(F.col("batch_id") < batch_id)

@@ -32,11 +32,12 @@ sized moves.
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from afg_data_pipeline_spark.fs import store_exists
 from afg_data_pipeline_spark.operators.dsir import (
     _bucket_spine,
     _gram_buckets,
@@ -65,7 +66,7 @@ def dsir_scoring_sink(
     - ``scores_dir``: (id, n_grams, score, batch_id) parquet;
     - ``store_dir``/buckets: (bucket, rc, tc, batch_id).
     """
-    buckets_dir = os.path.join(store_dir, "buckets")
+    buckets_dir = posixpath.join(store_dir, "buckets")
     B = 16**n_hex
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -87,7 +88,7 @@ def dsir_scoring_sink(
             .localCheckpoint(eager=False)
         )
         spine = _bucket_spine(batch_df, n_hex)
-        if os.path.exists(buckets_dir):
+        if store_exists(spark, buckets_dir):
             prior = (
                 spark.read.parquet(buckets_dir)
                 .filter(F.col("batch_id") < batch_id)

@@ -22,11 +22,12 @@ deployment would additionally bucket the store by band-key prefix
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from afg_data_pipeline_spark.fs import delete_path, store_exists
 from afg_data_pipeline_spark.operators.dedup import _minhash_band_table
 
 
@@ -50,15 +51,15 @@ def incremental_dedup_sink(
     - ``store_dir``/bands: (id, band_key, batch_id);
     - ``store_dir``/shingles: (id, shingles, batch_id).
     """
-    bands_dir = os.path.join(store_dir, "bands")
-    shingles_dir = os.path.join(store_dir, "shingles")
+    bands_dir = posixpath.join(store_dir, "bands")
+    shingles_dir = posixpath.join(store_dir, "shingles")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         base, long = _minhash_band_table(
             batch_df, id_col, text_col, n_hashes, band_size, shingle_k
         )
-        have_store = os.path.exists(bands_dir)
+        have_store = store_exists(spark, bands_dir)
         if have_store:
             prior_bands = spark.read.parquet(bands_dir).filter(
                 F.col("batch_id") < batch_id
@@ -188,8 +189,6 @@ def purge_ids_from_store(
 
     Returns {"bands": n_removed, "shingles": n_removed}.
     """
-    import shutil
-
     from pyspark.sql import DataFrame as _DF
 
     if isinstance(ids, _DF):
@@ -204,8 +203,8 @@ def purge_ids_from_store(
 
     removed = {}
     for sub in ("bands", "shingles"):
-        path = os.path.join(store_dir, sub)
-        if not os.path.exists(path):
+        path = posixpath.join(store_dir, sub)
+        if not store_exists(spark, path):
             removed[sub] = 0
             continue
         try:
@@ -238,8 +237,7 @@ def purge_ids_from_store(
                 .parquet(path)
             )
         for empty in set(affected) - kept_batches:
-            shutil.rmtree(
-                os.path.join(path, f"batch_id={empty}"),
-                ignore_errors=True,
+            delete_path(
+                spark, posixpath.join(path, f"batch_id={empty}")
             )
     return removed

@@ -501,6 +501,59 @@ class TestIncrementalDedupSink:
             == store_ids
         )
 
+    def test_store_probe_is_scheme_aware(self, spark, tmp_path):
+        """Same two-batch feed, but the store addressed as a
+        ``file://`` URI: the prior-store probe must resolve through
+        the Hadoop FileSystem (fs.store_exists), not
+        os.path.exists — which is blind to URIs and would silently
+        score batch 1 against an EMPTY prior (zero flags, no
+        error; VERDICT r8 #1)."""
+        import glob
+        import os
+
+        from afg_data_pipeline_spark.streaming.incremental_dedup import (
+            run_incremental_dedup,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and runs "
+            "far away into the deep green forest tonight"
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        for fname, rows, mtime in (
+            ("f1.parquet", [(1, base)], 1_000_000_000),
+            (
+                "f2.parquet",
+                [(101, base.replace("tonight", "today"))],
+                1_000_000_600,
+            ),
+        ):
+            staging = str(tmp_path / ("stage_" + fname))
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.parquet(staging)
+            part = glob.glob(staging + "/part-*.parquet")[0]
+            dst = str(src / fname)
+            os.rename(part, dst)
+            os.utime(dst, (mtime, mtime))
+        store_uri = "file://" + str(tmp_path / "store")
+        flags = str(tmp_path / "flags")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_incremental_dedup(
+            stream, store_uri, flags, str(tmp_path / "ckpt"),
+            threshold=0.5,
+        )
+        got = [
+            (r.new_id, r.dup_of)
+            for r in spark.read.parquet(flags).collect()
+        ]
+        assert got == [(101, 1)]
+
 
 class TestStorePurge:
     def test_purge_removes_only_targets_and_future_matches(

@@ -124,6 +124,43 @@ class TestStreamingDrift:
         )
         assert store_second == store_first
 
+    def test_store_probe_is_scheme_aware(self, spark, tmp_path):
+        """Store addressed as a ``file://`` URI: the r7 guard that
+        refused URI stores is replaced by a Hadoop-FS probe
+        (fs.store_exists), so the sink now runs correctly on any
+        scheme — batch 1's PSI must be computed against batch 0's
+        histogram, not the uniform prior."""
+        from afg_data_pipeline_spark.streaming.drift import (
+            run_drift_monitor,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch_file(
+            spark, src, tmp_path, "f1.parquet", BATCH0, 1_000_000_000
+        )
+        _write_batch_file(
+            spark, src, tmp_path, "f2.parquet", BATCH1, 1_000_000_600
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_drift_monitor(
+            stream,
+            "file://" + str(tmp_path / "store"),
+            str(tmp_path / "psi"),
+            str(tmp_path / "ckpt"),
+            CUTS,
+        )
+        got = self._psi_rows(spark, tmp_path)
+        b1_vals = [v for _, v in BATCH1]
+        assert got[1] == (
+            len(BATCH1),
+            _psi_replica(b1_vals, [v for _, v in BATCH0]),
+        )
+
     def test_cut_count_guard(self, spark):
         import pytest as _pytest
 

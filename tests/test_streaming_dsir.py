@@ -144,6 +144,50 @@ class TestStreamingDsir:
         }
         assert retro[101] != scores[(1, 101)][1]
 
+    def test_store_probe_is_scheme_aware(self, spark, tmp_path):
+        """Store addressed as a ``file://`` URI: the prior-store
+        probe must resolve through the Hadoop FileSystem
+        (fs.store_exists). os.path.exists is blind to URIs, so
+        pre-fix every batch scored against the empty prior — all
+        scores exactly 0.0, silently (VERDICT r8 #1)."""
+        from afg_data_pipeline_spark.streaming.dsir import (
+            run_dsir_scoring,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch_file(
+            spark, src, tmp_path, "f1.parquet", BATCH0, 1_000_000_000
+        )
+        _write_batch_file(
+            spark, src, tmp_path, "f2.parquet", BATCH1, 1_000_000_600
+        )
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_dsir_scoring(
+            stream,
+            "file://" + str(tmp_path / "store"),
+            str(tmp_path / "scores"),
+            str(tmp_path / "ckpt"),
+            "lang = 'en'",
+        )
+        scores = {
+            (r.batch_id, r.id): r.score
+            for r in spark.read.parquet(
+                str(tmp_path / "scores")
+            ).collect()
+        }
+        # batch 0 still Laplace-prior-only; batch 1 MUST see the
+        # batch-0 distributions (nonzero log-ratios for doc 101's
+        # shared grams).
+        assert scores[(0, 1)] == 0.0
+        assert scores[(1, 101)] != 0.0
+
     def test_crash_replay_byte_identity(self, spark, tmp_path):
         self._run(spark, tmp_path)
         scores_before = sorted(
