@@ -60,7 +60,21 @@ def _mmr_group(pdf):
             if c in selected:
                 continue
             if selected:
-                ms = max(sim[(c, s)] for s in selected)
+                try:
+                    ms = max(sim[(c, s)] for s in selected)
+                except KeyError as e:
+                    # the contract: pairs must contain EVERY
+                    # ordered candidate pair per query (the
+                    # registered query builds a complete table);
+                    # fail loudly instead of a bare KeyError deep
+                    # inside applyInPandas (ADVICE r8).
+                    raise ValueError(
+                        "mmr_rerank: incomplete pair table for "
+                        f"query_id={qid}: missing sim for "
+                        f"(cand={c}, other={e.args[0][1]}); the "
+                        "pairs frame must contain every ordered "
+                        "candidate pair per query"
+                    ) from None
             else:
                 ms = 0.0
             score = 0.5 * rel[c] - 0.5 * ms

@@ -4388,7 +4388,15 @@ def ks_two_sample_drift(
         .withColumn("cum_g", F.sum("cv").over(wg).cast("bigint"))
         .select("v", "cum_g")
     )
-    grid = ns.crossJoin(vals)
+    # sources x distinct-values completion: constant-key equi-join
+    # (BroadcastHashJoin, codegen'd) — a multi-row-build crossJoin
+    # would plan an interpreted BroadcastNestedLoopJoin over the
+    # value-distinct stream (rule 23).
+    grid = (
+        vals.withColumn("__k", F.lit(1))
+        .join(F.broadcast(ns.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
     ws = (
         Window.partitionBy("source")
         .orderBy(F.col("v").asc())

@@ -2449,8 +2449,18 @@ def mi_feature_rank(
     nt = joint.groupBy("t").agg(
         F.sum("c1").cast("bigint").alias("n_t")
     )
+    # vocab x classes completion: constant-key equi-join, NOT
+    # crossJoin — a multi-row broadcast build plans a
+    # BroadcastNestedLoopJoin whose pair generation is interpreted
+    # (~2.4 us/pair over a vocabulary-sized stream, rule 23);
+    # the __k BroadcastHashJoin is codegen'd with identical
+    # semantics.
     grid = (
-        nt.crossJoin(F.broadcast(nydoc))
+        nt.withColumn("__k", F.lit(1))
+        .join(
+            F.broadcast(nydoc.withColumn("__k", F.lit(1))), "__k"
+        )
+        .drop("__k")
         .join(joint, ["t", "lang"], "left")
         .select(
             "t",
@@ -2634,7 +2644,21 @@ def conformal_filter_threshold(
     )
     eval_all = scores.filter(F.col("doc_id") % 4 == 3)
     n_cal = cal_true.count()
-    alphas = (5, 10, 20)
+    # alphas whose rank k=(a*(n_cal+1))//100 is 0 have no k-th
+    # order statistic: the oracle's `JOIN ranked ON rn = k_rank`
+    # silently drops those rows, so drop them here too (tiny
+    # calibration sets degrade identically instead of limit(0)
+    # .agg(max) -> NULL -> int(None) TypeError; ADVICE r8).
+    alphas = tuple(
+        a for a in (5, 10, 20) if (a * (n_cal + 1)) // 100 >= 1
+    )
+    schema = (
+        "alpha_pct int, n_cal bigint, k_rank bigint, "
+        "threshold_q bigint, n_eval bigint, coverage double, "
+        "avg_set_size double"
+    )
+    if not alphas:
+        return spark.createDataFrame([], schema)
     thr = {}
     for a in alphas:
         k = (a * (n_cal + 1)) // 100
@@ -2678,12 +2702,7 @@ def conformal_filter_threshold(
         )
         for a in alphas
     ]
-    return spark.createDataFrame(
-        out,
-        "alpha_pct int, n_cal bigint, k_rank bigint, "
-        "threshold_q bigint, n_eval bigint, coverage double, "
-        "avg_set_size double",
-    )
+    return spark.createDataFrame(out, schema)
 
 
 def _ece_oracle() -> str:

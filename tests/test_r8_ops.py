@@ -628,6 +628,31 @@ class TestMMRDiversified:
                 diffs += 1
         assert diffs > 0
 
+    def test_incomplete_pair_table_fails_loudly(self, spark):
+        # the operator's contract: pairs must hold EVERY ordered
+        # candidate pair per query. A missing pair must raise a
+        # clear ValueError, not a bare KeyError deep inside
+        # applyInPandas (ADVICE r8).
+        import pytest as _pytest
+
+        from afg_data_pipeline_spark.operators.mmr import (
+            mmr_rerank,
+        )
+
+        pairs = spark.createDataFrame(
+            # cand 2's sim row vs cand 1 is missing
+            [
+                (7, 1, 0.9, 1, 1.0),
+                (7, 1, 0.9, 2, 0.5),
+                (7, 2, 0.8, 2, 1.0),
+            ],
+            "query_id long, cand long, rel double, "
+            "other long, sim double",
+        )
+        with _pytest.raises(Exception) as ei:
+            mmr_rerank(pairs).collect()
+        assert "incomplete pair table" in str(ei.value)
+
 
 class TestKneserNey:
     def test_replica(self, spark):

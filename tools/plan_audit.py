@@ -37,13 +37,18 @@ import json
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))
+)
+sys.path.insert(0, _REPO_ROOT)
 
 BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "plan_audit_baseline.json",
 )
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SF_DIR_AUDIT", "/root/testdata/sf0.001"
+)
 
 CATEGORIES = (
     "cartesian",
@@ -151,13 +156,21 @@ def main() -> int:
         return 1
 
     if write:
+        merged = results
+        if names and os.path.exists(BASELINE_PATH):
+            # subset --write merges into the existing baseline:
+            # a full overwrite would silently drop every other
+            # query's entry.
+            with open(BASELINE_PATH) as fh:
+                merged = json.load(fh)
+            merged.update(results)
         with open(BASELINE_PATH, "w") as fh:
-            json.dump(results, fh, indent=1, sort_keys=True)
+            json.dump(merged, fh, indent=1, sort_keys=True)
         tot = {
-            c: sum(r[c] for r in results.values())
+            c: sum(r[c] for r in merged.values())
             for c in CATEGORIES
         }
-        print(f"baseline written: {len(results)} queries, {tot}")
+        print(f"baseline written: {len(merged)} queries, {tot}")
         return 0
 
     try:
