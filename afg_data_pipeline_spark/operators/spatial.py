@@ -487,3 +487,229 @@ def nearest_neighbor_1d_bucketed(
     return _nn_resolve(
         both, left_key, right_key, carry, part_cols=("__bucket",)
     )
+
+
+# --- point-in-polygon containment join --------------------------------
+
+
+def _close_ring(
+    ring: list[tuple[float, float]],
+) -> list[tuple[float, float]]:
+    if ring and ring[0] != ring[-1]:
+        return list(ring) + [ring[0]]
+    return list(ring)
+
+
+def _ring_edges(rings):
+    """Consecutive-vertex edges over CLOSED rings (ESRI rings repeat
+    the first vertex last; unclosed input is closed here)."""
+    for ring in rings:
+        closed = _close_ring(ring)
+        for (x1, y1), (x2, y2) in zip(closed[:-1], closed[1:]):
+            yield (
+                float(x1), float(y1), float(x2), float(y2),
+            )
+
+
+def _ray_cast(px: float, py: float, edges) -> bool:
+    """Even-odd crossing test of the +x ray from (px, py) — the
+    EXACT arithmetic the distributed path and the SQL oracle run:
+    crossing iff the edge straddles py ((y1 > py) != (y2 > py)) and
+    the x-intercept x1 + (py - y1) * (x2 - x1) / (y2 - y1) lies
+    strictly right of px.  Hole rings toggle parity twice, so the
+    even-odd rule handles multi-ring polygons with no special
+    casing (reference context: the comunas layer of
+    temperaturas_rm.py:106-119, whose rings sources/shapefile.py
+    already parses)."""
+    inside = False
+    for x1, y1, x2, y2 in edges:
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: list[tuple],
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id_col: str = "poly_id",
+    n_cells: int = 32,
+) -> DataFrame:
+    """Containment join: (point row, polygon id) for every polygon
+    whose interior contains the point (even-odd rule; a point in k
+    overlapping polygons yields k rows; points in none drop out).
+
+    ``polygons`` is a driver-side list of ``(poly_id, rings)`` —
+    polygon layers are dimension tables (a country has thousands of
+    admin polygons, not billions), so the geometry rides the
+    broadcast side while the POINTS side streams at any scale.
+
+    Scale shape (the 100 TB plan):
+    - an ``n_cells`` x ``n_cells`` grid over the layer bbox is
+      classified per polygon ON THE DRIVER: cells no edge touches
+      are uniformly inside or outside (decided by one ray-cast of
+      the cell center); cells an edge's bbox touches are boundary.
+    - points compute their cell with two fixed-point ``floor``s —
+      no shuffle — and broadcast-hash-join the (cell, poly,
+      is_interior) table (constant-key-free: many distinct cells,
+      rule 13 does not apply).
+    - interior-cell hits are accepted with ZERO per-edge work (the
+      overwhelming majority under a fine grid);
+    - boundary-cell hits broadcast-join the polygon's edge table
+      and run the exact crossing test, partial-aggregated
+      map-side (groupBy parity, rule 19's aggregate-not-window).
+    The prune is exact: a cell containing both inside and outside
+    points is crossed by the boundary, so some edge bbox touches
+    it and it is classified boundary — never interior/outside.
+
+    Exactness: the crossing arithmetic is plain IEEE double
+    multiply/divide/compare evaluated in one fixed order, so a
+    DuckDB oracle running the same expressions is bit-identical
+    (the registered query's points are integer-valued and the
+    polygon vertices half-integer, so no point ever lies ON an
+    edge and the strict comparisons are never knife-edge).
+    """
+    if not polygons:
+        raise ValueError("point_in_polygon_join: no polygons")
+    spark = points.sparkSession
+    # --- driver-side precompute over the dimension-sized layer ---
+    poly_edges: dict = {
+        pid: list(_ring_edges(rings)) for pid, rings in polygons
+    }
+    xs = [
+        v
+        for es in poly_edges.values()
+        for x1, _y1, x2, _y2 in es
+        for v in (x1, x2)
+    ]
+    ys = [
+        v
+        for es in poly_edges.values()
+        for _x1, y1, _x2, y2 in es
+        for v in (y1, y2)
+    ]
+    minx, maxx, miny, maxy = min(xs), max(xs), min(ys), max(ys)
+    # guard degenerate extents (all vertices on one line)
+    wx = (maxx - minx) or 1.0
+    wy = (maxy - miny) or 1.0
+    cw, ch = wx / n_cells, wy / n_cells
+
+    def cell_of(x: float, y: float) -> int:
+        cx = min(n_cells - 1, max(0, int((x - minx) / cw)))
+        cy = min(n_cells - 1, max(0, int((y - miny) / ch)))
+        return cy * n_cells + cx
+
+    cell_rows = []  # (cell, poly_id, is_interior)
+    for pid, edges in poly_edges.items():
+        pxs = [v for x1, _a, x2, _b in edges for v in (x1, x2)]
+        pys = [v for _a, y1, _b, y2 in edges for v in (y1, y2)]
+        cx0 = min(n_cells - 1, max(0, int((min(pxs) - minx) / cw)))
+        cx1 = min(n_cells - 1, max(0, int((max(pxs) - minx) / cw)))
+        cy0 = min(n_cells - 1, max(0, int((min(pys) - miny) / ch)))
+        cy1 = min(n_cells - 1, max(0, int((max(pys) - miny) / ch)))
+        # conservative per-edge cell stamp: every cell the edge's
+        # bbox touches is boundary (over-marking costs only the
+        # exact per-edge test, never correctness)
+        boundary: set = set()
+        for x1, y1, x2, y2 in edges:
+            bx0 = min(n_cells - 1, max(0, int((min(x1, x2) - minx) / cw)))
+            bx1 = min(n_cells - 1, max(0, int((max(x1, x2) - minx) / cw)))
+            by0 = min(n_cells - 1, max(0, int((min(y1, y2) - miny) / ch)))
+            by1 = min(n_cells - 1, max(0, int((max(y1, y2) - miny) / ch)))
+            for cy in range(by0, by1 + 1):
+                for cx in range(bx0, bx1 + 1):
+                    boundary.add(cy * n_cells + cx)
+        for cy in range(cy0, cy1 + 1):
+            for cx in range(cx0, cx1 + 1):
+                cell = cy * n_cells + cx
+                if cell in boundary:
+                    cell_rows.append((cell, pid, False))
+                    continue
+                ccx = minx + (cx + 0.5) * cw
+                ccy = miny + (cy + 0.5) * ch
+                if _ray_cast(ccx, ccy, edges):
+                    cell_rows.append((cell, pid, True))
+                # uniformly-outside cells are simply absent
+    cell_map = spark.createDataFrame(
+        cell_rows, "cell int, __pid string, __interior boolean"
+    )
+    edge_rows = [
+        (pid, x1, y1, x2, y2)
+        for pid, es in poly_edges.items()
+        for x1, y1, x2, y2 in es
+    ]
+    edge_tbl = spark.createDataFrame(
+        edge_rows,
+        "__pid string, x1 double, y1 double, "
+        "x2 double, y2 double",
+    )
+
+    px = F.col(x_col).cast("double")
+    py = F.col(y_col).cast("double")
+    in_bbox = (
+        (px >= F.lit(minx)) & (px <= F.lit(maxx))
+        & (py >= F.lit(miny)) & (py <= F.lit(maxy))
+    )
+    cx = F.least(
+        F.lit(n_cells - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((px - F.lit(minx)) / F.lit(cw)).cast("int"),
+        ),
+    )
+    cy = F.least(
+        F.lit(n_cells - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((py - F.lit(miny)) / F.lit(ch)).cast("int"),
+        ),
+    )
+    staged = points.filter(in_bbox).withColumn(
+        "cell", (cy * F.lit(n_cells) + cx).cast("int")
+    )
+    cand = staged.join(F.broadcast(cell_map), "cell")
+    accept_interior = cand.filter(F.col("__interior")).drop(
+        "cell", "__interior"
+    )
+    # boundary candidates: exact crossing parity via broadcast
+    # edge join + map-side-combined parity aggregate (rule 19)
+    bcand = cand.filter(~F.col("__interior")).drop(
+        "cell", "__interior"
+    )
+    pt_cols = [F.col(c) for c in points.columns]
+    crossed = (
+        bcand.join(F.broadcast(edge_tbl), "__pid")
+        .withColumn(
+            "__crossing",
+            F.when(
+                ((F.col("y1") > py) != (F.col("y2") > py))
+                & (
+                    px
+                    < F.col("x1")
+                    + (py - F.col("y1"))
+                    * (F.col("x2") - F.col("x1"))
+                    / (F.col("y2") - F.col("y1"))
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy(id_col, "__pid")
+        .agg(
+            F.sum("__crossing").alias("__n_cross"),
+            *[
+                F.first(c).alias(c)
+                for c in points.columns
+                if c != id_col
+            ],
+        )
+        .filter(F.col("__n_cross") % 2 == 1)
+        .select(*pt_cols, "__pid")
+    )
+    out = accept_interior.select(*pt_cols, "__pid").unionByName(
+        crossed
+    )
+    return out.withColumnRenamed("__pid", poly_id_col)

@@ -29,6 +29,7 @@ from afg_data_pipeline_spark.operators.spatial import (
     nearest_neighbor_1d,
     nearest_neighbor_1d_bucketed,
     nearest_neighbor_grid2d,
+    point_in_polygon_join,
 )
 from afg_data_pipeline_spark.operators.timeseries import (
     GRID_SQL,
@@ -1176,3 +1177,128 @@ def kcore_vertices_query(
         s, id_col="s_suppkey", x_col="x", y_col="y", radius=800.0
     )
     return kcore_membership(edges, k=3, max_iter=10)
+
+
+# --- point-in-polygon containment (geo completeness beyond J3) --------
+
+# A comunas-like admin layer, synthesized as literals so the
+# oracle's edge table is generated from the SAME vertex lists
+# (half-integer vertices x integer-valued points: no point ever
+# lies exactly on an edge).  west_box carries a hole ring;
+# overlap_tri overlaps it, so some points land in two polygons.
+_PIP_POLYGONS = [
+    (
+        "west_box",
+        [
+            [
+                (100.5, 100.5), (450.5, 100.5),
+                (450.5, 450.5), (100.5, 450.5),
+                (100.5, 100.5),
+            ],
+            [  # hole
+                (200.5, 200.5), (300.5, 200.5),
+                (300.5, 300.5), (200.5, 300.5),
+                (200.5, 200.5),
+            ],
+        ],
+    ),
+    (
+        "east_l",
+        [
+            [
+                (500.5, 50.5), (900.5, 50.5),
+                (900.5, 350.5), (700.5, 350.5),
+                (700.5, 650.5), (500.5, 650.5),
+                (500.5, 50.5),
+            ],
+        ],
+    ),
+    (
+        "overlap_tri",
+        [
+            [
+                (350.5, 300.5), (650.5, 300.5),
+                (500.5, 620.5), (350.5, 300.5),
+            ],
+        ],
+    ),
+]
+
+
+def _pip_oracle() -> str:
+    """Brute ray-cast oracle: every (point, edge) crossing flag,
+    parity per (point, polygon) — same IEEE expressions as the
+    operator, no prune (the prune is the Spark side's job; the
+    ANSWER must match it exactly)."""
+    from afg_data_pipeline_spark.operators.spatial import (
+        _ring_edges,
+    )
+
+    rows = ", ".join(
+        f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for pid, rings in _PIP_POLYGONS
+        for x1, y1, x2, y2 in _ring_edges(rings)
+    )
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey AS point_id,
+                   CAST(c_custkey % 997 AS DOUBLE) AS px,
+                   CAST((c_custkey * 31) % 991 AS DOUBLE) AS py
+            FROM customer
+        ),
+        edges(poly_id, x1, y1, x2, y2) AS (VALUES {rows}),
+        crossed AS (
+            SELECT p.point_id, e.poly_id,
+                   max(p.px) AS px, max(p.py) AS py,
+                   count(*) AS n_cross
+            FROM pts p
+            JOIN edges e
+              ON ((e.y1 > p.py) <> (e.y2 > p.py))
+             AND p.px < e.x1 + (p.py - e.y1) * (e.x2 - e.x1)
+                                / (e.y2 - e.y1)
+            GROUP BY 1, 2
+        )
+        SELECT point_id, poly_id, px, py
+        FROM crossed
+        WHERE n_cross % 2 = 1
+    """
+
+
+@register(
+    "point_in_polygon",
+    oracle=_pip_oracle(),
+    ops=("J3", "S5", "M5"),
+)
+def point_in_polygon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment join: which admin polygon contains each point —
+    the natural next user question over the comunas layer
+    (reference context temperaturas_rm.py:106-119 takes only
+    centroids; this closes S5/M5 from centroids to geometry).
+
+    Customers play the point feed (integer-valued synthetic
+    coordinates); the polygon layer is the dimension-side literal
+    above, including a hole ring and an overlap.  The operator
+    (operators/spatial.point_in_polygon_join) grid-classifies
+    cells driver-side so interior-cell points are accepted with no
+    per-edge work and only boundary-cell points pay the exact
+    ray-cast — the layer broadcasts, the point side streams, no
+    shuffle before the boundary parity aggregate."""
+    cust = read_star_table(spark, "customer", sf_dir)
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_custkey") % 997).cast("double").alias("px"),
+        ((F.col("c_custkey") * 31) % 991)
+        .cast("double")
+        .alias("py"),
+    )
+    return point_in_polygon_join(
+        pts,
+        _PIP_POLYGONS,
+        id_col="point_id",
+        x_col="px",
+        y_col="py",
+        poly_id_col="poly_id",
+        n_cells=32,
+    ).select("point_id", "poly_id", "px", "py")
