@@ -165,6 +165,15 @@ def _coverage_order(names: list[str]) -> list[str]:
         "classifier_kappa": 8,
         "label_noise_report": 8,
         "score_calibration_bins": 8,
+        # round-9 sampled tier (md5-ranked cap, sample_docs column
+        # added to the output schema — prior rows predate it):
+        "lsh_band_plan": 9,
+        # round-9 grid completions rewritten to constant-key BHJs
+        # and the conformal degenerate-k guard (values unchanged,
+        # plans/code changed — re-certify):
+        "mi_feature_rank": 9,
+        "ks_two_sample_drift": 9,
+        "conformal_filter_threshold": 9,
     }
 
     # Verdict-r7 #2: the driver window MUST sample the fixed red

@@ -2606,6 +2606,120 @@ def unigram_tokenize_query(
 
 
 @register(
+    "unigram_seed_vocab",
+    oracle="""
+        WITH wf AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(regexp_split_to_array(
+                           trim(text), '\\s+')) AS word
+                FROM documents
+            )
+            WHERE len(word) > 0
+            GROUP BY word
+        ),
+        pos AS (
+            SELECT word, freq,
+                   unnest(generate_series(1, len(word))) AS i
+            FROM wf
+        ),
+        sub AS (
+            SELECT substr(word, i, j - i + 1) AS piece, freq
+            FROM (
+                SELECT word, freq, i,
+                       unnest(generate_series(
+                           i, least(i + 7, len(word)))) AS j
+                FROM pos
+            )
+        ),
+        cnts AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM sub GROUP BY piece
+        ),
+        multi AS (
+            SELECT piece, cnt, TRUE AS multi
+            FROM cnts WHERE len(piece) > 1
+            ORDER BY cnt DESC, piece ASC
+            LIMIT 256
+        ),
+        chars AS (
+            SELECT piece, cnt, FALSE AS multi
+            FROM cnts WHERE len(piece) = 1
+        )
+        SELECT * FROM multi UNION ALL SELECT * FROM chars
+    """,
+    ops=("A1", "O2"),
+)
+def unigram_seed_vocab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM SEED VOCABULARY, distributed and hash-exact —
+    the oracle-checkable sibling of the rows-only
+    `unigram_tokenize` (EM is float log-space; the SEED stage is
+    pure integer counting, so the driver gets a green exact row
+    for the family instead of a perpetual `no_oracle`).
+
+    Semantics = operators/unigram._seed_pieces verbatim (pinned
+    equal in tests/test_unigram.py): every substring of length
+    <= 8 of every word, occurrence-counted weighted by word
+    frequency; the top-256 multi-char candidates (count DESC,
+    piece ASC) plus ALL single characters — the coverage floor.
+
+    Scale shape: the corpus-sized work is the one map-side-
+    combinable word aggregate (_word_freqs, shared with BPE/
+    WordPiece); the substring expansion runs over the DISTINCT
+    word table (vocabulary-sized under Zipf at any corpus scale),
+    and the top-K is TakeOrderedAndProject — per-partition
+    partial top-256, no global sort."""
+    from afg_data_pipeline_spark.operators.bpe import _word_freqs
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    words = _word_freqs(docs, "text")
+    counts = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word"))
+            ).alias("i"),
+        )
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.col("i"),
+                    F.least(
+                        F.col("i") + F.lit(7),
+                        F.length("word"),
+                    ),
+                )
+            ).alias("j"),
+        )
+        .select(
+            F.expr("substring(word, i, j - i + 1)").alias(
+                "piece"
+            ),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    multi = (
+        counts.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(256)
+        .withColumn("multi", F.lit(True))
+    )
+    chars = counts.filter(F.length("piece") == 1).withColumn(
+        "multi", F.lit(False)
+    )
+    return multi.unionByName(chars)
+
+
+@register(
     "heavy_hitters_cms",
     oracle="""
         WITH tokd AS (

@@ -2786,6 +2786,111 @@ def multimodal_frame_sample(
     )
 
 
+def _frame_manifest_oracle() -> str:
+    """Closed-form oracle for multimodal_frame_manifest: the synth
+    raster's dimensions derive from md5(text) (codecs.py
+    synth_bmp_for_text: seed = first 8 md5 bytes big-endian,
+    w = 8 + seed % 25, h = 8 + (seed >> 8) % 17), the decoded
+    payload is w*h*3 bytes, and frame i of 4 is the
+    [n*i//4, n*(i+1)//4) slice. seed >> 8 = the first 14 hex chars
+    as an integer (< 2^56, BIGINT-safe); seed % 25 =
+    ((A % 25) * 256 + B) % 25 with B the last byte — no 64-bit
+    overflow anywhere (rule 5b hex arithmetic)."""
+    nib = (
+        "(strpos('0123456789abcdef', substr(hx, {k}, 1)) - 1)"
+    )
+    a_terms = " + ".join(
+        f"{nib.format(k=k + 1)} * {16 ** (13 - k)}"
+        for k in range(14)
+    )
+    b_expr = (
+        f"{nib.format(k=15)} * 16 + {nib.format(k=16)}"
+    )
+    return f"""
+        WITH m AS (
+            SELECT doc_id, md5(text) AS hx FROM documents
+        ),
+        ab AS (
+            SELECT doc_id,
+                   CAST({a_terms} AS BIGINT) AS a,
+                   CAST({b_expr} AS BIGINT) AS b
+            FROM m
+        ),
+        dims AS (
+            SELECT doc_id,
+                   CAST(8 + ((a % 25) * 256 + b) % 25
+                        AS INTEGER) AS width,
+                   CAST(8 + (a % 17) AS INTEGER) AS height
+            FROM ab
+        )
+        SELECT d.doc_id,
+               CAST(i.i AS INTEGER) AS frame_idx,
+               CAST(i.i AS DOUBLE) AS frame_ts,
+               CAST((width * height * 3 * (i.i + 1)) // 4
+                    - (width * height * 3 * i.i) // 4
+                    AS INTEGER) AS frame_bytes,
+               width, height
+        FROM dims d
+        CROSS JOIN (
+            SELECT unnest(generate_series(0, 3)) AS i
+        ) i
+    """
+
+
+@register(
+    "multimodal_frame_manifest",
+    oracle=_frame_manifest_oracle(),
+    ops=("MM",),
+)
+def multimodal_frame_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FRAME MANIFEST, hash-exact — the oracle-checkable sibling
+    of the rows-only `multimodal_frame_sample` (frame CONTENT
+    md5s can't be recomputed in SQL; frame GEOMETRY can). The
+    Spark side runs the REAL pipeline — synth container encode
+    (BMP even doc_ids / PNG odd), magic-byte dispatch decode,
+    contiguous strip split in mapInPandas — and exposes per frame
+    its byte length plus the header-parsed dimensions; the oracle
+    recomputes all of it closed-form from md5(text). A drift
+    anywhere in the codec, header parse, decode, or strip
+    arithmetic turns this row red, so the multimodal family gets
+    a real driver-green exact row (VERDICT r8 #8)."""
+    from afg_data_pipeline_spark.operators.multimodal import (
+        attach_synth_bmp,
+        frame_sample,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    # media feeds BOTH the frame expansion and the dims projection:
+    # checkpoint once or the synth encode mapInPandas runs twice
+    # (rule 12; the encode is expensive relative to its output).
+    media = attach_synth_bmp(docs).localCheckpoint(eager=False)
+    frames = frame_sample(media, n_frames=4)
+    dims = media.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return (
+        frames.select(
+            "doc_id",
+            "frame_idx",
+            "frame_ts",
+            F.length("frame").alias("frame_bytes"),
+        )
+        .join(dims, "doc_id")
+        .select(
+            "doc_id",
+            "frame_idx",
+            "frame_ts",
+            "frame_bytes",
+            "width",
+            "height",
+        )
+    )
+
+
 @register(
     "domain_mixture_resample",
     oracle="""
@@ -5304,6 +5409,20 @@ def embedding_domain_shift(
 
 _LSH_PLAN_BANDINGS = ((16, 1), (8, 2), (4, 4), (2, 8))
 
+# Banding-plan corpus cap: the report runs on an md5-ranked
+# deterministic subsample of at most this many documents (the
+# lsh_recall_audit pattern — constant work at ANY corpus size; a
+# candidate-volume ESTIMATE doesn't need the whole corpus, and the
+# any-single-hash pair table grows superlinearly without it).
+# Corpora at or under the cap are unchanged (rank <= cap is the
+# identity there); the sample size rides every output row as
+# sample_docs so the tier is announced, never silent.
+import os as _os
+
+_LSH_PLAN_MAX_DOCS = int(
+    _os.environ.get("AFG_LSH_PLAN_MAX_DOCS", "4096")
+)
+
 
 def _lsh_band_plan_oracle() -> str:
     """Oracle for lsh_band_plan: 16-hash md5 signatures (the
@@ -5350,15 +5469,30 @@ def _lsh_band_plan_oracle() -> str:
                             THEN 1 ELSE 0 END) AS DOUBLE)
                    / CAST(sum(f_{b}_{r}) AS DOUBLE)
                ELSE NULL END AS est_precision,
-               CAST({(1.0 / b) ** (1.0 / r)!r} AS DOUBLE) AS t_star
+               CAST({(1.0 / b) ** (1.0 / r)!r} AS DOUBLE) AS t_star,
+               (SELECT CAST(count(*) AS BIGINT) FROM sample)
+                   AS sample_docs
            FROM flagged"""
         for b, r in _LSH_PLAN_BANDINGS
     )
+    cap = _LSH_PLAN_MAX_DOCS
     return f"""
-        WITH tokd AS (
+        WITH ranked AS (
             SELECT doc_id,
-                   regexp_split_to_array(trim(text), '\\s+') AS t
+                   row_number() OVER (
+                       ORDER BY md5('lshplan:'
+                                    || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
             FROM documents
+        ),
+        sample AS (
+            SELECT doc_id FROM ranked WHERE rk <= {cap}
+        ),
+        tokd AS (
+            SELECT d.doc_id,
+                   regexp_split_to_array(trim(d.text),
+                                         '\\s+') AS t
+            FROM documents d JOIN sample USING (doc_id)
         ),
         sh AS (
             SELECT doc_id,
@@ -5430,8 +5564,25 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    base = (
+    # md5-ranked deterministic subsample (cap announced as
+    # sample_docs): top-K is a per-partition partial sort + one
+    # cap-row merge, and the repartition below restores
+    # parallelism before the expansion (rule 3).
+    sampled = (
         docs.select("doc_id", "text")
+        .orderBy(
+            F.md5(
+                F.concat(
+                    F.lit("lshplan:"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(_LSH_PLAN_MAX_DOCS)
+    )
+    base = (
+        sampled
         .repartition(par)
         .withColumn("__toks", tokens("text"))
         .select(
@@ -5527,6 +5678,9 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         "matches",
     ).select("s.*", "matches")
+    n_sample = sigs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_docs")
+    )
     return (
         rows.groupBy("n_bands", "band_rows", "t_star")
         .agg(
@@ -5540,6 +5694,10 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_est_dups"),
         )
+        # 1-row stat broadcast: the measured-harmless BNLJ class
+        # (rule 23) — announces the sampled corpus size on every
+        # row so the tier is visible in the report itself.
+        .crossJoin(F.broadcast(n_sample))
         .select(
             "n_bands",
             "band_rows",
@@ -5551,6 +5709,7 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_candidate_pairs").cast("double"),
             ).alias("est_precision"),
             "t_star",
+            "sample_docs",
         )
     )
 

@@ -220,3 +220,60 @@ class TestUnigramTokenizeSpark:
             for r in unigram_tokenize(docs, vocab_size=512).collect()
         }
         assert got == want
+
+
+class TestSeedVocabSibling:
+    def test_registered_query_matches_seed_pieces_kernel(
+        self, spark
+    ):
+        """unigram_seed_vocab (the family's hash-exact driver
+        sibling) must equal operators/unigram._seed_pieces — same
+        substring counts, same top-256 (count DESC, piece ASC)
+        multi-char selection, same all-chars floor."""
+        from afg_data_pipeline_spark.io import read_star_table
+        from afg_data_pipeline_spark.operators.bpe import (
+            _word_freqs,
+        )
+        from afg_data_pipeline_spark.operators.unigram import (
+            _seed_pieces,
+        )
+        from afg_data_pipeline_spark.plans import REGISTRY
+        from collections import defaultdict
+
+        sf = "/root/testdata/sf0.001"
+        docs = read_star_table(spark, "documents", sf)
+        vocab = sorted(
+            (r["word"], r["freq"])
+            for r in _word_freqs(docs, "text").collect()
+        )
+        # replicate _seed_pieces' COUNTS (its return is log-probs;
+        # recount here with the identical loop)
+        counts: dict = defaultdict(int)
+        for w, f in vocab:
+            n = len(w)
+            for i in range(n):
+                for j in range(i + 1, min(i + 8, n) + 1):
+                    counts[w[i:j]] += f
+        chars = {
+            (p, c, False)
+            for p, c in counts.items()
+            if len(p) == 1
+        }
+        multi = {
+            (p, c, True)
+            for p, c in sorted(
+                ((p, c) for p, c in counts.items() if len(p) > 1),
+                key=lambda t: (-t[1], t[0]),
+            )[:256]
+        }
+        got = {
+            (r["piece"], r["cnt"], r["multi"])
+            for r in REGISTRY["unigram_seed_vocab"]
+            .fn(spark, sf)
+            .collect()
+        }
+        assert got == chars | multi
+        # and the kept piece set is exactly _seed_pieces' domain
+        # at the same parameters
+        seed = _seed_pieces(vocab, 8, 256)
+        assert {p for p, _c, _m in got} == set(seed)
