@@ -41,7 +41,10 @@ def interpolate_linear(
     Implemented as window algebra (no UDF, stays in codegen):
     carry (prev value, prev position) with last(ignorenulls) over an
     unbounded-preceding frame and (next value, next position) with
-    first(ignorenulls) over an unbounded-following frame, then apply
+    last(ignorenulls) over the REVERSED ordering's unbounded-
+    preceding frame (never an unbounded-FOLLOWING frame — Spark
+    evaluates those O(n²)/partition; see the comment at the window
+    definitions below), then apply
     the time-weighted two-point formula. Interior nulls get the
     interpolation; head nulls coalesce to the next value (bfill),
     tail nulls to the prev value (ffill) — same outcome order as the

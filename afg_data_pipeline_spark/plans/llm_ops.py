@@ -5607,9 +5607,15 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(16)]
     ).localCheckpoint(eager=True)
+    # the band key embeds the hash INDEX, so a pair's colliding
+    # keys tell us exactly which of the 16 min-hashes agree: one
+    # (da, db) aggregate yields matches (= collision count) and a
+    # 16-bit agreement mask — no dropDuplicates pass and no
+    # signature rejoins (the r8 shape paid a 2.6M-pair x 34-column
+    # intermediate plus two joins for the same information).
     long = sigs.select(
         "doc_id",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
@@ -5618,49 +5624,38 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(16)
                 ]
             )
-        ).alias("hk"),
+        ).alias("idx", "hk"),
     )
-    a = long.select(F.col("doc_id").alias("da"), "hk")
+    a = long.select(F.col("doc_id").alias("da"), "hk", "idx")
     b = long.select(F.col("doc_id").alias("db"), "hk")
-    pairs = (
+    agreed = (
         a.join(b, "hk")
         .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .dropDuplicates()
+        .groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("matches"),
+            F.sum(F.expr("shiftleft(1, idx)"))
+            .cast("int")
+            .alias("mask"),
+        )
     )
-    sa = sigs.select(
-        F.col("doc_id").alias("da"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(16)],
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("db"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(16)],
-    )
-    joined = pairs.join(sa, "da").join(sb, "db")
-    eqs = [
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
-        for i in range(16)
-    ]
-    matches = sum(eqs[1:], eqs[0])
     flag_cols = []
     for bb, r in _LSH_PLAN_BANDINGS:
+        full = (1 << r) - 1
         band_ok = None
         for j in range(bb):
-            cond = None
-            for i in range(r):
-                e = F.col(f"a{j * r + i}") == F.col(
-                    f"b{j * r + i}"
-                )
-                cond = e if cond is None else (cond & e)
+            cond = (
+                F.shiftright(F.col("mask"), j * r)
+                .bitwiseAND(F.lit(full))
+                == F.lit(full)
+            )
             band_ok = (
                 cond if band_ok is None else (band_ok | cond)
             )
         flag_cols.append(
             F.when(band_ok, 1).otherwise(0).alias(f"f_{bb}_{r}")
         )
-    flagged = joined.select(
-        matches.alias("matches"), *flag_cols
-    )
+    flagged = agreed.select("matches", *flag_cols)
     rows = flagged.select(
         F.explode(
             F.array(
