@@ -1302,3 +1302,100 @@ def point_in_polygon(
         poly_id_col="poly_id",
         n_cells=32,
     ).select("point_id", "poly_id", "px", "py")
+
+
+def _ppp_oracle() -> str:
+    """points_per_polygon oracle: the point_in_polygon parity
+    relation, rolled up per polygon, with zero-point polygons kept
+    through a VALUES left join."""
+    from afg_data_pipeline_spark.operators.spatial import (
+        _ring_edges,
+    )
+
+    rows = ", ".join(
+        f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for pid, rings in _PIP_POLYGONS
+        for x1, y1, x2, y2 in _ring_edges(rings)
+    )
+    polys = ", ".join(f"('{pid}')" for pid, _ in _PIP_POLYGONS)
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey AS point_id,
+                   CAST(c_custkey % 997 AS DOUBLE) AS px,
+                   CAST((c_custkey * 31) % 991 AS DOUBLE) AS py
+            FROM customer
+        ),
+        edges(poly_id, x1, y1, x2, y2) AS (VALUES {rows}),
+        crossed AS (
+            SELECT p.point_id, e.poly_id, count(*) AS n_cross
+            FROM pts p
+            JOIN edges e
+              ON ((e.y1 > p.py) <> (e.y2 > p.py))
+             AND p.px < e.x1 + (p.py - e.y1) * (e.x2 - e.x1)
+                                / (e.y2 - e.y1)
+            GROUP BY 1, 2
+        ),
+        inside AS (
+            SELECT point_id, poly_id FROM crossed
+            WHERE n_cross % 2 = 1
+        ),
+        layer(poly_id) AS (VALUES {polys})
+        SELECT l.poly_id,
+               CAST(count(i.point_id) AS BIGINT) AS n_points,
+               CAST(min(i.point_id) AS BIGINT) AS min_point_id,
+               CAST(max(i.point_id) AS BIGINT) AS max_point_id
+        FROM layer l LEFT JOIN inside i USING (poly_id)
+        GROUP BY 1
+    """
+
+
+@register(
+    "points_per_polygon",
+    oracle=_ppp_oracle(),
+    ops=("J3", "A1"),
+)
+def points_per_polygon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment ROLLUP: how many points each admin polygon
+    contains — the aggregate every "which comuna" user asks next
+    (zero-point polygons kept: a layer report that silently drops
+    empty polygons misleads).  Same operator and prune as
+    `point_in_polygon`; the rollup adds one map-side-combinable
+    aggregate keyed by the handful of polygon ids."""
+    cust = read_star_table(spark, "customer", sf_dir)
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_custkey") % 997).cast("double").alias("px"),
+        ((F.col("c_custkey") * 31) % 991)
+        .cast("double")
+        .alias("py"),
+    )
+    hits = point_in_polygon_join(
+        pts,
+        _PIP_POLYGONS,
+        id_col="point_id",
+        x_col="px",
+        y_col="py",
+        poly_id_col="poly_id",
+        n_cells=32,
+    )
+    layer = spark.createDataFrame(
+        [(pid,) for pid, _ in _PIP_POLYGONS], "poly_id string"
+    )
+    counts = hits.groupBy("poly_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("point_id").alias("min_point_id"),
+        F.max("point_id").alias("max_point_id"),
+    )
+    return (
+        layer.join(counts, "poly_id", "left")
+        .select(
+            "poly_id",
+            F.coalesce(F.col("n_points"), F.lit(0))
+            .cast("bigint")
+            .alias("n_points"),
+            "min_point_id",
+            "max_point_id",
+        )
+    )

@@ -265,6 +265,11 @@ HEADLINE = [
     "rrf_hybrid_rerank",
     "ks_two_sample_drift",
     "ab_test_mann_whitney",
+    # round-9 additions
+    "point_in_polygon",
+    "unigram_seed_vocab",
+    "multimodal_frame_manifest",
+    "points_per_polygon",
 ]
 
 
