@@ -2618,7 +2618,8 @@ def conformal_filter_threshold(
     from orderBy(score).limit(k).max — TakeOrderedAndProject, no
     global window; k = alpha-tail size, small for the alphas that
     matter (for alpha near 1 flip to the symmetric largest-k
-    selection). The three eval aggregates run over the
+    selection), all alphas unioned into ONE job; coverage and
+    set size come from ONE truth-flagged aggregate over the
     checkpointed score frame (rule 12); per-alpha arithmetic runs
     driver-side on collected exact integers (rule 14)."""
     from afg_data_pipeline_spark.operators.classify import (
@@ -2639,9 +2640,6 @@ def conformal_filter_threshold(
     cal_true = scores.join(truth, ["doc_id", "cls"]).filter(
         F.col("doc_id") % 4 == 1
     )
-    eval_true = scores.join(truth, ["doc_id", "cls"]).filter(
-        F.col("doc_id") % 4 == 3
-    )
     eval_all = scores.filter(F.col("doc_id") % 4 == 3)
     n_cal = cal_true.count()
     # alphas whose rank k=(a*(n_cal+1))//100 is 0 have no k-th
@@ -2659,27 +2657,47 @@ def conformal_filter_threshold(
     )
     if not alphas:
         return spark.createDataFrame([], schema)
-    thr = {}
-    for a in alphas:
-        k = (a * (n_cal + 1)) // 100
-        thr[a] = (
+    from functools import reduce
+
+    # ONE job for all thresholds: union of the per-alpha
+    # TakeOrderedAndProject+max subtrees over the checkpointed
+    # calibration frame (was one collect per alpha — a pure
+    # scheduling-floor tax on this floor-class row).
+    thr_rows = reduce(
+        lambda x, y: x.unionByName(y),
+        [
             cal_true.orderBy(F.col("score_q").asc())
-            .limit(k)
-            .agg(F.max("score_q").alias("t"))
-            .collect()[0]["t"]
-        )
-    aggs = [
-        F.count(F.lit(1)).alias("n_eval")
-    ] + [
-        F.sum(
-            F.when(
-                F.col("score_q") >= F.lit(int(thr[a])), 1
-            ).otherwise(0)
-        ).alias(f"cov{a}")
-        for a in alphas
-    ]
-    row_t = eval_true.agg(*aggs).collect()[0]
-    row_a = eval_all.agg(
+            .limit((a * (n_cal + 1)) // 100)
+            .agg(
+                F.lit(a).alias("alpha_pct"),
+                F.max("score_q").alias("t"),
+            )
+            for a in alphas
+        ],
+    ).collect()
+    thr = {int(r["alpha_pct"]): r["t"] for r in thr_rows}
+    # ONE pass for coverage AND set size: eval_true is exactly the
+    # truth-flagged subset of eval_all, so flag it and aggregate
+    # both metric families together (was two jobs).
+    flagged = eval_all.join(
+        truth.withColumn("__true", F.lit(1)),
+        ["doc_id", "cls"],
+        "left",
+    ).withColumn(
+        "__true", F.coalesce(F.col("__true"), F.lit(0))
+    )
+    row = flagged.agg(
+        F.sum("__true").alias("n_eval"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("__true") == 1)
+                    & (F.col("score_q") >= F.lit(int(thr[a]))),
+                    1,
+                ).otherwise(0)
+            ).alias(f"cov{a}")
+            for a in alphas
+        ],
         *[
             F.sum(
                 F.when(
@@ -2687,8 +2705,10 @@ def conformal_filter_threshold(
                 ).otherwise(0)
             ).alias(f"sz{a}")
             for a in alphas
-        ]
+        ],
     ).collect()[0]
+    row_t = row
+    row_a = row
     n_eval = int(row_t["n_eval"])
     out = [
         (
