@@ -561,7 +561,10 @@ def point_in_polygon_join(
       overwhelming majority under a fine grid);
     - boundary-cell hits broadcast-join the polygon's edge table
       and run the exact crossing test, partial-aggregated
-      map-side (groupBy parity, rule 19's aggregate-not-window).
+      map-side (groupBy parity, rule 19's aggregate-not-window);
+    - both resolve in ONE pass over the point side (the edge join
+      is a left join conditioned on NOT interior), so the point
+      table is scanned once, not once per tier.
     The prune is exact: a cell containing both inside and outside
     points is crossed by the boundary, so some edge bbox touches
     it and it is classified boundary — never interior/outside.
@@ -672,33 +675,38 @@ def point_in_polygon_join(
         "cell", (cy * F.lit(n_cells) + cx).cast("int")
     )
     cand = staged.join(F.broadcast(cell_map), "cell")
-    accept_interior = cand.filter(F.col("__interior")).drop(
-        "cell", "__interior"
-    )
-    # boundary candidates: exact crossing parity via broadcast
-    # edge join + map-side-combined parity aggregate (rule 19)
-    bcand = cand.filter(~F.col("__interior")).drop(
-        "cell", "__interior"
-    )
+    # ONE pass over the point side: edges attach only to boundary
+    # candidates (the left-join condition carries NOT __interior),
+    # so interior hits flow through null-extended with zero
+    # per-edge work while boundary hits get the exact crossing
+    # parity — all resolved by one map-side-combined aggregate
+    # (rule 19). A two-branch union would scan the (100 TB) point
+    # table twice; the aggregate's shuffle carries one row per
+    # (point, candidate polygon) either way.
+    edge_b = edge_tbl.withColumnRenamed("__pid", "__epid")
     pt_cols = [F.col(c) for c in points.columns]
-    crossed = (
-        bcand.join(F.broadcast(edge_tbl), "__pid")
-        .withColumn(
-            "__crossing",
-            F.when(
-                ((F.col("y1") > py) != (F.col("y2") > py))
-                & (
-                    px
-                    < F.col("x1")
-                    + (py - F.col("y1"))
-                    * (F.col("x2") - F.col("x1"))
-                    / (F.col("y2") - F.col("y1"))
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
+    crossing = F.when(
+        ((F.col("y1") > py) != (F.col("y2") > py))
+        & (
+            px
+            < F.col("x1")
+            + (py - F.col("y1"))
+            * (F.col("x2") - F.col("x1"))
+            / (F.col("y2") - F.col("y1"))
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    out = (
+        cand.join(
+            F.broadcast(edge_b),
+            (F.col("__pid") == F.col("__epid"))
+            & ~F.col("__interior"),
+            "left",
         )
+        .withColumn("__crossing", crossing)
         .groupBy(id_col, "__pid")
         .agg(
+            F.first("__interior").alias("__interior"),
             F.sum("__crossing").alias("__n_cross"),
             *[
                 F.first(c).alias(c)
@@ -706,10 +714,9 @@ def point_in_polygon_join(
                 if c != id_col
             ],
         )
-        .filter(F.col("__n_cross") % 2 == 1)
+        .filter(
+            F.col("__interior") | (F.col("__n_cross") % 2 == 1)
+        )
         .select(*pt_cols, "__pid")
-    )
-    out = accept_interior.select(*pt_cols, "__pid").unionByName(
-        crossed
     )
     return out.withColumnRenamed("__pid", poly_id_col)

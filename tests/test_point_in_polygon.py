@@ -113,6 +113,33 @@ class TestPointInPolygon:
             spark, POLYS, 32
         )
 
+    def test_empty_layer_raises(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1, 2, 3)], "pid long, x long, y long"
+        )
+        with _pytest.raises(ValueError):
+            point_in_polygon_join(
+                df, [], id_col="pid", x_col="x", y_col="y"
+            )
+
+    def test_points_outside_layer_bbox_drop_out(self, spark):
+        # points far outside the layer bbox must not be clamped
+        # into edge cells (the bbox filter runs BEFORE the cell
+        # floor/clamp)
+        df = spark.createDataFrame(
+            [(1, -500, -500), (2, 10_000, 3), (3, 20, 30)],
+            "pid long, x long, y long",
+        )
+        got = {
+            (r.pid, r.poly_id)
+            for r in point_in_polygon_join(
+                df, POLYS, id_col="pid", x_col="x", y_col="y"
+            ).collect()
+        }
+        assert got == {(3, "holed_box")}
+
     def test_round_trips_through_shapefile(self, spark, tmp_path):
         """Parse the layer back out of a real .shp written by the
         minimal ESRI writer: rings from read_shp drive the operator
