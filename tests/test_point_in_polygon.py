@@ -140,6 +140,71 @@ class TestPointInPolygon:
         }
         assert got == {(3, "holed_box")}
 
+    def test_property_random_layers_match_replica(self, spark):
+        """Hypothesis sweep: arbitrary ring lists (degenerate,
+        zero-area, horizontal edges, duplicate vertices, concave,
+        self-intersecting — even-odd is defined for all of them)
+        over an integer point grid must match the pure-Python
+        ray-cast replica at both the all-boundary and the gridded
+        prune settings."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        # vertices on the half-integer grid; points on the integer
+        # grid -> no point ever lies exactly on an edge
+        vertex = st.tuples(
+            st.integers(0, 30).map(lambda v: v + 0.5),
+            st.integers(0, 30).map(lambda v: v + 0.5),
+        )
+        ring = st.lists(vertex, min_size=3, max_size=7)
+        polygon = st.lists(ring, min_size=1, max_size=2)
+        layer = st.lists(polygon, min_size=1, max_size=2)
+
+        pts = [
+            (i, x, y)
+            for i, (x, y) in enumerate(
+                (x, y)
+                for x in range(0, 32, 4)
+                for y in range(0, 32, 4)
+            )
+        ]
+        pdf = spark.createDataFrame(
+            pts, "pid long, x long, y long"
+        ).localCheckpoint()
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(layer)
+        def run(polys):
+            named = [(f"p{i}", r) for i, r in enumerate(polys)]
+            edges = {
+                p: list(_ring_edges(r)) for p, r in named
+            }
+            exp = {
+                (pid, poly)
+                for pid, x, y in pts
+                for poly, es in edges.items()
+                if _ray_cast(float(x), float(y), es)
+            }
+            for n_cells in (1, 6):
+                got = {
+                    (r.pid, r.poly_id)
+                    for r in point_in_polygon_join(
+                        pdf,
+                        named,
+                        id_col="pid",
+                        x_col="x",
+                        y_col="y",
+                        n_cells=n_cells,
+                    ).collect()
+                }
+                assert got == exp, (n_cells, sorted(got ^ exp))
+
+        run()
+
     def test_round_trips_through_shapefile(self, spark, tmp_path):
         """Parse the layer back out of a real .shp written by the
         minimal ESRI writer: rings from read_shp drive the operator

@@ -54,6 +54,7 @@ COSTS = {
     "test_reference_semantics.py": 20,
     "test_codecs.py": 15,
     "test_multimodal_golden.py": 12,
+    "test_point_in_polygon.py": 65,
 }
 DEFAULT_COST = 10
 
