@@ -1399,3 +1399,127 @@ def points_per_polygon(
             "max_point_id",
         )
     )
+
+
+def _polygon_edge_rows_scaled():
+    """(poly_id, ring_idx, 2*x1, 2*y1, 2*x2, 2*y2) for every edge
+    of the literal layer — coordinates doubled so every value is an
+    exact integer (vertices sit on the half-integer grid)."""
+    rows = []
+    for pid, rings in _PIP_POLYGONS:
+        for ri, ring in enumerate(rings):
+            closed = (
+                list(ring) + [ring[0]]
+                if ring and ring[0] != ring[-1]
+                else list(ring)
+            )
+            for (x1, y1), (x2, y2) in zip(closed[:-1], closed[1:]):
+                rows.append(
+                    (
+                        pid,
+                        ri,
+                        int(round(2 * x1)),
+                        int(round(2 * y1)),
+                        int(round(2 * x2)),
+                        int(round(2 * y2)),
+                    )
+                )
+    return rows
+
+
+def _polygon_geometry_oracle() -> str:
+    rows = ", ".join(
+        f"('{p}', {r}, {a}, {b}, {c}, {d})"
+        for p, r, a, b, c, d in _polygon_edge_rows_scaled()
+    )
+    return f"""
+        WITH e0(poly_id, ring_idx, x1, y1, x2, y2) AS
+            (VALUES {rows}),
+        e AS (
+            SELECT poly_id, ring_idx,
+                   CAST(x1 AS BIGINT) AS x1,
+                   CAST(y1 AS BIGINT) AS y1,
+                   CAST(x2 AS BIGINT) AS x2,
+                   CAST(y2 AS BIGINT) AS y2
+            FROM e0
+        ),
+        s AS (
+            SELECT poly_id,
+                   CAST(count(DISTINCT ring_idx) AS BIGINT)
+                       AS n_rings,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(x1 * y2 - x2 * y1) AS BIGINT) AS a4,
+                   CAST(sum((x1 + x2) * (x1 * y2 - x2 * y1))
+                        AS BIGINT) AS cx8,
+                   CAST(sum((y1 + y2) * (x1 * y2 - x2 * y1))
+                        AS BIGINT) AS cy8
+            FROM e GROUP BY poly_id
+        )
+        SELECT poly_id, n_rings, n_edges,
+               CAST(abs(a4) AS DOUBLE) / 8.0 AS area,
+               CASE WHEN a4 <> 0 THEN
+                   CAST(cx8 AS DOUBLE) / CAST(6 * a4 AS DOUBLE)
+               END AS centroid_x,
+               CASE WHEN a4 <> 0 THEN
+                   CAST(cy8 AS DOUBLE) / CAST(6 * a4 AS DOUBLE)
+               END AS centroid_y
+        FROM s
+    """
+
+
+@register(
+    "polygon_geometry_report",
+    oracle=_polygon_geometry_oracle(),
+    ops=("M5", "A1"),
+)
+def polygon_geometry_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signed-shoelace AREA + area-weighted CENTROID per polygon —
+    the exact-arithmetic twin of sources/shapefile.polygon_centroid
+    (reference: temperaturas_rm.py:114-119 takes comuna centroids),
+    oracle-checked where the shapefile path can only be test-pinned
+    (DuckDB cannot read .shp). Doubling the half-integer vertex
+    grid makes every shoelace term an exact BIGINT: area =
+    |Σ cross4| / 8 and centroid = Σ(x1+x2)·cross4 / (6·Σ cross4),
+    each a single portable IEEE division at the end (rule 1
+    discipline; signed semantics identical to polygon_centroid —
+    a ring wound like its shell ADDS, pinned by the parity test).
+    The layer is dimension-sized; the whole query lives in
+    edge-value space."""
+    edges = spark.createDataFrame(
+        _polygon_edge_rows_scaled(),
+        "poly_id string, ring_idx int, x1 long, y1 long, "
+        "x2 long, y2 long",
+    )
+    cross = F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+    s = edges.groupBy("poly_id").agg(
+        F.countDistinct("ring_idx").cast("bigint").alias("n_rings"),
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(cross).cast("bigint").alias("a4"),
+        F.sum((F.col("x1") + F.col("x2")) * cross)
+        .cast("bigint")
+        .alias("cx8"),
+        F.sum((F.col("y1") + F.col("y2")) * cross)
+        .cast("bigint")
+        .alias("cy8"),
+    )
+    nz = F.col("a4") != 0
+    return s.select(
+        "poly_id",
+        "n_rings",
+        "n_edges",
+        (F.abs(F.col("a4")).cast("double") / F.lit(8.0)).alias(
+            "area"
+        ),
+        F.when(
+            nz,
+            F.col("cx8").cast("double")
+            / (F.col("a4") * 6).cast("double"),
+        ).alias("centroid_x"),
+        F.when(
+            nz,
+            F.col("cy8").cast("double")
+            / (F.col("a4") * 6).cast("double"),
+        ).alias("centroid_y"),
+    )

@@ -270,6 +270,7 @@ HEADLINE = [
     "unigram_seed_vocab",
     "multimodal_frame_manifest",
     "points_per_polygon",
+    "polygon_geometry_report",
 ]
 
 

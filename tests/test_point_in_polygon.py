@@ -205,6 +205,41 @@ class TestPointInPolygon:
 
         run()
 
+    def test_geometry_report_matches_polygon_centroid(
+        self, spark
+    ):
+        """polygon_geometry_report's exact-integer shoelace must
+        agree with sources/shapefile.polygon_centroid (float
+        accumulation) on the registered layer, and the areas must
+        match a direct shoelace recomputation."""
+        from afg_data_pipeline_spark.plans import REGISTRY
+        from afg_data_pipeline_spark.plans.reference_semantics import (
+            _PIP_POLYGONS,
+        )
+        from afg_data_pipeline_spark.sources.shapefile import (
+            polygon_centroid,
+        )
+
+        got = {
+            r.poly_id: r
+            for r in REGISTRY["polygon_geometry_report"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+        assert set(got) == {p for p, _ in _PIP_POLYGONS}
+        for pid, rings in _PIP_POLYGONS:
+            cx, cy = polygon_centroid(rings)
+            r = got[pid]
+            assert abs(r.centroid_x - cx) < 1e-9 * max(1, abs(cx))
+            assert abs(r.centroid_y - cy) < 1e-9 * max(1, abs(cy))
+            a2 = sum(
+                x0 * y1 - x1 * y0
+                for ring in rings
+                for (x0, y0), (x1, y1) in zip(ring, ring[1:])
+            )
+            assert abs(r.area - abs(a2) / 2) < 1e-9
+            assert r.n_rings == len(rings)
+
     def test_round_trips_through_shapefile(self, spark, tmp_path):
         """Parse the layer back out of a real .shp written by the
         minimal ESRI writer: rings from read_shp drive the operator
