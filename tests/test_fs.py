@@ -19,6 +19,24 @@ class TestStoreExists:
         d.mkdir()
         assert store_exists(spark, str(d))
 
+    def test_delete_path_recursive_and_scheme_aware(
+        self, spark, tmp_path
+    ):
+        from afg_data_pipeline_spark.fs import (
+            delete_path,
+            store_exists,
+        )
+
+        d = tmp_path / "store" / "batch_id=3"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+        uri = "file://" + str(d)
+        assert delete_path(spark, uri) is True
+        assert not d.exists()
+        assert not store_exists(spark, uri)
+        # deleting a missing path reports False, never raises
+        assert delete_path(spark, uri) is False
+
     def test_file_uri_where_os_path_exists_is_blind(
         self, spark, tmp_path
     ):
