@@ -351,23 +351,20 @@ def compact_parquet(
     result stable across schema/compression changes. coalesce (not
     repartition): compaction must not pay a shuffle.
     """
-    import glob as _glob
+    # scheme-aware listing (rule 24): a driver-local glob on an
+    # HDFS/S3A source would see 0 bytes and coalesce(1) the whole
+    # input — the sinks/compaction lesson, shared here.
+    from afg_data_pipeline_spark.sinks.compaction import (
+        _list_files,
+    )
 
-    files = [
-        f
-        for f in _glob.glob(f"{source_dir}/**/*.parquet", recursive=True)
-        if os.path.isfile(f)
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    total_bytes = sum(
+        sz for _f, sz in _list_files(spark, source_dir)
+    )
     n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(source_dir)
     df.coalesce(n_out).write.mode("overwrite").parquet(target_dir)
-    out = [
-        f
-        for f in _glob.glob(f"{target_dir}/*.parquet")
-        if os.path.isfile(f)
-    ]
-    return len(out)
+    return len(_list_files(spark, target_dir))
 
 
 def write_bucketed_table(
