@@ -3460,6 +3460,64 @@ def multimodal_audio_features(
 
 
 @register(
+    "multimodal_audio_manifest",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, md5(text) AS hx FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   (strpos('0123456789abcdef',
+                           substr(hx, 15, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                             substr(hx, 16, 1)) - 1) AS lastbyte
+            FROM m
+        )
+        SELECT doc_id,
+               CAST(44 + 2 * (800 + lastbyte) AS INTEGER)
+                   AS container_bytes,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(800 + lastbyte AS BIGINT) AS n_frames
+        FROM b
+    """,
+    ops=("MULTIMODAL",),
+)
+def multimodal_audio_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO MANIFEST, hash-exact — the oracle-checkable sibling of
+    the rows-only audio path (feature floats can't be recomputed in
+    SQL; container and PCM geometry can). The Spark side runs the
+    REAL pipeline — md5-seeded sine, PCM16 RIFF encode, pure-NumPy
+    RIFF decode — and exposes the container byte length plus the
+    decoder's (sample_rate, n_frames); the oracle recomputes them
+    closed-form (synth_wav_for_text: n = 800 + last md5 byte;
+    PCM16 mono container = 44-byte canonical RIFF header + 2n). A
+    drift anywhere in the encoder's chunk layout or the decoder's
+    frame accounting turns this row red — the audio twin of
+    multimodal_frame_manifest."""
+    from afg_data_pipeline_spark.operators.multimodal import (
+        attach_synth_wav,
+        audio_feature_extract,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    # media feeds the container projection AND the decode: one
+    # checkpoint or the synth+encode mapInPandas runs twice
+    # (rule 12).
+    media = attach_synth_wav(docs).localCheckpoint(eager=False)
+    container = media.select(
+        "doc_id", F.length("media").alias("container_bytes")
+    )
+    decoded = audio_feature_extract(media).select(
+        "doc_id", "sample_rate", "n_frames"
+    )
+    return container.join(decoded, "doc_id").select(
+        "doc_id", "container_bytes", "sample_rate", "n_frames"
+    )
+
+
+@register(
     "multimodal_image_pipeline",
     oracle=None,  # real BMP codec; DuckDB cannot decode BMP bytes
     ops=("MULTIMODAL",),

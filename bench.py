@@ -271,6 +271,7 @@ HEADLINE = [
     "multimodal_frame_manifest",
     "points_per_polygon",
     "polygon_geometry_report",
+    "multimodal_audio_manifest",
 ]
 
 
