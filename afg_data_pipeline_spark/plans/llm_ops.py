@@ -3517,6 +3517,148 @@ def multimodal_audio_manifest(
     )
 
 
+def _pixel_histogram_oracle() -> str:
+    """Closed-form PIXEL-VALUE oracle: the synth raster is an
+    arithmetic gradient (codecs.synth_bmp_for_text — r = x*255 //
+    (w-1), g = y*255 // (h-1), b = (x+y+seed) % 256 with seed%256
+    = the last md5 byte), so the full decoded-RGB histogram is
+    computable in SQL. This checks pixel VALUES through the real
+    codecs, not just geometry.
+
+    One generator quirk, replicated faithfully: for seeds >= 2^63
+    (first md5 nibble >= 8) numpy upcasts ``xx + yy + seed`` to
+    float64, whose spacing at that magnitude is a multiple of
+    1024 — the sum rounds to a multiple of 1024 and ``% 256`` is
+    EXACTLY 0, so the whole b channel decodes as 0 for ~half the
+    corpus. The golden tests pin that actual behavior; the oracle
+    must too (measured: a naive (x+y+lastb)%256 oracle mismatched
+    15203 vs 15749 rows at sf0.01)."""
+    nib = (
+        "(strpos('0123456789abcdef', substr(hx, {k}, 1)) - 1)"
+    )
+    a_terms = " + ".join(
+        f"{nib.format(k=k + 1)} * {16 ** (13 - k)}"
+        for k in range(14)
+    )
+    b_expr = f"{nib.format(k=15)} * 16 + {nib.format(k=16)}"
+    return f"""
+        WITH m AS (
+            SELECT doc_id, md5(text) AS hx FROM documents
+        ),
+        ab AS (
+            SELECT doc_id,
+                   CAST({a_terms} AS BIGINT) AS a,
+                   CAST({b_expr} AS BIGINT) AS lastb,
+                   CAST(CASE WHEN {nib.format(k=1)} >= 8
+                        THEN 1 ELSE 0 END AS BIGINT) AS bigseed
+            FROM m
+        ),
+        dims AS (
+            SELECT doc_id, lastb, bigseed,
+                   CAST(8 + ((a % 25) * 256 + lastb) % 25
+                        AS BIGINT) AS w,
+                   CAST(8 + (a % 17) AS BIGINT) AS h
+            FROM ab
+        ),
+        px AS (
+            SELECT doc_id, w, h, lastb, bigseed,
+                   unnest(generate_series(0, w - 1)) AS x
+            FROM dims
+        ),
+        pxy AS (
+            SELECT doc_id, w, h, lastb, bigseed, x,
+                   unnest(generate_series(0, h - 1)) AS y
+            FROM px
+        ),
+        chan AS (
+            SELECT doc_id, 'r' AS channel,
+                   (x * 255) // (w - 1) AS v
+            FROM pxy
+            UNION ALL
+            SELECT doc_id, 'g', (y * 255) // (h - 1) FROM pxy
+            UNION ALL
+            SELECT doc_id, 'b',
+                   CASE WHEN bigseed = 1 THEN 0
+                        ELSE (x + y + lastb) % 256 END
+            FROM pxy
+        )
+        SELECT doc_id, channel,
+               CAST(v // 16 AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM chan
+        GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "multimodal_pixel_histogram",
+    oracle=_pixel_histogram_oracle(),
+    ops=("MULTIMODAL",),
+)
+def multimodal_pixel_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PIXEL-VALUE CERTIFICATION of the image codecs, hash-exact:
+    decode the mixed BMP/PNG corpus (even doc_ids ride the
+    uncompressed codec, odd the real zlib PNG) and emit each
+    document's per-channel 16-bin byte histogram; the oracle
+    recomputes every pixel from the synth gradient's closed form.
+    Any wrong byte anywhere in either decoder — BMP row padding,
+    PNG defiltering, palette/alpha handling — moves a bin count
+    and turns the row red. Completes the manifest siblings
+    (geometry) with a VALUES-level exact check; the remaining
+    rows-only image queries pin float features the gradient's
+    integer form can't reach.
+
+    Scale shape: one mapInPandas decode pass (Arrow-batched,
+    pre-expansion repartition inside attach_synth_bmp), histogram
+    computed per batch in numpy, output 48 rows/doc max —
+    media bytes never cross a shuffle."""
+    from collections.abc import Iterator
+
+    from afg_data_pipeline_spark.operators.multimodal import (
+        attach_synth_bmp,
+        decode_raster,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    media = attach_synth_bmp(docs)
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, chans, bins, ns = [], [], [], []
+            for doc_id, m, meta in zip(
+                pdf["doc_id"], pdf["media"], pdf["meta"]
+            ):
+                arr = decode_raster(bytes(m), meta["format"])
+                for ci, cname in enumerate("rgb"):
+                    counts = np.bincount(
+                        arr[:, :, ci].reshape(-1) // 16,
+                        minlength=16,
+                    )
+                    for bi in np.nonzero(counts)[0]:
+                        ids.append(doc_id)
+                        chans.append(cname)
+                        bins.append(int(bi))
+                        ns.append(int(counts[bi]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": chans,
+                    "bin": bins,
+                    "n": ns,
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="doc_id long, channel string, bin int, n long",
+    )
+
+
 @register(
     "multimodal_image_pipeline",
     oracle=None,  # real BMP codec; DuckDB cannot decode BMP bytes

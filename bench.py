@@ -272,6 +272,7 @@ HEADLINE = [
     "points_per_polygon",
     "polygon_geometry_report",
     "multimodal_audio_manifest",
+    "multimodal_pixel_histogram",
 ]
 
 
