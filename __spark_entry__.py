@@ -147,7 +147,6 @@ def _coverage_order(names: list[str]) -> list[str]:
         # unigram token_ids string-projected; frame payload
         # projected to md5/length scalars:
         "unigram_tokenize": 8,
-        "multimodal_frame_sample": 8,
         # round-8 oracle upgrade: full train+encode CTE oracle,
         # registered query re-pinned at n_merges=3 (r7 verdict #5):
         "wordpiece_encode_stats": 8,
@@ -165,15 +164,27 @@ def _coverage_order(names: list[str]) -> list[str]:
         "classifier_kappa": 8,
         "label_noise_report": 8,
         "score_calibration_bins": 8,
-        # round-9 sampled tier (md5-ranked cap, sample_docs column
-        # added to the output schema — prior rows predate it):
-        "lsh_band_plan": 9,
         # round-9 grid completions rewritten to constant-key BHJs
-        # and the conformal degenerate-k guard (values unchanged,
-        # plans/code changed — re-certify):
+        # (values unchanged, plans/code changed — re-certify):
         "mi_feature_rank": 9,
         "ks_two_sample_drift": 9,
-        "conformal_filter_threshold": 9,
+        # round-10 ADVICE fixes: synth BMP b-channel now seed%256
+        # driver-side (values change for big-seed docs — every
+        # query reading decoded BMP pixels re-certifies);
+        # lsh_band_plan's sample_docs now counts the pre-shingle
+        # sample; conformal empty-eval guard; point_in_polygon
+        # reserved-name guard (plan unchanged, module changed):
+        "multimodal_pixel_histogram": 10,
+        "multimodal_frame_manifest": 10,
+        "multimodal_frame_sample": 10,
+        "multimodal_features": 10,
+        "multimodal_image_pipeline": 10,
+        "image_phash_near_dup": 10,
+        "lsh_band_plan": 10,
+        "conformal_filter_threshold": 10,
+        "point_in_polygon": 10,
+        "points_per_polygon": 10,
+        "polygon_geometry_report": 10,
     }
 
     # Verdict-r7 #2: the driver window MUST sample the fixed red

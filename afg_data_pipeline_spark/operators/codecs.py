@@ -386,7 +386,12 @@ def synth_bmp_for_text(text: str) -> bytes:
     yy, xx = np.mgrid[0:h, 0:w]
     r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
     g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
-    b = ((xx + yy + seed) % 256).astype(np.uint8)
+    # seed is reduced mod 256 DRIVER-side (python int) before it
+    # meets numpy: the former ``xx + yy + seed`` upcast to float64
+    # for seeds >= 2^63 under numpy 1.x (b decoded as exactly 0 for
+    # ~half the corpus) and raises OverflowError under numpy 2 /
+    # NEP 50 — this form is value-stable across numpy versions.
+    b = ((xx + yy + seed % 256) % 256).astype(np.uint8)
     return encode_bmp(np.stack([r, g, b], axis=2))
 
 

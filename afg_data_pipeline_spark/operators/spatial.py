@@ -578,6 +578,22 @@ def point_in_polygon_join(
     """
     if not polygons:
         raise ValueError("point_in_polygon_join: no polygons")
+    # Contract: ``id_col`` must be UNIQUE per point row — the
+    # parity aggregate groups by it and F.first-carries the other
+    # columns, so duplicate ids would silently merge into one
+    # (arbitrary-carry) row.  Internal working names must not
+    # collide with point columns either (ambiguous-reference or
+    # wrong join keys otherwise) — fail loudly up front.
+    _reserved = {
+        "cell", "__pid", "__interior", "__epid",
+        "__crossing", "__n_cross", "x1", "y1", "x2", "y2",
+    }
+    clash = _reserved.intersection(points.columns)
+    if clash:
+        raise ValueError(
+            "point_in_polygon_join: points columns collide with "
+            f"internal names: {sorted(clash)}; rename them first"
+        )
     spark = points.sparkSession
     # --- driver-side precompute over the dimension-sized layer ---
     poly_edges: dict = {

@@ -3525,14 +3525,11 @@ def _pixel_histogram_oracle() -> str:
     computable in SQL. This checks pixel VALUES through the real
     codecs, not just geometry.
 
-    One generator quirk, replicated faithfully: for seeds >= 2^63
-    (first md5 nibble >= 8) numpy upcasts ``xx + yy + seed`` to
-    float64, whose spacing at that magnitude is a multiple of
-    1024 — the sum rounds to a multiple of 1024 and ``% 256`` is
-    EXACTLY 0, so the whole b channel decodes as 0 for ~half the
-    corpus. The golden tests pin that actual behavior; the oracle
-    must too (measured: a naive (x+y+lastb)%256 oracle mismatched
-    15203 vs 15749 rows at sf0.01)."""
+    (r10: the generator now reduces the seed mod 256 driver-side
+    before it meets numpy — the former big-seed float64 upcast
+    that zeroed the b channel for ~half the corpus was numpy-1.x
+    behavior and raises under numpy 2 / NEP 50 — so the oracle is
+    the plain closed form with no bigseed branch.)"""
     nib = (
         "(strpos('0123456789abcdef', substr(hx, {k}, 1)) - 1)"
     )
@@ -3548,25 +3545,23 @@ def _pixel_histogram_oracle() -> str:
         ab AS (
             SELECT doc_id,
                    CAST({a_terms} AS BIGINT) AS a,
-                   CAST({b_expr} AS BIGINT) AS lastb,
-                   CAST(CASE WHEN {nib.format(k=1)} >= 8
-                        THEN 1 ELSE 0 END AS BIGINT) AS bigseed
+                   CAST({b_expr} AS BIGINT) AS lastb
             FROM m
         ),
         dims AS (
-            SELECT doc_id, lastb, bigseed,
+            SELECT doc_id, lastb,
                    CAST(8 + ((a % 25) * 256 + lastb) % 25
                         AS BIGINT) AS w,
                    CAST(8 + (a % 17) AS BIGINT) AS h
             FROM ab
         ),
         px AS (
-            SELECT doc_id, w, h, lastb, bigseed,
+            SELECT doc_id, w, h, lastb,
                    unnest(generate_series(0, w - 1)) AS x
             FROM dims
         ),
         pxy AS (
-            SELECT doc_id, w, h, lastb, bigseed, x,
+            SELECT doc_id, w, h, lastb, x,
                    unnest(generate_series(0, h - 1)) AS y
             FROM px
         ),
@@ -3577,9 +3572,7 @@ def _pixel_histogram_oracle() -> str:
             UNION ALL
             SELECT doc_id, 'g', (y * 255) // (h - 1) FROM pxy
             UNION ALL
-            SELECT doc_id, 'b',
-                   CASE WHEN bigseed = 1 THEN 0
-                        ELSE (x + y + lastb) % 256 END
+            SELECT doc_id, 'b', (x + y + lastb) % 256
             FROM pxy
         )
         SELECT doc_id, channel,
@@ -5873,7 +5866,11 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         "matches",
     ).select("s.*", "matches")
-    n_sample = sigs.agg(
+    # sample_docs counts the PRE-shingle sample (= the oracle's
+    # count(*) FROM sample): counting sigs instead would diverge on
+    # corpora where degenerate text (NULL / shingle-less) drops a
+    # doc from the signature table but not from the sample.
+    n_sample = sampled.agg(
         F.count(F.lit(1)).cast("bigint").alias("sample_docs")
     )
     return (

@@ -2709,6 +2709,12 @@ def conformal_filter_threshold(
     ).collect()[0]
     row_t = row
     row_a = row
+    # Empty eval split (doc_id % 4 == 3 matches nothing): the
+    # sums above are NULL, so int(None) would TypeError and the
+    # coverage divisions are 0/0 — degrade to the empty schema,
+    # matching the empty-alphas guard (ADVICE r9).
+    if row_t["n_eval"] is None or int(row_t["n_eval"]) == 0:
+        return spark.createDataFrame([], schema)
     n_eval = int(row_t["n_eval"])
     out = [
         (
