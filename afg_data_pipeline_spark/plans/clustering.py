@@ -915,3 +915,119 @@ def kcenter_coreset_select(
     return out.select(
         F.col("round").alias("sel_round"), "vec_id", "dist_sq"
     )
+
+
+_CONTAM_EVAL_SETS = ("src0", "src1")
+_CONTAM_TAU = 0.40
+_CONTAM_CAND_K = 20
+
+
+@register(
+    "embedding_contamination_audit",
+    oracle=f"""
+        WITH tagged AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding, d.source
+            FROM embeddings e JOIN documents d
+              ON e.vec_id = d.doc_id
+        ),
+        ham AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> CASE WHEN (q.embedding[i] > 0)
+                                  <> (c.embedding[i] > 0)
+                             THEN 1 ELSE 0 END)) AS INTEGER)
+                       AS hamming
+            FROM tagged q CROSS JOIN tagged c
+            WHERE q.source IN ('src0', 'src1')
+              AND c.source NOT IN ('src0', 'src1')
+        ),
+        cand AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY hamming ASC, neighbor_id ASC
+                       ) AS rn
+                FROM ham) WHERE rn <= {_CONTAM_CAND_K}
+        ),
+        vecs AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)),
+                       'sum')) AS nrm
+            FROM embeddings
+        ),
+        best AS (
+            SELECT k.query_id,
+                   max(list_aggregate(list_transform(
+                       generate_series(1, len(q.embedding)),
+                       i -> CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE)),
+                       'sum') / (q.nrm * c.nrm)) AS max_cos
+            FROM cand k
+            JOIN vecs q ON q.vec_id = k.query_id
+            JOIN vecs c ON c.vec_id = k.neighbor_id
+            GROUP BY k.query_id
+        ),
+        flags AS (
+            SELECT t.source AS eval_set, b.max_cos
+            FROM tagged t LEFT JOIN best b
+              ON b.query_id = t.vec_id
+            WHERE t.source IN ('src0', 'src1')
+        )
+        SELECT eval_set,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN max_cos >= {_CONTAM_TAU}
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+               CAST(sum(CASE WHEN max_cos >= {_CONTAM_TAU}
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)
+                   AS frac_contaminated,
+               max(max_cos) AS max_cosine,
+               CAST({_CONTAM_TAU} AS DOUBLE) AS threshold
+        FROM flags
+        GROUP BY eval_set
+    """,
+    ops=("ANN", "DEDUP", "A1"),
+)
+def embedding_contamination_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDING-SPACE contamination audit — per benchmark (the
+    src0/src1 eval slices of contamination_report), the fraction
+    of eval examples with a TRAINING neighbor above cosine 0.40.
+    This is the paraphrase-leak direction the n-gram queries
+    (eval_decontamination, contamination_report) structurally
+    miss: a reworded eval example shares no 3-grams with its
+    training twin but sits next to it in embedding space.
+
+    operators/similarity.embedding_contamination_report — a pure
+    composition of the two certified funnel tiers (Hamming
+    candidates, exact-cosine rerank of only those); the oracle
+    replicates the same funnel CTE-for-CTE (hamming_topk's pair
+    count + ann_funnel_topk's sequential-fold cosine), so the row
+    is bit-exact, and the tier's recall is separately MEASURED by
+    ann_recall_audit rather than assumed here."""
+    from afg_data_pipeline_spark.operators.similarity import (
+        embedding_contamination_report,
+    )
+
+    emb = read_star_table(spark, "embeddings", sf_dir)
+    docs = read_star_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("source").alias("eval_set"),
+    )
+    tagged = emb.join(docs, "vec_id")
+    is_eval = F.col("eval_set").isin(*_CONTAM_EVAL_SETS)
+    return embedding_contamination_report(
+        tagged.filter(is_eval),
+        tagged.filter(~is_eval),
+        set_col="eval_set",
+        threshold=_CONTAM_TAU,
+        cand_k=_CONTAM_CAND_K,
+        dim=64,
+    )

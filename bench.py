@@ -273,6 +273,8 @@ HEADLINE = [
     "polygon_geometry_report",
     "multimodal_audio_manifest",
     "multimodal_pixel_histogram",
+    # round-10 additions
+    "embedding_contamination_audit",
 ]
 
 
