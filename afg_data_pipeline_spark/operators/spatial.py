@@ -736,3 +736,247 @@ def point_in_polygon_join(
         .select(*pt_cols, "__pid")
     )
     return out.withColumnRenamed("__pid", poly_id_col)
+
+
+# ---------------------------------------------------------------------------
+# Area-weighted polygon -> polygon reaggregation (areal interpolation)
+# ---------------------------------------------------------------------------
+
+
+def _signed_area2(pts) -> float:
+    """Twice the signed shoelace area of an OPEN ring."""
+    n = len(pts)
+    tot = 0.0
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        tot += x1 * y2 - x2 * y1
+    return tot
+
+
+def _convex_ccw(poly) -> list:
+    """Normalize a convex ring to OPEN CCW order; raise loudly on
+    non-convex input (the Sutherland-Hodgman clip below is only
+    correct against a convex clip region)."""
+    pts = [
+        (float(x), float(y)) for x, y in _close_ring(list(poly))
+    ][:-1]
+    if len(pts) < 3:
+        raise ValueError("areal: clip polygon needs >= 3 vertices")
+    if _signed_area2(pts) < 0:
+        pts = pts[::-1]
+    n = len(pts)
+    for i in range(n):
+        ax, ay = pts[i]
+        bx, by = pts[(i + 1) % n]
+        cx, cy = pts[(i + 2) % n]
+        if (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) < 0:
+            raise ValueError(
+                "areal: target zone is not convex; split it "
+                "(rectilinear grids and convex zones only)"
+            )
+    return pts
+
+
+def _clip_ring(subject, clip_ccw) -> list:
+    """Sutherland-Hodgman: SUBJECT ring (any simple winding,
+    may be concave) clipped against a CONVEX CCW ring.
+
+    Intersection vertices use the determinant line-line form with
+    integer-exact products, so rectilinear integer layers produce
+    EXACTLY integer vertices (IEEE division of an integer-valued
+    numerator by its integer divisor is exact) — the property the
+    SQL oracle's closed-form rectangle intersection relies on.
+    A concave subject may emit coincident connector edges; the
+    enclosed (shoelace) area is still the exact intersection area.
+    """
+    out = list(subject)
+    n = len(clip_ccw)
+    for i in range(n):
+        ax, ay = clip_ccw[i]
+        bx, by = clip_ccw[(i + 1) % n]
+        if not out:
+            break
+        inp, out = out, []
+        ex, ey = bx - ax, by - ay
+
+        def _ins(p, _ex=ex, _ey=ey, _ax=ax, _ay=ay):
+            return (
+                _ex * (p[1] - _ay) - _ey * (p[0] - _ax) >= 0.0
+            )
+
+        def _cross(p, q, _ax=ax, _ay=ay, _bx=bx, _by=by):
+            x1, y1 = p
+            x2, y2 = q
+            d1 = x1 * y2 - y1 * x2
+            d2 = _ax * _by - _ay * _bx
+            den = (x1 - x2) * (_ay - _by) - (y1 - y2) * (
+                _ax - _bx
+            )
+            return (
+                (d1 * (_ax - _bx) - (x1 - x2) * d2) / den,
+                (d1 * (_ay - _by) - (y1 - y2) * d2) / den,
+            )
+
+        prev = inp[-1]
+        prev_in = _ins(prev)
+        for cur in inp:
+            cur_in = _ins(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(_cross(prev, cur))
+                out.append(cur)
+            elif prev_in:
+                out.append(_cross(prev, cur))
+            prev, prev_in = cur, cur_in
+    return out
+
+
+def _normalized_rings(rings):
+    """(open ring, sign) pairs: the largest-|area| ring is the
+    shell (+1); any other ring whose first vertex ray-casts inside
+    the shell is a hole (-1) REGARDLESS of stored winding (ESRI
+    winding conventions are unreliable in the wild); rings outside
+    the shell are additional shells (+1). Nested islands inside
+    holes are out of scope (raise-free: they'd sign as holes)."""
+    opens = [_close_ring(list(r))[:-1] for r in rings]
+    if not opens:
+        return []
+    areas = [abs(_signed_area2(r)) for r in opens]
+    shell_i = max(range(len(opens)), key=lambda i: areas[i])
+    shell_edges = list(
+        _ring_edges([opens[shell_i]])
+    )
+    out = []
+    for i, r in enumerate(opens):
+        if i == shell_i:
+            out.append((r, 1))
+        elif _ray_cast(r[0][0], r[0][1], shell_edges):
+            out.append((r, -1))
+        else:
+            out.append((r, 1))
+    return out
+
+
+def polygon_area(rings) -> float:
+    """Even-odd area of a multi-ring polygon under the shell/hole
+    normalization above."""
+    return sum(
+        sign * abs(_signed_area2(r)) / 2.0
+        for r, sign in _normalized_rings(rings)
+    )
+
+
+def polygon_intersection_area(rings, clip_poly) -> float:
+    """Exact intersection area of a (possibly holed, possibly
+    concave) polygon with a CONVEX clip polygon: each ring is
+    clipped independently and contributes its |clipped shoelace|
+    with the shell/hole sign."""
+    clip_ccw = _convex_ccw(clip_poly)
+    total = 0.0
+    for pts, sign in _normalized_rings(rings):
+        clipped = _clip_ring(pts, clip_ccw)
+        if len(clipped) >= 3:
+            total += sign * abs(_signed_area2(clipped)) / 2.0
+    return total
+
+
+def areal_weights(src_polygons, dst_polygons) -> list:
+    """Driver-side reaggregation matrix between two DIMENSION-sized
+    admin layers: (src_id, dst_id, inter_area, src_area) for every
+    overlapping pair. Source polygons may be concave and holed;
+    target zones must be convex (raise otherwise). Both layers are
+    polygon catalogs (thousands of rows), so the quadratic pair
+    loop and the clipping run on the driver and the matrix
+    broadcasts — the FACT-scale data never touches geometry."""
+    src_areas = {
+        pid: polygon_area(rings) for pid, rings in src_polygons
+    }
+    rows = []
+    for did, dring in dst_polygons:
+        clip = (
+            dring[0] if isinstance(dring, list) and dring
+            and isinstance(dring[0], list) else dring
+        )
+        for sid, rings in src_polygons:
+            inter = polygon_intersection_area(rings, clip)
+            if inter > 0.0:
+                rows.append(
+                    (sid, did, float(inter), float(src_areas[sid]))
+                )
+    return rows
+
+
+def areal_reaggregate(
+    quantities: DataFrame,
+    src_polygons,
+    dst_polygons,
+    id_col: str = "src_id",
+    qty_col: str = "q",
+    dst_id_col: str = "dst_id",
+) -> DataFrame:
+    """AREA-WEIGHTED REAGGREGATION (areal interpolation): apportion
+    a per-source-zone quantity onto a different zoning layer by
+    intersection-area share — value(B) = sum_A q(A) *
+    area(A inter B) / area(A). The standard re-basing step between
+    incompatible admin layers (census tract -> grid cell, comuna ->
+    service area; the reference's mobility notebook domain).
+
+    Output per target zone: n_src (contributing source zones),
+    shared_area (sum of intersection areas with contributing
+    sources), apportioned (double). Zones with no contribution
+    are KEPT with zeros.
+
+    Exactness: per-row contribution is quantized once to the 1e9
+    integer grid (rule 1b — ((q*inter)/src_area)*1e9, identical
+    IEEE expression on both engines) and summed in DECIMAL(38,0)
+    (ANSI-safe for any corpus); the final division is one portable
+    double op. Scale shape: the weight matrix is dimension-sized
+    and BROADCASTS; the quantity table (the only fact-scale input)
+    takes one broadcast-hash join and one map-side-combinable
+    aggregate keyed by the handful of zone ids — no shuffle of
+    anything corpus-sized. Per-row q*1e9 must stay under 2^63
+    (q < 9.2e9 per zone), which any real per-zone quantity does.
+    """
+    spark = quantities.sparkSession
+    wrows = areal_weights(src_polygons, dst_polygons)
+    wdf = spark.createDataFrame(
+        wrows,
+        f"{id_col} string, {dst_id_col} string, "
+        "inter_area double, src_area double",
+    )
+    contrib_q = F.round(
+        F.col(qty_col).cast("double")
+        * F.col("inter_area")
+        / F.col("src_area")
+        * F.lit(1000000000.0),
+        0,
+    ).cast("bigint")
+    agg = (
+        quantities.join(F.broadcast(wdf), id_col)
+        .groupBy(dst_id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_src"),
+            F.sum("inter_area").alias("shared_area"),
+            (
+                F.sum(contrib_q.cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(1000000000.0)
+            ).alias("apportioned"),
+        )
+    )
+    layer = spark.createDataFrame(
+        [(d,) for d, _ in dst_polygons], f"{dst_id_col} string"
+    )
+    return layer.join(agg, dst_id_col, "left").select(
+        dst_id_col,
+        F.coalesce(F.col("n_src"), F.lit(0))
+        .cast("bigint")
+        .alias("n_src"),
+        F.coalesce(F.col("shared_area"), F.lit(0.0)).alias(
+            "shared_area"
+        ),
+        F.coalesce(F.col("apportioned"), F.lit(0.0)).alias(
+            "apportioned"
+        ),
+    )

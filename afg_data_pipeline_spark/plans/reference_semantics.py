@@ -1523,3 +1523,183 @@ def polygon_geometry_report(
             / (F.col("a4") * 6).cast("double"),
         ).alias("centroid_y"),
     )
+
+
+# --- area-weighted polygon -> polygon reaggregation (r10) -----------------
+
+# Two incompatible rectilinear admin layers over the synthetic point
+# space ([0,997) x [0,991)): the SOURCE zoning (2x3) carries the
+# quantity, the TARGET zoning (3x3) is the re-basing request. Integer
+# cuts make every intersection area an exact BIGINT, so the DuckDB
+# oracle computes the weight matrix closed-form while the Spark side
+# runs the GENERAL Sutherland-Hodgman clipper — agreement certifies
+# the clipping arithmetic itself (intersection vertices land on
+# exact integers; see operators/spatial._clip_ring).
+_AREAL_SRC_CUTS_X = (0, 100, 600, 1000)
+_AREAL_SRC_CUTS_Y = (0, 500, 1000)
+_AREAL_DST_CUTS_X = (0, 350, 700, 1000)
+_AREAL_DST_CUTS_Y = (0, 330, 660, 1000)
+
+
+def _rect_layer(prefix, xcuts, ycuts):
+    out = []
+    for yi in range(len(ycuts) - 1):
+        for xi in range(len(xcuts) - 1):
+            x1, x2 = xcuts[xi], xcuts[xi + 1]
+            y1, y2 = ycuts[yi], ycuts[yi + 1]
+            out.append(
+                (
+                    f"{prefix}{yi}{xi}",
+                    [
+                        [
+                            (float(x1), float(y1)),
+                            (float(x2), float(y1)),
+                            (float(x2), float(y2)),
+                            (float(x1), float(y2)),
+                        ]
+                    ],
+                )
+            )
+    return out
+
+
+_AREAL_SRC = _rect_layer(
+    "S", _AREAL_SRC_CUTS_X, _AREAL_SRC_CUTS_Y
+)
+_AREAL_DST = _rect_layer(
+    "D", _AREAL_DST_CUTS_X, _AREAL_DST_CUTS_Y
+)
+
+
+def _areal_oracle() -> str:
+    from afg_data_pipeline_spark.operators.spatial import (
+        _ring_edges,
+    )
+
+    sedges = ", ".join(
+        f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for pid, rings in _AREAL_SRC
+        for x1, y1, x2, y2 in _ring_edges(rings)
+    )
+
+    def _rects(layer):
+        rows = []
+        for pid, rings in layer:
+            xs = [p[0] for p in rings[0]]
+            ys = [p[1] for p in rings[0]]
+            rows.append(
+                f"('{pid}', {min(xs)!r}, {min(ys)!r}, "
+                f"{max(xs)!r}, {max(ys)!r})"
+            )
+        return ", ".join(rows)
+
+    return f"""
+        WITH pts AS (
+            SELECT c_custkey AS point_id,
+                   CAST(c_custkey % 997 AS DOUBLE) AS px,
+                   CAST((c_custkey * 31) % 991 AS DOUBLE) AS py
+            FROM customer
+        ),
+        sedges(src_id, x1, y1, x2, y2) AS (VALUES {sedges}),
+        crossed AS (
+            SELECT p.point_id, e.src_id, count(*) AS n_cross
+            FROM pts p
+            JOIN sedges e
+              ON ((e.y1 > p.py) <> (e.y2 > p.py))
+             AND p.px < e.x1 + (p.py - e.y1) * (e.x2 - e.x1)
+                                / (e.y2 - e.y1)
+            GROUP BY 1, 2
+        ),
+        q AS (
+            SELECT src_id, CAST(count(*) AS BIGINT) AS q
+            FROM crossed WHERE n_cross % 2 = 1
+            GROUP BY 1
+        ),
+        srect(src_id, sx1, sy1, sx2, sy2)
+            AS (VALUES {_rects(_AREAL_SRC)}),
+        drect(dst_id, dx1, dy1, dx2, dy2)
+            AS (VALUES {_rects(_AREAL_DST)}),
+        w AS (
+            SELECT src_id, dst_id,
+                   CAST(GREATEST(0.0,
+                            LEAST(sx2, dx2) - GREATEST(sx1, dx1))
+                        * GREATEST(0.0,
+                            LEAST(sy2, dy2) - GREATEST(sy1, dy1))
+                        AS DOUBLE) AS inter_area,
+                   CAST((sx2 - sx1) * (sy2 - sy1) AS DOUBLE)
+                       AS src_area
+            FROM srect CROSS JOIN drect
+        ),
+        contrib AS (
+            SELECT w.dst_id, w.inter_area,
+                   CAST(round(CAST(q.q AS DOUBLE) * w.inter_area
+                              / w.src_area * 1000000000.0, 0)
+                        AS BIGINT) AS cq
+            FROM q JOIN w USING (src_id)
+            WHERE w.inter_area > 0.0
+        )
+        SELECT d.dst_id,
+               CAST(count(c.cq) AS BIGINT) AS n_src,
+               CAST(COALESCE(sum(c.inter_area), 0.0) AS DOUBLE)
+                   AS shared_area,
+               CAST(COALESCE(sum(c.cq), 0) AS DOUBLE)
+                   / 1000000000.0 AS apportioned
+        FROM drect d LEFT JOIN contrib c USING (dst_id)
+        GROUP BY 1
+    """
+
+
+@register(
+    "areal_reaggregation",
+    oracle=_areal_oracle(),
+    ops=("M5", "J3", "A1"),
+)
+def areal_reaggregation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AREA-WEIGHTED POLYGON->POLYGON REAGGREGATION (areal
+    interpolation): customer counts aggregated on the SOURCE admin
+    zoning are re-based onto an incompatible TARGET zoning by
+    intersection-area share — value(B) = sum_A q(A) *
+    area(A inter B) / area(A). The step after point_in_polygon in
+    the reference's demographic domain (the mobility notebook's
+    comuna-level population work, nb cells 16-29): "my data is per
+    comuna, my model needs it per grid cell".
+
+    Pipeline: point_in_polygon_join (grid-classified containment,
+    the certified r9 operator) rolls customers up per source zone;
+    operators/spatial.areal_weights runs the GENERAL
+    Sutherland-Hodgman clipper driver-side over the two
+    dimension-sized layers (concave + holed sources supported,
+    convex targets enforced loudly) and the weight matrix
+    BROADCASTS; one map-side-combinable aggregate keyed by the
+    handful of target ids produces the report — nothing
+    corpus-sized shuffles. Contributions quantize once to the 1e9
+    integer grid and sum in DECIMAL(38,0) (rules 1b, 11); the
+    oracle recomputes the weights closed-form (rect inter rect),
+    so a single wrong clip vertex anywhere turns the row red."""
+    from afg_data_pipeline_spark.operators.spatial import (
+        areal_reaggregate,
+    )
+
+    cust = read_star_table(spark, "customer", sf_dir)
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_custkey") % 997).cast("double").alias("px"),
+        ((F.col("c_custkey") * 31) % 991)
+        .cast("double")
+        .alias("py"),
+    )
+    hits = point_in_polygon_join(
+        pts,
+        _AREAL_SRC,
+        id_col="point_id",
+        x_col="px",
+        y_col="py",
+        poly_id_col="src_id",
+        n_cells=16,
+    )
+    q = hits.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("q")
+    )
+    return areal_reaggregate(q, _AREAL_SRC, _AREAL_DST)

@@ -275,6 +275,7 @@ HEADLINE = [
     "multimodal_pixel_histogram",
     # round-10 additions
     "embedding_contamination_audit",
+    "areal_reaggregation",
 ]
 
 
