@@ -4556,3 +4556,156 @@ def ks_two_sample_drift(
             ).alias("ks_stat"),
         )
     )
+
+
+def _fertility_families_oracle() -> str:
+    """Cross-family fertility oracle: the certified per-family
+    chains reused VERBATIM as scoped subqueries (the BPE chain is
+    tokenizer_fertility's oracle, the WordPiece chain is
+    wordpiece_encode_stats' full train+greedy-encode oracle), each
+    wrapped with a per-language bytes rollup and stamped with its
+    family literal. Name scoping is per-subquery, so the two WITH
+    chains (one RECURSIVE) cannot collide."""
+    from afg_data_pipeline_spark.plans.registry import REGISTRY
+
+    bpe = REGISTRY["tokenizer_fertility"].oracle
+    wp = REGISTRY["wordpiece_encode_stats"].oracle
+    return f"""
+        SELECT 'whitespace' AS family, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS n_words,
+               CAST(sum(nw) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(nb) AS BIGINT) AS n_bytes,
+               CAST(sum(nw) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)
+                   AS fertility,
+               CAST(sum(n_chars) AS DOUBLE)
+                   / CAST(sum(nw) AS DOUBLE) AS chars_per_token,
+               CAST(sum(nb) AS DOUBLE)
+                   / CAST(sum(nw) AS DOUBLE) AS bytes_per_token
+        FROM (
+            SELECT lang, n_chars, strlen(text) AS nb,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(
+                                 trim(text), '\\s+')) END AS nw
+            FROM documents)
+        GROUP BY lang
+        UNION ALL
+        SELECT 'bpe' AS family, f.lang, f.n_docs, f.n_words,
+               f.n_tokens, f.n_chars, b.n_bytes, f.fertility,
+               f.chars_per_token,
+               CAST(b.n_bytes AS DOUBLE)
+                   / CAST(f.n_tokens AS DOUBLE) AS bytes_per_token
+        FROM ({bpe}) f
+        JOIN (SELECT lang,
+                     CAST(sum(strlen(text)) AS BIGINT)
+                         AS n_bytes
+              FROM documents GROUP BY lang) b USING (lang)
+        UNION ALL
+        SELECT 'wordpiece' AS family, d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(COALESCE(e.n_words, 0)) AS BIGINT)
+                   AS n_words,
+               CAST(sum(COALESCE(e.n_pieces, 0)) AS BIGINT)
+                   AS n_tokens,
+               CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(strlen(d.text)) AS BIGINT)
+                   AS n_bytes,
+               CAST(sum(COALESCE(e.n_pieces, 0)) AS DOUBLE)
+                   / CAST(sum(COALESCE(e.n_words, 0)) AS DOUBLE)
+                   AS fertility,
+               CAST(sum(d.n_chars) AS DOUBLE)
+                   / CAST(sum(COALESCE(e.n_pieces, 0)) AS DOUBLE)
+                   AS chars_per_token,
+               CAST(sum(strlen(d.text)) AS DOUBLE)
+                   / CAST(sum(COALESCE(e.n_pieces, 0)) AS DOUBLE)
+                   AS bytes_per_token
+        FROM documents d LEFT JOIN ({wp}) e
+          ON e.doc_id = d.doc_id
+        GROUP BY d.lang
+    """
+
+
+@register(
+    "tokenizer_fertility_families",
+    oracle=_fertility_families_oracle(),
+    ops=("TOKENIZE", "A1"),
+)
+def tokenizer_fertility_families(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-FAMILY tokenizer fertility — the dataset-card table
+    comparing per-language tokens/word, chars/token and BYTES/token
+    across the tokenizer families side by side (whitespace
+    baseline, trained BPE, trained WordPiece — each at the
+    oracle-pinned n_merges=3), one row per (family, lang). The
+    standard release metric for "which languages does this
+    tokenizer under-serve, and by how much per family". The
+    unigram-LM family's fertility is derivable the same way from
+    the rows-only unigram_tokenize output (float EM — no SQL
+    oracle by design); the cross-family consistency test covers it
+    (tests/test_fertility_families.py).
+
+    One scan per family over the already-built encode outputs
+    (bpe_tokenize's broadcast word->ids join; wordpiece's
+    Arrow-batched distinct-word encode), each rolled up per
+    language with exact BIGINT sums; ratios are single double
+    divisions of exact integers (rule 1). All three branches reuse
+    certified machinery; the oracle reuses the certified CTE
+    chains verbatim as scoped subqueries."""
+    from afg_data_pipeline_spark.operators import text as TX
+    from afg_data_pipeline_spark.operators.bpe import bpe_tokenize
+    from afg_data_pipeline_spark.operators.wordpiece import (
+        wordpiece_encode_stats,
+    )
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(TX.tokens("text")))
+        .cast("bigint")
+        .alias("n_words"),
+    ).localCheckpoint(eager=False)
+
+    def _family(per_doc_tokens, family: str) -> DataFrame:
+        j = base.join(per_doc_tokens, "doc_id", "left")
+        n_words = F.sum(F.coalesce(F.col("n_words"), F.lit(0)))
+        n_tok = F.sum(F.coalesce(F.col("n_tok"), F.lit(0)))
+        n_chars = F.sum("n_chars")
+        n_bytes = F.sum("n_bytes")
+        return j.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            n_words.cast("bigint").alias("n_words"),
+            n_tok.cast("bigint").alias("n_tokens"),
+            n_chars.cast("bigint").alias("n_chars"),
+            n_bytes.cast("bigint").alias("n_bytes"),
+            (n_tok.cast("double") / n_words.cast("double"))
+            .alias("fertility"),
+            (n_chars.cast("double") / n_tok.cast("double"))
+            .alias("chars_per_token"),
+            (n_bytes.cast("double") / n_tok.cast("double"))
+            .alias("bytes_per_token"),
+        ).select(F.lit(family).alias("family"), "*")
+
+    ws = _family(
+        base.select("doc_id", F.col("n_words").alias("n_tok")),
+        "whitespace",
+    )
+    bpe = _family(
+        bpe_tokenize(docs, n_merges=3).select(
+            F.col("id").alias("doc_id"),
+            F.size("token_ids").cast("bigint").alias("n_tok"),
+        ),
+        "bpe",
+    )
+    wp = _family(
+        wordpiece_encode_stats(docs, n_merges=3).select(
+            "doc_id", F.col("n_pieces").alias("n_tok")
+        ),
+        "wordpiece",
+    )
+    return ws.unionByName(bpe).unionByName(wp)

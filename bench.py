@@ -276,6 +276,7 @@ HEADLINE = [
     # round-10 additions
     "embedding_contamination_audit",
     "areal_reaggregation",
+    "tokenizer_fertility_families",
 ]
 
 
