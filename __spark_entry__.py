@@ -135,9 +135,6 @@ def _coverage_order(names: list[str]) -> list[str]:
         # round-7 boilerplate count rewrite (hash groupBy +
         # broadcast flag; supersedes the r4/r6 entries above):
         "boilerplate_line_dedup": 7,
-        # round-7 image_phash_near_dup refactor onto the shared
-        # banded_hamming_pairs operator (rows-only, re-record):
-        "image_phash_near_dup": 7,
         # round-7 classify.py refactor (_scored_pairs extraction,
         # same plan, re-certify consumers with prior rows):
         "nb_classify_lang": 8,
@@ -185,6 +182,12 @@ def _coverage_order(names: list[str]) -> list[str]:
         "point_in_polygon": 10,
         "points_per_polygon": 10,
         "polygon_geometry_report": 10,
+        # round-10 collect-lint pass: unigram trainer now caps the
+        # driver transfer with limit(max_vocab_rows+1) (same guard
+        # semantics, code changed — re-certify the trainer's
+        # consumers):
+        "unigram_tokenize": 10,
+        "unigram_seed_vocab": 10,
     }
 
     # Verdict-r7 #2: the driver window MUST sample the fixed red

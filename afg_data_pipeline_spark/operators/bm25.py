@@ -257,6 +257,7 @@ def query_bm25_index(
     import os
 
     qdf = _query_terms_df(spark, queries)
+    # collect-bound: distinct terms of the driver-side query list
     terms = [r.term for r in qdf.select("term").distinct().collect()]
     import zlib
 

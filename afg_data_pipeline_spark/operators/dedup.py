@@ -1745,6 +1745,7 @@ def containment_pairs(
         # lowest bucket is always kept (else the fallback returns
         # only exact-dup pairs), so worst-case work is that
         # bucket's mass — linear in prefix rows when df is flat.
+        # collect-bound: <=64 log2(df) buckets (value-space-bounded)
         hist = (
             prefix.groupBy(
                 F.floor(F.log2("df")).cast("int").alias("b")
@@ -1754,6 +1755,7 @@ def containment_pairs(
                     F.col("df").cast("decimal(38,0)")
                 ).alias("w")
             )
+            # collect-bound: <=64 log2(df) buckets
             .collect()
         )
         cum = 0

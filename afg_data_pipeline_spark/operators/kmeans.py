@@ -153,6 +153,7 @@ def kmeans_assign(
 
     for _ in range(iterations):
         if use_numpy:
+            # collect-bound: k*d partials per input partition
             agg = _np_iter_partials(base, cents).collect()
         else:
             # posexplode to (cluster, dim, q) then ONE aggregate: a
@@ -178,6 +179,7 @@ def kmeans_assign(
                     .cast("bigint")
                     .alias("s"),
                 )
+                # collect-bound: k*d map-side-combined partials
                 .collect()
             )
         new_cents: dict[int, list[int]] = {}

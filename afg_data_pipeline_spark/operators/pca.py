@@ -146,6 +146,7 @@ def gram_moments(
             F.sum(F.col("s1").cast("decimal(38,0)")).alias("s1"),
             F.sum(F.col("nn").cast("decimal(38,0)")).alias("nn"),
         )
+        # collect-bound: d*d Gram partials (model-sized)
         .collect()
     )
     s2 = {}

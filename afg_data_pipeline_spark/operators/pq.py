@@ -256,6 +256,7 @@ def pq_train(
                 F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
+            # collect-bound: m*k*(d/m) codebook partials (model-sized)
             .collect()
         )
         new_books = [
@@ -592,6 +593,7 @@ def query_ivfpq_index(
     ).select(F.col(id_col).alias("query_id"), "centroid_id")
     probed = sorted(
         r["centroid_id"]
+        # collect-bound: distinct probed cells <= n_centroids
         for r in q_cells.select("centroid_id").distinct().collect()
     )
     postings = spark.read.parquet(

@@ -257,7 +257,14 @@ def unigram_vocab_table(
 def _train_from_docs(
     docs, vocab_size, text_col, max_piece_len, max_vocab_rows
 ) -> tuple[list[tuple[str, int]], dict[str, float]]:
-    rows = _word_freqs(docs, text_col).collect()
+    # limit(bound+1) caps the driver transfer BEFORE the overflow
+    # check (the wordpiece/bpe trainer pattern) — len == bound+1
+    # still trips the guard below, so semantics are unchanged
+    rows = (
+        _word_freqs(docs, text_col)
+        .limit(max_vocab_rows + 1)
+        .collect()
+    )
     if len(rows) > max_vocab_rows:
         raise ValueError(
             f"vocabulary has {len(rows)} words > max_vocab_rows="

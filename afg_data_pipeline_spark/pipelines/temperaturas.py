@@ -58,6 +58,7 @@ def paso_1_extraer_datos_api(
         return None
     rm = catalog.filter(F.col("Region") == cfg.region)
     stations = [
+        # collect-bound: station catalog is dimension-sized (REST dim)
         (r.Codigo_Estacion, r.Nombre_Estacion) for r in rm.collect()
     ]
     if not stations:

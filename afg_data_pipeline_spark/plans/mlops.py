@@ -2663,6 +2663,7 @@ def conformal_filter_threshold(
     # TakeOrderedAndProject+max subtrees over the checkpointed
     # calibration frame (was one collect per alpha — a pure
     # scheduling-floor tax on this floor-class row).
+    # collect-bound: union of <=3 TakeOrdered+1-row-agg subtrees
     thr_rows = reduce(
         lambda x, y: x.unionByName(y),
         [

@@ -2866,6 +2866,7 @@ def markov_steady_state(
         )
     types = [
         r["event_type"]
+        # collect-bound: event-type value space, guarded above
         for r in ev.select("event_type").distinct().collect()
     ]
     trans = {(r["src"], r["dst"]): r["c"] for r in trans_rows}

@@ -217,6 +217,7 @@ def purge_ids_from_store(
         hit = df.join(purge, "id", "left_semi")
         affected = [
             r.batch_id
+            # collect-bound: distinct batch ids (one per micro-batch)
             for r in hit.select("batch_id").distinct().collect()
         ]
         removed[sub] = hit.count()
@@ -227,6 +228,7 @@ def purge_ids_from_store(
         ).join(purge, "id", "left_anti")
         kept_batches = {
             r.batch_id
+            # collect-bound: distinct batch ids (one per micro-batch)
             for r in keep.select("batch_id").distinct().collect()
         }
         if kept_batches:

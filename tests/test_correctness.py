@@ -62,6 +62,15 @@ def test_registry_integrity():
         assert q.fn.__name__, name
 
 
+def test_collect_boundary_lint():
+    """Every non-test .collect() is structurally bounded or carries
+    a reviewed '# collect-bound:' annotation (tools/collect_lint) —
+    the r9-verdict #7 invariant, mechanical instead of hand-audited."""
+    from tools.collect_lint import lint
+
+    assert lint() == []
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
