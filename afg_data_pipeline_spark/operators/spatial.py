@@ -559,12 +559,12 @@ def point_in_polygon_join(
       rule 13 does not apply).
     - interior-cell hits are accepted with ZERO per-edge work (the
       overwhelming majority under a fine grid);
-    - boundary-cell hits broadcast-join the polygon's edge table
-      and run the exact crossing test, partial-aggregated
-      map-side (groupBy parity, rule 19's aggregate-not-window);
-    - both resolve in ONE pass over the point side (the edge join
-      is a left join conditioned on NOT interior), so the point
-      table is scanned once, not once per tier.
+    - boundary-cell hits fold the exact crossing test over the
+      polygon's edge array, shipped INSIDE the broadcast cell row
+      — no row fan-out, no parity shuffle; (point, polygon)
+      output rows are unique by construction;
+    - both resolve in ONE codegen'd pass over the point side —
+      the whole operator is shuffle-free.
     The prune is exact: a cell containing both inside and outside
     points is crossed by the boundary, so some edge bbox touches
     it and it is classified boundary — never interior/outside.
@@ -578,15 +578,15 @@ def point_in_polygon_join(
     """
     if not polygons:
         raise ValueError("point_in_polygon_join: no polygons")
-    # Contract: ``id_col`` must be UNIQUE per point row — the
-    # parity aggregate groups by it and F.first-carries the other
-    # columns, so duplicate ids would silently merge into one
-    # (arbitrary-carry) row.  Internal working names must not
-    # collide with point columns either (ambiguous-reference or
-    # wrong join keys otherwise) — fail loudly up front.
+    # Each physical point row is evaluated independently (no
+    # parity groupBy since the fold rewrite), so duplicate ids no
+    # longer merge — but downstream rollups still key on
+    # ``id_col``, so the uniqueness contract stays documented.
+    # Internal working names must not collide with point columns
+    # (ambiguous-reference or wrong join keys otherwise) — fail
+    # loudly up front.
     _reserved = {
-        "cell", "__pid", "__interior", "__epid",
-        "__crossing", "__n_cross", "x1", "y1", "x2", "y2",
+        "cell", "__pid", "__interior", "__edges", "__n_cross",
     }
     clash = _reserved.intersection(points.columns)
     if clash:
@@ -653,18 +653,31 @@ def point_in_polygon_join(
                 if _ray_cast(ccx, ccy, edges):
                     cell_rows.append((cell, pid, True))
                 # uniformly-outside cells are simply absent
+    # Boundary cells carry the polygon's FULL edge list as an
+    # array column (parity needs every edge — the +x ray crosses
+    # edges arbitrarily far from the point's cell); interior cells
+    # carry an empty array.  Shipping the edges INSIDE the
+    # broadcast row lets the crossing parity run as one
+    # F.aggregate fold per candidate — no row fan-out, no parity
+    # shuffle, no re-aggregation (measured at 20M points: the
+    # former edge-join + groupBy-parity plan was 2.7s/6.3s
+    # uniform/boundary; this fold plan is the same arithmetic in
+    # one codegen'd scan with the fold as its single interpreted
+    # leaf, rule-15/23 shape).  Integer parity addition is
+    # commutative, so values are bit-identical to the join form.
     cell_map = spark.createDataFrame(
-        cell_rows, "cell int, __pid string, __interior boolean"
-    )
-    edge_rows = [
-        (pid, x1, y1, x2, y2)
-        for pid, es in poly_edges.items()
-        for x1, y1, x2, y2 in es
-    ]
-    edge_tbl = spark.createDataFrame(
-        edge_rows,
-        "__pid string, x1 double, y1 double, "
-        "x2 double, y2 double",
+        [
+            (
+                cell,
+                pid,
+                interior,
+                [] if interior else poly_edges[pid],
+            )
+            for cell, pid, interior in cell_rows
+        ],
+        "cell int, __pid string, __interior boolean, "
+        "__edges array<struct<x1:double,y1:double,"
+        "x2:double,y2:double>>",
     )
 
     px = F.col(x_col).cast("double")
@@ -691,51 +704,68 @@ def point_in_polygon_join(
         "cell", (cy * F.lit(n_cells) + cx).cast("int")
     )
     cand = staged.join(F.broadcast(cell_map), "cell")
-    # ONE pass over the point side: edges attach only to boundary
-    # candidates (the left-join condition carries NOT __interior),
-    # so interior hits flow through null-extended with zero
-    # per-edge work while boundary hits get the exact crossing
-    # parity — all resolved by one map-side-combined aggregate
-    # (rule 19). A two-branch union would scan the (100 TB) point
-    # table twice; the aggregate's shuffle carries one row per
-    # (point, candidate polygon) either way.
-    edge_b = edge_tbl.withColumnRenamed("__pid", "__epid")
+    # ONE pass over the point side, ZERO shuffles: interior
+    # candidates are accepted on the broadcast flag alone (empty
+    # edge array — the fold never runs); boundary candidates fold
+    # the exact crossing test over their polygon's edge array.
+    # Each point lands in exactly one cell and the cell map has
+    # one row per (cell, polygon), so (point, polygon) output
+    # rows are unique BY CONSTRUCTION — no parity groupBy, no
+    # F.first carries.  The fold is sanctioned HOF use (rule 10):
+    # every consumer is oracle-checked, and the per-element
+    # crossing expression is the same IEEE arithmetic as the SQL
+    # oracle evaluated per array element in fixed order.
     pt_cols = [F.col(c) for c in points.columns]
-    crossing = F.when(
-        ((F.col("y1") > py) != (F.col("y2") > py))
+    crossing = lambda e: F.when(  # noqa: E731
+        ((e["y1"] > py) != (e["y2"] > py))
         & (
             px
-            < F.col("x1")
-            + (py - F.col("y1"))
-            * (F.col("x2") - F.col("x1"))
-            / (F.col("y2") - F.col("y1"))
+            < e["x1"]
+            + (py - e["y1"])
+            * (e["x2"] - e["x1"])
+            / (e["y2"] - e["y1"])
         ),
         F.lit(1),
     ).otherwise(F.lit(0))
+    n_cross = F.aggregate(
+        "__edges", F.lit(0), lambda acc, e: acc + crossing(e)
+    )
     out = (
-        cand.join(
-            F.broadcast(edge_b),
-            (F.col("__pid") == F.col("__epid"))
-            & ~F.col("__interior"),
-            "left",
-        )
-        .withColumn("__crossing", crossing)
-        .groupBy(id_col, "__pid")
-        .agg(
-            F.first("__interior").alias("__interior"),
-            F.sum("__crossing").alias("__n_cross"),
-            *[
-                F.first(c).alias(c)
-                for c in points.columns
-                if c != id_col
-            ],
-        )
+        cand.withColumn("__n_cross", n_cross)
         .filter(
             F.col("__interior") | (F.col("__n_cross") % 2 == 1)
         )
         .select(*pt_cols, "__pid")
     )
     return out.withColumnRenamed("__pid", poly_id_col)
+
+
+def pentagon_grid(
+    k: int, pitch: float = 25.0
+) -> list[tuple[str, list]]:
+    """k x k gapped PENTAGONS (box with a peaked roof) — the
+    synthetic dense admin layer used by the layer-scale containment
+    grade (tools/bench_polygon.py) and the registered
+    `points_in_admin_grid` query. Non-rectangular on purpose so a
+    SQL replica cannot collapse containment to a bbox test; all
+    coordinates are exact binary fractions (k*25 + {2.5, 12.5,
+    22.5, 26.5}), so the same values are constructible in SQL with
+    no representation drift."""
+    polys = []
+    for gy in range(k):
+        for gx in range(k):
+            x0 = gx * pitch + 2.5
+            y0 = gy * pitch + 2.5
+            x1, y1 = x0 + 20.0, y0 + 20.0
+            xm = x0 + 10.0
+            polys.append(
+                (
+                    f"box_{gx}_{gy}",
+                    [[(x0, y0), (x1, y0), (x1, y1),
+                      (xm, y1 + 4.0), (x0, y1), (x0, y0)]],
+                )
+            )
+    return polys
 
 
 # ---------------------------------------------------------------------------

@@ -277,6 +277,7 @@ HEADLINE = [
     "embedding_contamination_audit",
     "areal_reaggregation",
     "tokenizer_fertility_families",
+    "points_in_admin_grid",
 ]
 
 

@@ -113,6 +113,46 @@ class TestPointInPolygon:
             spark, POLYS, 32
         )
 
+    def test_edge_clustered_points_match_replica(self, spark):
+        """Worst case for the grid classifier (VERDICT r9 #1):
+        every point within ~0.3 of a polygon edge (lerp along the
+        edge + a fixed off-edge offset), so ~all in-bbox points
+        land in boundary cells and pay the exact ray-cast path.
+        Diffed point-for-point against the pure-Python replica —
+        including points near the hole ring and the overlap zone."""
+        edges = [
+            (pid, e)
+            for pid, rings in POLYS
+            for e in _ring_edges(rings)
+        ]
+        pts = []
+        for i in range(600):
+            _pid, (x1, y1, x2, y2) = edges[i % len(edges)]
+            t = (i // len(edges) % 25) / 25.0
+            pts.append(
+                (
+                    i,
+                    x1 + t * (x2 - x1) + 0.25,
+                    y1 + t * (y2 - y1) + 0.125,
+                )
+            )
+        df = spark.createDataFrame(
+            pts, "pid long, x double, y double"
+        )
+        got = {
+            (r.pid, r.poly_id)
+            for r in point_in_polygon_join(
+                df,
+                POLYS,
+                id_col="pid",
+                x_col="x",
+                y_col="y",
+                n_cells=32,
+            ).collect()
+        }
+        assert got == _expected(pts)
+        assert len(got) > 100  # the band genuinely hits polygons
+
     def test_empty_layer_raises(self, spark):
         import pytest as _pytest
 
