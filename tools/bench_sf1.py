@@ -191,6 +191,9 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     "ks_two_sample_drift",
     "ab_test_mann_whitney",
     "doc_keywords_tfidf",
+    # round-10 additions
+    "tokenizer_fertility_families",
+    "embedding_contamination_audit",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))
@@ -217,6 +220,11 @@ ORACLE_SKIP = {
     # prohibitive by construction; correctness pins at sf0.01.
     "containment_near_dup",
     "containment_dedup_keep",
+    # embedding_contamination_audit: the oracle's candidate tier is
+    # a brute eval x train CROSS JOIN with per-pair 64-element list
+    # lambdas (~68B pairs at sf1) — prohibitive by construction;
+    # correctness pins at sf0.01 (hash-exact both canon modes).
+    "embedding_contamination_audit",
 }
 if SFN >= 10:
     # pack_token_sequences' oracle rebuilds every 256-token chunk
