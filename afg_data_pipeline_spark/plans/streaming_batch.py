@@ -298,3 +298,82 @@ def dedup_within_watermark_q(
         F.col("ts").alias("first_ts"),
         F.col("event_id").alias("first_event_id"),
     )
+
+
+def _geofence_oracle() -> str:
+    """Brute ray-cast replica over the events-derived point feed
+    (same parity expression as plans/reference_semantics._pip_oracle
+    — the certified containment arithmetic)."""
+    from afg_data_pipeline_spark.operators.spatial import _ring_edges
+    from afg_data_pipeline_spark.plans.reference_semantics import (
+        _PIP_POLYGONS,
+    )
+
+    rows = ", ".join(
+        f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for pid, rings in _PIP_POLYGONS
+        for x1, y1, x2, y2 in _ring_edges(rings)
+    )
+    return f"""
+        WITH pts AS (
+            SELECT event_id, user_id, event_type,
+                   CAST(event_id % 997 AS DOUBLE) AS px,
+                   CAST((event_id * 31) % 991 AS DOUBLE) AS py
+            FROM events
+        ),
+        edges(poly_id, x1, y1, x2, y2) AS (VALUES {rows}),
+        crossed AS (
+            SELECT p.event_id, e.poly_id, count(*) AS n_cross
+            FROM pts p
+            JOIN edges e
+              ON ((e.y1 > p.py) <> (e.y2 > p.py))
+             AND p.px < e.x1 + (p.py - e.y1) * (e.x2 - e.x1)
+                                / (e.y2 - e.y1)
+            GROUP BY 1, 2
+        )
+        SELECT p.event_id, p.user_id, p.event_type, c.poly_id
+        FROM pts p
+        JOIN crossed c
+          ON c.event_id = p.event_id AND c.n_cross % 2 = 1
+    """
+
+
+@register(
+    "stream_geofence_enrich",
+    oracle=_geofence_oracle(),
+    ops=("STREAM", "J3", "M5"),
+)
+def stream_geofence_enrich_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of streaming/geofence.geofence_enrich: the event
+    stream's synthetic positions containment-joined to the admin
+    polygon layer. The r10 fold rewrite made the containment
+    operator STATELESS (broadcast join + F.aggregate fold, no
+    parity groupBy), so the IDENTICAL function runs over
+    readStream in append mode with no watermark and no state —
+    pinned stream==batch in tests/test_streaming.py. The ts
+    column is deliberately untouched (no INT64-nanos exposure;
+    the enrichment keys on event_id alone)."""
+    from afg_data_pipeline_spark.plans.reference_semantics import (
+        _PIP_POLYGONS,
+    )
+    from afg_data_pipeline_spark.streaming.geofence import (
+        geofence_enrich,
+    )
+
+    ev = read_star_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("event_id") % 997).cast("double").alias("px"),
+        ((F.col("event_id") * 31) % 991)
+        .cast("double")
+        .alias("py"),
+    )
+    return geofence_enrich(
+        pts, _PIP_POLYGONS, id_col="event_id"
+    ).select("event_id", "user_id", "event_type", "poly_id")

@@ -278,6 +278,7 @@ HEADLINE = [
     "areal_reaggregation",
     "tokenizer_fertility_families",
     "points_in_admin_grid",
+    "stream_geofence_enrich",
 ]
 
 

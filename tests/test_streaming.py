@@ -148,6 +148,56 @@ class TestStreamStaticJoin:
         ) == normalize_rows(want.collect(), want.columns)
 
 
+class TestStreamingGeofence:
+    def test_geofence_stream_equals_batch(self, spark, events_dir):
+        """The r10 fold rewrite made point_in_polygon_join
+        stateless (broadcast join + F.aggregate fold, no parity
+        groupBy), so the SAME containment operator must run
+        unmodified over readStream in append mode — no watermark,
+        no state — and emit exactly the batch answer."""
+        from pyspark.sql import functions as F
+
+        from afg_data_pipeline_spark.plans.reference_semantics import (
+            _PIP_POLYGONS,
+        )
+        from afg_data_pipeline_spark.streaming.geofence import (
+            geofence_enrich,
+        )
+
+        def pts(df):
+            return df.select(
+                "event_id",
+                "user_id",
+                "event_type",
+                (F.col("event_id") % 997)
+                .cast("double")
+                .alias("px"),
+                ((F.col("event_id") * 31) % 991)
+                .cast("double")
+                .alias("py"),
+            )
+
+        stream = read_events_stream(
+            spark, events_dir, schemas.EVENTS, max_files_per_trigger=2
+        )
+        got = run_append_to_memory_sink(
+            geofence_enrich(
+                pts(stream), _PIP_POLYGONS, id_col="event_id"
+            ).select("event_id", "user_id", "event_type", "poly_id"),
+            "t_geofence",
+            spark,
+        )
+        want = geofence_enrich(
+            pts(_batch(spark, events_dir)),
+            _PIP_POLYGONS,
+            id_col="event_id",
+        ).select("event_id", "user_id", "event_type", "poly_id")
+        assert want.count() > 0
+        assert normalize_rows(
+            got.collect(), got.columns
+        ) == normalize_rows(want.collect(), want.columns)
+
+
 class TestWatermark:
     def test_watermarked_agg_runs_and_matches_batch_totals(
         self, spark, events_dir
