@@ -4709,3 +4709,195 @@ def tokenizer_fertility_families(
         "wordpiece",
     )
     return ws.unionByName(bpe).unionByName(wp)
+
+
+# --- reproducible noisy-release histogram (r10) ----------------------------
+
+_DP_EPS = 1.0
+_DP_DELTA = 1e-6
+_DP_SEED = 20260817
+_DP_SUPPRESS = 10
+# Gaussian-mechanism scale for an L2-sensitivity-1 histogram
+# (each document lands in exactly one (lang, source) cell):
+# sigma = sqrt(2 ln(1.25/delta)) * D2 / eps, computed ONCE here in
+# Python and inlined as the same shortest-roundtrip double literal
+# on both engines (no ln() in either engine — rule 1c).
+import math as _math  # noqa: E402
+
+_DP_SIGMA = _math.sqrt(2.0 * _math.log(1.25 / _DP_DELTA)) / _DP_EPS
+
+
+def _dp_release_oracle() -> str:
+    M, A0, A1 = 4294967291, 1588635695, 1100087778
+    mix = []
+    for k in range(12):
+        t = f"({_DP_SEED} + (r - 1) * 12 + {k})"
+        u = f"(({t} % {M}) * {A0}) % {M}"
+        w = f"xor({u}, ({u}) >> 15)"
+        y = f"(({w}) * {A1}) % {M}"
+        mix.append(f"(xor({y}, ({y}) >> 13) % 65536)")
+    s = " + ".join(mix)
+    return f"""
+        WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT lang, source, n,
+                   row_number() OVER (ORDER BY lang, source) AS r
+            FROM cells
+        ),
+        noised AS (
+            SELECT lang, source, n,
+                   CAST(floor({_DP_SIGMA!r}
+                              * (({s}) - 393210.0) / 65536.0
+                              + 0.5) AS BIGINT) AS z
+            FROM ranked
+        )
+        SELECT lang, source,
+               greatest(CAST(0 AS BIGINT), n + z)
+                   AS released_count,
+               greatest(CAST(0 AS BIGINT), n + z)
+                   < {_DP_SUPPRESS} AS suppressed,
+               CAST({_DP_EPS!r} AS DOUBLE) AS epsilon,
+               CAST({_DP_DELTA!r} AS DOUBLE) AS delta,
+               CAST({_DP_SIGMA!r} AS DOUBLE) AS sigma
+        FROM noised
+    """
+
+
+@register(
+    "dp_release_histogram",
+    oracle=_dp_release_oracle(),
+    ops=("A1",),
+)
+def dp_release_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REPRODUCIBLE NOISY-RELEASE histogram over the (lang, source)
+    cells — the publication step after the k-anonymity /
+    l-diversity / t-closeness audits: never release raw cell
+    counts; add calibrated noise and suppress small cells.
+
+    Mechanism shape: the Gaussian mechanism for an
+    L2-sensitivity-1 histogram (each document contributes to
+    exactly one cell), sigma = sqrt(2 ln(1.25/delta))/epsilon with
+    (epsilon, delta) = (1.0, 1e-6), all three announced in-output
+    like every tier knob in this repo. The noise is a DISCRETE
+    CLT approximation of N(0, sigma^2): twelve 16-bit uniforms
+    from the counter-based multiply-mod-p + xor-shift mixer
+    (bootstrap_ci_mean's generator — rule 5b bit-portability;
+    p = 4294967291 keeps every product under 2^63, ANSI-safe),
+    summed and centered (Irwin-Hall-12), scaled by sigma/2^16 in
+    double arithmetic whose only division is by a power of two.
+    Released count clamps at zero; cells releasing below 10 are
+    flagged suppressed (small-cell suppression).
+
+    HONESTY NOTE (in code, not just prose): the noise stream is
+    seeded and deterministic so that releases are reproducible and
+    the DuckDB oracle can replicate them bit-for-bit — this is the
+    mechanism SHAPE and accounting formula, not a certified DP
+    implementation; a production release feeds a secret seed and a
+    cryptographic PRNG, and the 12-uniform CLT discretization
+    slightly perturbs the tail relative to an exact Gaussian.
+
+    Scale shape: one map-side-combinable count aggregate over the
+    corpus; ranking, mixing and noising all happen on the
+    dimension-sized cell table (the partitionless row_number runs
+    over the bounded (lang x source) value space — the sanctioned
+    plan-audit class)."""
+    from pyspark.sql import Window
+
+    docs = read_star_table(spark, "documents", sf_dir)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ranked = cells.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy("lang", "source")
+        ),
+    )
+    M, A0, A1 = 4294967291, 1588635695, 1100087778
+    # layered selects so each mixer state is a plain column
+    # reference (rules 15/18c — never re-inlined per branch)
+    tx = ranked.select(
+        "lang",
+        "source",
+        "n",
+        *[
+            (
+                (
+                    (
+                        F.lit(_DP_SEED)
+                        + (F.col("r") - 1) * 12
+                        + F.lit(k)
+                    )
+                    % M
+                    * A0
+                )
+                % M
+            ).alias(f"u{k}")
+            for k in range(12)
+        ],
+    )
+    wxx = tx.select(
+        "lang",
+        "source",
+        "n",
+        *[
+            F.col(f"u{k}")
+            .bitwiseXOR(F.shiftright(F.col(f"u{k}"), 15))
+            .alias(f"w{k}")
+            for k in range(12)
+        ],
+    )
+    yxx = wxx.select(
+        "lang",
+        "source",
+        "n",
+        *[
+            ((F.col(f"w{k}") * A1) % M).alias(f"y{k}")
+            for k in range(12)
+        ],
+    )
+    vxx = yxx.select(
+        "lang",
+        "source",
+        "n",
+        *[
+            (
+                F.col(f"y{k}")
+                .bitwiseXOR(F.shiftright(F.col(f"y{k}"), 13))
+                % 65536
+            ).alias(f"v{k}")
+            for k in range(12)
+        ],
+    )
+    s = sum(F.col(f"v{k}") for k in range(12))
+    noised = vxx.select(
+        "lang",
+        "source",
+        "n",
+        F.floor(
+            F.lit(_DP_SIGMA)
+            * (s.cast("double") - F.lit(393210.0))
+            / F.lit(65536.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("z"),
+    )
+    released = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("n") + F.col("z"),
+    )
+    return noised.select(
+        "lang",
+        "source",
+        released.alias("released_count"),
+        (released < F.lit(_DP_SUPPRESS)).alias("suppressed"),
+        F.lit(float(_DP_EPS)).alias("epsilon"),
+        F.lit(float(_DP_DELTA)).alias("delta"),
+        F.lit(float(_DP_SIGMA)).alias("sigma"),
+    )

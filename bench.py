@@ -279,6 +279,7 @@ HEADLINE = [
     "tokenizer_fertility_families",
     "points_in_admin_grid",
     "stream_geofence_enrich",
+    "dp_release_histogram",
 ]
 
 

@@ -54,8 +54,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCENARIOS = ("uniform", "boundary", "many")
 
-MANY_K = 30  # 30x30 boxes
+MANY_K = int(os.environ.get("AFG_POLY_MANY_K", "30"))  # KxK boxes
 MANY_STEP = 25.0  # box pitch; box spans [k*25+2.5, k*25+22.5]
+# point extent moduli track the layer extent (for K=30 these are
+# the original 7507/7411); +7/-89 keep them coprime-ish with the
+# 0.1 grid so the point cloud doesn't stripe along box edges
+MANY_XMOD = 10 * MANY_K * 25 + 7
+MANY_YMOD = 10 * MANY_K * 25 - 89
 
 
 def many_polygons():
@@ -120,11 +125,13 @@ def build_points(spark, scenario: str, n: int, path: str) -> None:
             .cast("double")
             .alias("py"),
         )
-    elif scenario == "many":  # uniform over the 900-box extent
+    elif scenario == "many":  # uniform over the KxK-box extent
         pts = base.select(
             "point_id",
-            ((F.col("point_id") % 7507) / 10.0).alias("px"),
-            (((F.col("point_id") * 31) % 7411) / 10.0).alias("py"),
+            ((F.col("point_id") % MANY_XMOD) / 10.0).alias("px"),
+            (
+                ((F.col("point_id") * 31) % MANY_YMOD) / 10.0
+            ).alias("py"),
         )
     else:  # boundary: lerp along edge (id % n_edges), offset off-edge
         edges = _edges()
@@ -293,7 +300,10 @@ def main() -> None:
 
     out = []
     for scen in scenarios:
-        path = os.path.join(outdir, f"points_{scen}_{n}.parquet")
+        tag = (
+            f"{scen}{MANY_K}" if scen == "many" else scen
+        )
+        path = os.path.join(outdir, f"points_{tag}_{n}.parquet")
         build_points(spark, scen, n, path)
 
         spark_s, spark_rows = float("inf"), None
@@ -319,6 +329,7 @@ def main() -> None:
         match = sp == duck_rows
         rec = {
             "scenario": scen,
+            "n_polygons": len(scenario_polygons(scen)),
             "n_points": n,
             "spark_s": round(spark_s, 3),
             "duck_s": round(duck_s, 3),
