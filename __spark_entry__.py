@@ -188,6 +188,15 @@ def _coverage_order(names: list[str]) -> list[str]:
         # consumers):
         "unigram_tokenize": 10,
         "unigram_seed_vocab": 10,
+        # round-10 fold rewrite of point_in_polygon_join
+        # (operators/spatial.py changed — every consumer of the
+        # module re-enters the window, the kmeans-module
+        # precedent; polygon family already listed above):
+        "nn_assign": 10,
+        "nn_assign_bucketed": 10,
+        "nn_assign_grid2d": 10,
+        "spatial_adjacency_graph": 10,
+        "areal_reaggregation": 10,
     }
 
     # Verdict-r7 #2: the driver window MUST sample the fixed red
