@@ -164,6 +164,21 @@ class TestPointInPolygon:
                 df, [], id_col="pid", x_col="x", y_col="y"
             )
 
+    def test_reserved_point_column_raises(self, spark):
+        """r9-ADVICE guard: a points frame whose columns collide
+        with the operator's internal working names must fail
+        loudly up front, never produce an ambiguous join."""
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1, 2, 3, 9)],
+            "pid long, x long, y long, cell long",
+        )
+        with _pytest.raises(ValueError, match="collide"):
+            point_in_polygon_join(
+                df, POLYS, id_col="pid", x_col="x", y_col="y"
+            )
+
     def test_points_outside_layer_bbox_drop_out(self, spark):
         # points far outside the layer bbox must not be clamped
         # into edge cells (the bbox filter runs BEFORE the cell
