@@ -199,14 +199,13 @@ def _coverage_order(names: list[str]) -> list[str]:
         "areal_reaggregation": 10,
     }
 
-    # Verdict-r7 #2: the driver window MUST sample the fixed red
-    # rows this round — an ordering heuristic is not a guarantee,
-    # so lead with them unconditionally.
-    force_first = [
-        "unigram_tokenize",
-        "pack_token_sequences",
-        "multimodal_frame_sample",
-    ]
+    # (r10) The r7-era force_first override is retired: it existed
+    # to guarantee that round's FIXED red rows re-entered the
+    # window, which happened in r7/r8; keeping it pinned two
+    # by-design rows-only queries into 3 of the 50 slots every
+    # round. The ordering heuristic below already leads with
+    # never-checked queries (raw == 0 sorts first).
+    force_first: list[str] = []
 
     seen: dict[str, list[int]] = {n: [] for n in names}
     raw: dict[str, int] = {n: 0 for n in names}

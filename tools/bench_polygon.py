@@ -35,6 +35,7 @@ Scenarios:
 
 Usage: python tools/bench_polygon.py [N] [scenario ...]
 Env: SPARK_GRAFT_POLY_REPS (spark reps, default 3),
+     AFG_POLY_MANY_K (many-scenario layer size KxK, default 30),
      SPARK_GRAFT_POLY_DUCK_REPS (duck reps, default 2),
      AFG_POLY_DIR (parquet dir, default /tmp/afg_polygon).
 Prints one JSON row per scenario and appends to
