@@ -197,6 +197,23 @@ def _coverage_order(names: list[str]) -> list[str]:
         "nn_assign_grid2d": 10,
         "spatial_adjacency_graph": 10,
         "areal_reaggregation": 10,
+        # r10 OPTIMIZATION round: rule-12 materialization
+        # boundaries (triangle wedge join, contrastive positives,
+        # NB class-score frame) and the lsh_band_plan explode/
+        # sample rework — values bit-identical (re-verified both
+        # canon modes locally), plans changed, so consumers
+        # re-certify in the driver window:
+        # (lsh_band_plan / conformal_filter_threshold /
+        # mi_feature_rank already re-enter at 10 above.)
+        "triangle_clustering": 10,
+        "contrastive_pairs": 10,
+        "uncertainty_sample": 10,
+        "label_noise_report": 10,
+        "score_calibration_bins": 10,
+        "ece_calibration": 10,
+        "classifier_eval_report": 10,
+        "classifier_kappa": 10,
+        "nb_classify_lang": 10,
     }
 
     # (r10) The r7-era force_first override is retired: it existed

@@ -56,14 +56,27 @@ def contrastive_pairs(
     ``positives``: (id_a, id_b) near-dup pairs (id_a < id_b), e.g.
     minhash_lsh_candidates thresholded.
     """
-    pos = positives.select(
-        F.col("id_a").alias("anchor_id"),
-        F.col("id_b").alias("partner_id"),
-    ).unionByName(
+    # ``pos`` feeds THREE plan branches (the emitted positive rows,
+    # the distinct-anchor spine, and the already-positive anti-join)
+    # and its upstream is whatever candidate pipeline the caller
+    # built — typically the full MinHash LSH + exact-Jaccard verify.
+    # Without materialization each branch re-runs that pipeline
+    # (measured at sf0.1: the band-join+verify stream executed 3x,
+    # 4.5s -> 2.x s with the checkpoint). The checkpointed frame is
+    # two id columns per row — rule-12 territory, far from the
+    # rule-17 recompute boundary.
+    pos = (
         positives.select(
-            F.col("id_b").alias("anchor_id"),
-            F.col("id_a").alias("partner_id"),
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("partner_id"),
         )
+        .unionByName(
+            positives.select(
+                F.col("id_b").alias("anchor_id"),
+                F.col("id_a").alias("partner_id"),
+            )
+        )
+        .localCheckpoint(eager=False)
     )
     anchors = pos.select("anchor_id").distinct()
     reps = (

@@ -686,8 +686,19 @@ def triangle_counts(
     list; coefficient = 2T / (d(d-1)) as an exact integer ratio in
     IEEE double (identical across engines), 0.0 for d < 2.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    deg = node_degrees(e, "u", "v")
+    # Materialize the edge list and the degree table: ``e`` feeds
+    # the degree aggregate plus both degree-attach joins, and the
+    # caller's edge pipeline is typically a non-trivial spatial /
+    # candidate join (the registered query builds a grid-bucketed
+    # radius self-join) — without truncation the FINAL plan embeds
+    # that pipeline once per reference (measured at sf0.1: 188
+    # parquet-scan leaves, a 1,058-node plan, and ~1.8s of pure
+    # driver planning between jobs; rule 12). Both frames are 2-3
+    # integer columns per row.
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
+    deg = node_degrees(e, "u", "v").localCheckpoint(eager=False)
     du = deg.select(
         F.col("vertex").alias("u"), F.col("degree").alias("du")
     )
@@ -699,11 +710,14 @@ def triangle_counts(
     fwd = F.struct(F.col("du"), F.col("u")) < F.struct(
         F.col("dv"), F.col("v")
     )
+    # ``oriented`` feeds three branches (both wedge sides + the
+    # closing edge list); checkpoint so the two degree-attach joins
+    # above run once, not three times (same rule-12 call as ``e``).
     oriented = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
+    ).localCheckpoint(eager=False)
     # Wedges at each oriented source: unordered {t1, t2} pairs,
     # emitted with rank(t1) < rank(t2) so the closing edge (t1 ->
     # t2) is exactly how `oriented` stores it.

@@ -382,6 +382,16 @@ def lsh_near_dup_pairs(
             .select("id_a", "id_b", "va", "vb", "na", "nb")
         )
 
+    # Shape note (measured, r10 optimization round): folding the
+    # cosine per candidate OCCURRENCE before the dedup would let
+    # the dedup exchange carry 20B rows instead of both vectors
+    # (771MB -> 42MB at sf0.1) — but occurrences outnumber unique
+    # pairs ~5-7x here (every bucket of this corpus is hot, pairs
+    # collide in most of the 6 tables), so fold work ballooned
+    # 18.7M vs ~4M and the query measured 6.5 -> 12.4s. Fold work
+    # dominates shuffle bytes for 64-dim vectors; keep
+    # dedup-then-fold. The dropDuplicates' partial aggregation
+    # already collapses same-task duplicates map-side.
     cands = (
         pair_up(hot, salted=True)
         .unionByName(pair_up(cold, salted=False))

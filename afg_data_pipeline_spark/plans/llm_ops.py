@@ -5758,11 +5758,14 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # md5-ranked deterministic subsample (cap announced as
-    # sample_docs): top-K is a per-partition partial sort + one
-    # cap-row merge, and the repartition below restores
-    # parallelism before the expansion (rule 3).
-    sampled = (
-        docs.select("doc_id", "text")
+    # sample_docs). The top-K runs over doc_id ONLY and the text
+    # rides back in via a broadcast semi-join: ranking the full
+    # (doc_id, text) rows funnels every candidate row's text
+    # through the global-limit's single merge task (measured 4.5s
+    # of single-task CPU at sf0.1 — guide §8: decide with small
+    # rows, move the payload once). Same 4096 ids, same output.
+    sample_ids = (
+        docs.select("doc_id")
         .orderBy(
             F.md5(
                 F.concat(
@@ -5773,6 +5776,10 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").asc(),
         )
         .limit(_LSH_PLAN_MAX_DOCS)
+        .localCheckpoint(eager=False)
+    )
+    sampled = docs.select("doc_id", "text").join(
+        F.broadcast(sample_ids), "doc_id", "left_semi"
     )
     base = (
         sampled
@@ -5784,6 +5791,16 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shingle_expr("__toks", 2)
             ).alias("shingles"),
         )
+        # Materialize BEFORE the explode (the _minhash_band_table
+        # discipline): the non-outer explode makes the optimizer
+        # infer `size(shingles) > 0` and push it below the
+        # repartition exchange, re-evaluating the whole tokenize+
+        # shingle+array_distinct pipeline per row in the single
+        # pre-exchange scan task — with the transform() HOF
+        # interpreted (rule 18). Measured at sf0.1: a 6.0s 1-task
+        # stage; with the boundary the inferred filter tests the
+        # materialized column instead (explode sub-plan 6.4->0.7s).
+        .localCheckpoint(eager=True)
     )
     exploded = base.select(
         "doc_id", F.explode("shingles").alias("__s")
@@ -5870,7 +5887,10 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count(*) FROM sample): counting sigs instead would diverge on
     # corpora where degenerate text (NULL / shingle-less) drops a
     # doc from the signature table but not from the sample.
-    n_sample = sampled.agg(
+    # Counted over the checkpointed id list — doc_id is unique, so
+    # |sample_ids| == |sampled| by construction, and the count
+    # skips a second full parquet scan of the text column.
+    n_sample = sample_ids.agg(
         F.count(F.lit(1)).cast("bigint").alias("sample_docs")
     )
     return (
