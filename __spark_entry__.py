@@ -214,6 +214,15 @@ def _coverage_order(names: list[str]) -> list[str]:
         "classifier_eval_report": 10,
         "classifier_kappa": 10,
         "nb_classify_lang": 10,
+        # r10 optimization batch 2: containment candidate-join
+        # width pin (dedup.containment_pairs) and hits' degree-
+        # derived normalizing totals (graph.hits) — values
+        # bit-identical (both canon modes re-verified), plans
+        # changed:
+        "containment_near_dup": 10,
+        "containment_dedup_keep": 10,
+        "containment_recall_audit": 10,
+        "hits_hub_authority": 10,
     }
 
     # (r10) The r7-era force_first override is retired: it existed

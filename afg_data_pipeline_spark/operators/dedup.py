@@ -1799,7 +1799,17 @@ def containment_pairs(
     # distinct'd — a tiny set. In the broadcast regime (hash
     # tables under the autoBroadcast threshold) the whole candidate
     # stream is map-side, zero shuffles.
-    cand = pa.join(full_b, "s").filter(
+    # Explicit-count keyed repartition pins the candidate join's
+    # width: the join EXPANDS a few MB of prefix postings into
+    # millions of candidate verifications, and AQE coalesces the
+    # post-shuffle stage from the pre-expansion bytes (measured at
+    # sf0.1: the whole verify ran in 5 tasks, 11.5s executor —
+    # rule 3). A REPARTITION_BY_NUM shuffle is exempt from AQE
+    # coalescing and the other join side aligns to it, so the same
+    # exchange runs at full width; no extra shuffle (verified 1 vs
+    # 32 tasks in a controlled experiment).
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
+    cand = pa.repartition(n_par, "s").join(full_b, "s").filter(
         (F.col("id_a") != F.col("id_b"))
         & (F.col("size_b") * tden >= F.col("size_a") * tnum)
     )
