@@ -334,18 +334,29 @@ def content_defined_chunks(
     from pyspark.sql import Window
 
     par = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.select(
+    # Filter on the RAW column, not the derived array: split() of a
+    # non-null trimmed string always has >= 1 element ([""]  for
+    # empty text), so `size(t) >= 1` only ever excluded null-text
+    # rows — but as a derived-column predicate it pushed to the
+    # scan with the full split expression inlined, re-running the
+    # regex per row (the r10 inferred/pushed-filter class).
+    base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
-    ).filter(F.size("t") >= 1)
+    )
     toks = (
         base.repartition(par)
         .select(
             "id",
             F.size("t").alias("n"),
-            F.posexplode("t").alias("pos0", "tok"),
+            # outer + isNotNull: the non-outer generate would infer
+            # size(t) > 0 and push another split-bearing filter
+            # below the exchange; split elements are never null and
+            # the array is never empty, so the row set is identical.
+            F.posexplode_outer("t").alias("pos0", "tok"),
             "t",
         )
+        .filter(F.col("tok").isNotNull())
         .select(
             "id",
             "n",

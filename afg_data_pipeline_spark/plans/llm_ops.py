@@ -3044,10 +3044,19 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _lines(d: DataFrame) -> DataFrame:
+        # posexplode_outer + isNotNull: the non-outer generate
+        # infers `size(ls) > 0 AND isnotnull(ls)` and pushes the
+        # whole regex chunker into a per-row scan filter — and this
+        # stream is deliberately evaluated twice (count + rebuild),
+        # so the regex ran 4x per doc instead of 2x. `ls` is never
+        # empty (the CASE supplies [""] for empty text) and its
+        # elements are never null, so the generated-column filter
+        # keeps the row set identical (a null-text doc yields a
+        # null array -> one null row -> dropped, same as before).
         return _lines_arr(d).select(
             "doc_id",
-            F.posexplode("ls").alias("pos0", "line"),
-        ).select(
+            F.posexplode_outer("ls").alias("pos0", "line"),
+        ).filter(F.col("line").isNotNull()).select(
             "doc_id", (F.col("pos0") + 1).alias("pos"), "line"
         )
 
@@ -4733,8 +4742,19 @@ def containment_recall_audit_q(
         "doc_id",
         F.array_distinct(shingle_expr("__toks", 2)).alias("sh"),
     )
+    # Shingle the 128 sampled docs directly instead of slicing the
+    # corpus-wide `sh` frame: the size(sh) >= 5 filter on the
+    # derived column pushes below the sample join and re-runs the
+    # whole tokenize+shingle pipeline per CORPUS row at the scan
+    # (the lsh_band_plan inferred/pushed-filter class, r10 opt
+    # round). Values identical — same 128 ids, same shingle sets.
     a = (
-        sh.join(sample, "doc_id")
+        docs.join(sample, "doc_id")
+        .select("doc_id", tokens("text").alias("__t"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingle_expr("__t", 2)).alias("sh"),
+        )
         .filter(F.size("sh") >= 5)
         .select(
             F.col("doc_id").alias("id_a"),
