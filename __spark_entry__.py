@@ -223,6 +223,24 @@ def _coverage_order(names: list[str]) -> list[str]:
         "containment_dedup_keep": 10,
         "containment_recall_audit": 10,
         "hits_hub_authority": 10,
+        # r10 optimization batch 3: inferred/pushed-filter fixes
+        # (outer generates; raw-column null filter; sample-side
+        # shingling) — values bit-identical, plans changed:
+        "boilerplate_line_dedup": 10,
+        "content_defined_chunks": 10,
+        "chunk_dedup_profile": 10,
+        # r10 optimization batch 4: minhash pair-dedup width pin
+        # (dedup.minhash_lsh_candidates) — consumers re-certify:
+        "minhash_near_dup": 10,
+        "dedup_threshold_sweep": 10,
+        "near_dup_components": 10,
+        "near_dup_components_star": 10,
+        "corpus_after_dedup": 10,
+        "dedup_keep_best": 10,
+        "dedup_cluster_stats": 10,
+        "cross_source_dup_matrix": 10,
+        "lsh_recall_audit": 10,
+        "split_leakage_report": 10,
     }
 
     # (r10) The r7-era force_first override is retired: it existed

@@ -186,10 +186,20 @@ def minhash_lsh_candidates(
         long = long.join(ok, "band_key", "left_semi")
     a = long.select(F.col(id_col).alias("doc_id_a"), "band_key")
     b = long.select(F.col(id_col).alias("doc_id_b"), "band_key")
+    # Explicit-count keyed repartition pins the pair-dedup exchange
+    # (and the broadcast shingle re-joins + exact-Jaccard verify
+    # that chain onto its reduce stage) at full width: AQE sizes
+    # the stage from the id-pair bytes (~1MB at sf0.1) and
+    # coalesced the whole verify to one task (measured 0.9s of a
+    # 2.3s query). Same keys as the dedup aggregate, so this IS the
+    # dedup's exchange — REPARTITION_BY_NUM origin only (rule 3;
+    # the containment_pairs pin precedent).
+    n_par = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
         a.join(b, "band_key")
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
+        .repartition(n_par, "doc_id_a", "doc_id_b")
         .dropDuplicates()
     )
     sides = base.select(id_col, "shingles")
