@@ -53,6 +53,10 @@ def _coverage_order(names: list[str]) -> list[str]:
     # oracle upgrades (exact SQL replicas for the MinHash/SimHash/
     # components trio; the approx_quantiles canonicalizer crash fix),
     # so they must re-enter the driver window as if never checked.
+    # INVARIANT (r11, ADVICE): each name appears EXACTLY ONCE — a
+    # duplicate literal key silently keeps the last occurrence, so
+    # bumping a query's round must EDIT its existing entry in place
+    # (or move it to the new round's block), never append a second.
     stale_before = {
         "approx_quantiles": 2,
         # Round-3 code changes after these queries' last driver
@@ -62,19 +66,14 @@ def _coverage_order(names: list[str]) -> list[str]:
         # LM NLL, tiered ngram verification): their pre-change rows
         # don't certify current code, so re-enter the window.
         "pack_token_stream": 4,
-        "embedding_near_dup_lsh": 4,
         "ann_lsh_topk": 4,
-        "ann_cosine_topk": 8,
-        "nn_assign": 4,
-        "nn_assign_bucketed": 4,
-        "nn_assign_grid2d": 4,
+        "ann_cosine_topk": 11,
         "stratified_sample_by_lang": 4,
         "weighted_sample_docs": 4,
         "domain_mixture_resample": 4,
         "train_val_test_split": 4,
         "bigram_lm_score": 4,
         "trigram_lm_score": 4,
-        "near_dup_components_star": 4,
         "pagerank_centrality": 4,
         # round-4 perf reworks (oracle-verified locally; pre-change
         # driver rows don't certify current code):
@@ -82,24 +81,21 @@ def _coverage_order(names: list[str]) -> list[str]:
         "q2_min_cost_supplier": 4,
         "tfidf_doc_pairs": 4,
         "simhash_signatures": 4,
-        "minhash_near_dup": 4,
         # round-5 code changes after the r4 rows (ADVICE fixes:
         # ngram tier column in the output schema; winnow over-cap
         # announcement; exact-rational percentile ranks; kmeans
         # dim inference) — re-enter the window:
-        "ngram_jaccard_dups": 5,
         "winnow_candidate_pairs": 5,
         "adaptive_length_filter": 5,
         # The round-5 skew-gate commit (4bfc4ae) landed AFTER
         # CORRECTNESS_r05 was recorded, so its four consumers'
         # r≤5 rows predate the corpus_key_count rewrite:
         "duplicate_span_extract": 6,
-        "chunk_dedup_profile": 6,
         # round-6 code changes after the r5 rows (binarize fold +
         # stats-gated rerank; contamination array_distinct drop;
         # BPE _word_freqs refactor shared by the relational twins):
-        "ann_funnel_topk": 6,
-        "hamming_topk": 6,
+        "ann_funnel_topk": 11,
+        "hamming_topk": 11,
         "contamination_report": 6,
         "bpe_train_merges": 6,
         "bpe_encode_stats": 6,
@@ -108,9 +104,9 @@ def _coverage_order(names: list[str]) -> list[str]:
         "kmeans_cluster_assign": 6,
         "semantic_dedup_pairs": 6,
         # round-6 ivf_assign n_probe=1 argmin-aggregate fast path:
-        "ann_ivf_topk": 6,
-        "ann_ivfpq_topk": 6,
-        "ann_pq_topk": 6,
+        "ann_ivf_topk": 11,
+        "ann_ivfpq_topk": 11,
+        "ann_pq_topk": 11,
         # round-6 token-id additions (never driver-checked yet,
         # listed for clarity; zero prior rows sorts them first
         # anyway): bpe_vocab, bpe_tokenize, bpe_encode_stats_fast.
@@ -128,22 +124,15 @@ def _coverage_order(names: list[str]) -> list[str]:
         # consumers with prior rows re-certify); also the round-6
         # xxhash64-probe generalization for string vertex ids hit
         # the same three consumers:
-        "near_dup_components": 7,
-        "dedup_keep_best": 7,
-        "corpus_after_dedup": 7,
         "seasonal_anomaly_flags": 7,
         # round-7 boilerplate count rewrite (hash groupBy +
         # broadcast flag; supersedes the r4/r6 entries above):
-        "boilerplate_line_dedup": 7,
         # round-7 classify.py refactor (_scored_pairs extraction,
         # same plan, re-certify consumers with prior rows):
-        "nb_classify_lang": 8,
-        "classifier_eval_report": 8,
         "classifier_eval_auc": 7,
         # round-8 driver-canonicalization fixes (r7 red row class):
         # unigram token_ids string-projected; frame payload
         # projected to md5/length scalars:
-        "unigram_tokenize": 8,
         # round-8 oracle upgrade: full train+encode CTE oracle,
         # registered query re-pinned at n_merges=3 (r7 verdict #5):
         "wordpiece_encode_stats": 8,
@@ -155,16 +144,12 @@ def _coverage_order(names: list[str]) -> list[str]:
         # brute_force_topk and classify._scored_pairs (plans
         # changed, values bit-identical) — consumers with prior
         # rows re-certify; t_closeness window-total rewrite:
-        "ann_recall_audit": 8,
-        "dim_truncation_recall_audit": 8,
-        "uncertainty_sample": 8,
-        "classifier_kappa": 8,
-        "label_noise_report": 8,
-        "score_calibration_bins": 8,
+        "ann_recall_audit": 11,
+        "dim_truncation_recall_audit": 11,
         # round-9 grid completions rewritten to constant-key BHJs
         # (values unchanged, plans/code changed — re-certify):
-        "mi_feature_rank": 9,
-        "ks_two_sample_drift": 9,
+        "mi_feature_rank": 11,
+        "ks_two_sample_drift": 11,
         # round-10 ADVICE fixes: synth BMP b-channel now seed%256
         # driver-side (values change for big-seed docs — every
         # query reading decoded BMP pixels re-certifies);
@@ -177,8 +162,10 @@ def _coverage_order(names: list[str]) -> list[str]:
         "multimodal_features": 10,
         "multimodal_image_pipeline": 10,
         "image_phash_near_dup": 10,
-        "lsh_band_plan": 10,
-        "conformal_filter_threshold": 10,
+        # (r11: lazy checkpoints — bumped to 11 below... edited in
+        # place per the single-occurrence invariant)
+        "lsh_band_plan": 11,
+        "conformal_filter_threshold": 11,
         "point_in_polygon": 10,
         "points_per_polygon": 10,
         "polygon_geometry_report": 10,
@@ -192,7 +179,7 @@ def _coverage_order(names: list[str]) -> list[str]:
         # (operators/spatial.py changed — every consumer of the
         # module re-enters the window, the kmeans-module
         # precedent; polygon family already listed above):
-        "nn_assign": 10,
+        "nn_assign": 11,
         "nn_assign_bucketed": 10,
         "nn_assign_grid2d": 10,
         "spatial_adjacency_graph": 10,
@@ -206,14 +193,14 @@ def _coverage_order(names: list[str]) -> list[str]:
         # (lsh_band_plan / conformal_filter_threshold /
         # mi_feature_rank already re-enter at 10 above.)
         "triangle_clustering": 10,
-        "contrastive_pairs": 10,
-        "uncertainty_sample": 10,
-        "label_noise_report": 10,
-        "score_calibration_bins": 10,
-        "ece_calibration": 10,
-        "classifier_eval_report": 10,
-        "classifier_kappa": 10,
-        "nb_classify_lang": 10,
+        "contrastive_pairs": 11,
+        "uncertainty_sample": 11,
+        "label_noise_report": 11,
+        "score_calibration_bins": 11,
+        "ece_calibration": 11,
+        "classifier_eval_report": 11,
+        "classifier_kappa": 11,
+        "nb_classify_lang": 11,
         # r10 optimization batch 2: containment candidate-join
         # width pin (dedup.containment_pairs) and hits' degree-
         # derived normalizing totals (graph.hits) — values
@@ -231,16 +218,47 @@ def _coverage_order(names: list[str]) -> list[str]:
         "chunk_dedup_profile": 10,
         # r10 optimization batch 4: minhash pair-dedup width pin
         # (dedup.minhash_lsh_candidates) — consumers re-certify:
-        "minhash_near_dup": 10,
-        "dedup_threshold_sweep": 10,
-        "near_dup_components": 10,
-        "near_dup_components_star": 10,
-        "corpus_after_dedup": 10,
-        "dedup_keep_best": 10,
-        "dedup_cluster_stats": 10,
-        "cross_source_dup_matrix": 10,
-        "lsh_recall_audit": 10,
-        "split_leakage_report": 10,
+        "minhash_near_dup": 11,
+        "dedup_threshold_sweep": 11,
+        "near_dup_components": 11,
+        "near_dup_components_star": 11,
+        # (r11: quality_score refactored through quality_score_of —
+        # identical expression tree, module changed; re-certify)
+        "corpus_after_dedup": 11,
+        "dedup_keep_best": 11,
+        "dedup_cluster_stats": 11,
+        "cross_source_dup_matrix": 11,
+        "lsh_recall_audit": 11,
+        "split_leakage_report": 11,
+        # r11 OPTIMIZATION round: single-evaluation Generate gates
+        # (functions/gate.py) on the survivor-heavy pair verifies
+        # and the pushed quality/length filters; size-bound
+        # prefilter on the ngram verify; brute pair stream rebuilt
+        # as a constant-key BHJ (rule 23) — values bit-identical
+        # (re-verified both canon modes), plans changed:
+        "ngram_jaccard_dups": 11,
+        "embedding_near_dup_lsh": 11,
+        "embedding_near_dup": 11,
+        "readability_scores": 11,
+        "curate_corpus": 11,
+        "prep_training_corpus": 11,
+        # r11 batch 2: attribute-derived constant join keys restore
+        # the rule-23 BroadcastHashJoin on every pair stream whose
+        # lit(1) key had constant-folded back to a BNLJ (ANN
+        # ladder, NB classifier, hamming, nn_assign, gravity,
+        # grid completions), plus the prefix-LSH verify gate —
+        # values bit-identical, plans changed; consumers re-certify:
+        "ann_ivfpq_persisted": 11,
+        "ann_sq8_topk": 11,
+        "gravity_flows": 11,
+        "mmr_diversified_topk": 11,
+        "prefix_jaccard_pairs": 11,
+        # r11 batch 3: minhash verify producer-side Generate
+        # barrier (intersection size computed once; consumer
+        # thresholds can no longer push into the verify join) —
+        # values bit-identical, plans changed:
+        "incremental_near_dup": 11,
+        "corpus_minhash_similarity": 11,
     }
 
     # (r10) The r7-era force_first override is retired: it existed

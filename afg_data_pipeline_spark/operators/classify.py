@@ -184,14 +184,21 @@ def _scored_pairs(
     # pair stream (corpus-token-sized x |classes|) would evaluate
     # every downstream decimal expression interpreted (the
     # brute_force_topk_streamed lesson, measured 8x there).
+    # The key must be attribute-DERIVED (const_join_key, r11): the
+    # original lit(1) key was constant-folded out of the
+    # equi-condition and the join silently degraded back to BNLJ.
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+    )
+
     per_class = (
         doc_tokens.join(F.broadcast(vocab), "token", "left_semi")
-        .withColumn("__k", F.lit(1))
+        .withColumn("__k", const_join_key("token"))
         .join(
             F.broadcast(
                 class_model.select(
                     "cls", "floor_q"
-                ).withColumn("__k", F.lit(1))
+                ).withColumn("__k", const_join_key("cls"))
             ),
             "__k",
         )

@@ -118,13 +118,20 @@ def minhash_lsh_candidates(
     band_size: int = 2,
     shingle_k: int = 2,
     max_bucket_size: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, with
     exact Jaccard verification on the banded collisions.
 
     Output: (doc_id_a, doc_id_b, jaccard) for every pair sharing at
     least one band — a superset of true near-dups that the caller
-    thresholds. 8 hashes in bands of 2 -> P(candidate) =
+    thresholds. Callers that threshold should pass ``threshold=``
+    instead of chaining ``.filter(jaccard >= t)``: a plain filter
+    on the derived column is rewritten through the projection into
+    the shingle-verify join condition, re-running the
+    array_intersect once per candidate plus once per survivor
+    (rule 18c); the parameter applies a single-evaluation Generate
+    gate (functions/gate.py) on the jaccard attribute instead. 8 hashes in bands of 2 -> P(candidate) =
     1-(1-j²)⁴: ~86% at j=0.7, ~4% at j=0.1, so true near-dups
     survive and the pair space stays sub-quadratic.
 
@@ -216,13 +223,32 @@ def minhash_lsh_candidates(
         ),
         "doc_id_b",
     )
+    # Shape note (measured, r11): a producer-side Generate barrier
+    # here (project_once of the intersection size, so consumer
+    # thresholds can't push into the verify join) was tried and
+    # REVERTED — it taxes the non-filtering consumers for the
+    # filtering ones' benefit (minhash_near_dup 1.49 -> 1.84s,
+    # dedup_threshold_sweep 2.54 -> 3.89s at sf0.1, min-of-4, same
+    # boot). Consumers that DO threshold gate at their own call
+    # site instead (functions/gate.filter_once — see
+    # ngram_jaccard_pairs' LSH tier).
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return pairs.select(
+    out = pairs.select(
         "doc_id_a",
         "doc_id_b",
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
     )
+    if threshold is None:
+        return out
+    from afg_data_pipeline_spark.functions.gate import filter_once
+
+    return filter_once(
+        out,
+        F.col("jaccard"),
+        lambda j: j >= F.lit(float(threshold)),
+        "__j",
+    ).drop("__j")
 
 
 def ngram_jaccard_pairs(
@@ -300,11 +326,24 @@ def ngram_jaccard_pairs(
             f"collisions, same-group only) — a high-recall subset"
         )
         cand = minhash_lsh_candidates(
-            df, id_col=id_col, text_col=text_col, shingle_k=n
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=n,
+            threshold=threshold,
         )
         groups = df.select(
             F.col(id_col), F.col(group_col).alias("__g")
         )
+        # threshold= applies the single-evaluation gate inside the
+        # operator (see minhash_lsh_candidates docstring): a plain
+        # `.filter(jaccard >= t)` here was rewritten into the
+        # shingle-verify join condition — the interpreted
+        # array_intersect ran twice in the condition (the ratio
+        # embeds it twice) and twice more per survivor in the
+        # projection (4x; seen in the sf1-regime plan). Gating
+        # before the group joins also spares non-survivors those
+        # probes.
         return (
             cand.join(
                 groups.select(
@@ -321,7 +360,6 @@ def ngram_jaccard_pairs(
                 "doc_id_b",
             )
             .filter(F.col("__ga") == F.col("__gb"))
-            .filter(F.col("jaccard") >= threshold)
             .select(
                 F.col("__ga").alias(group_col),
                 F.col("doc_id_a").alias("id_a"),
@@ -368,19 +406,54 @@ def ngram_jaccard_pairs(
         F.explode(F.array(*[F.lit(i) for i in range(par)])),
     )
     inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
-    union = F.size(F.col("t_a")) + F.size(F.col("t_b")) - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        a.join(b.hint("shuffle_hash"), ["g", "__salt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col("g").alias(group_col),
-            "id_a",
-            "id_b",
-            jac.alias("jaccard"),
-            F.lit("exact").alias("tier"),
+    # Exact size prefilter in the join's residual condition (guide
+    # §3, r11): |inter| <= min(|A|,|B|) and |union| >= max(|A|,|B|)
+    # as integers, so real jac <= real min/max; double division
+    # rounds MONOTONICALLY in the exact quotient, hence
+    # fl(jac) >= t implies fl(min/max) >= t — computed as the SAME
+    # double division with the SAME threshold literal, the gate can
+    # never drop a qualifying pair. size() is O(1) per pair; the
+    # conjunct short-circuits the array_intersect for every pair
+    # whose set sizes already rule the threshold out.
+    size_ratio = (
+        F.least(F.size("t_a"), F.size("t_b")).cast("double")
+        / F.greatest(F.size("t_a"), F.size("t_b")).cast("double")
+    )
+    pairs = a.join(b.hint("shuffle_hash"), ["g", "__salt"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (size_ratio >= F.lit(float(threshold)))
+    )
+    # Single-evaluation threshold gate (functions/gate.py): a plain
+    # select+filter pushes `jaccard >= t` into the join condition,
+    # re-running the array_intersect once per candidate AND once
+    # more per survivor (rule 18c — the r11 before-plan shows the
+    # intersect in both the join condition and the output). The
+    # gate carries the INTERSECTION SIZE, not the jaccard: the
+    # jaccard expression textually embeds the intersect twice
+    # (numerator + union), and a generator input is interpreted —
+    # no subexpression elimination — so gating on jac would still
+    # intersect twice per pair. The ratio is rebuilt from the gated
+    # size with the identical int arithmetic + double division, so
+    # values are bit-equal to the inline form.
+    from afg_data_pipeline_spark.functions.gate import filter_once
+
+    def jac_of(i):
+        return i.cast("double") / (
+            (F.size("t_a") + F.size("t_b") - i).cast("double")
         )
-        .filter(F.col("jaccard") >= threshold)
+
+    gated = filter_once(
+        pairs,
+        inter,
+        lambda i: jac_of(i) >= F.lit(float(threshold)),
+        "__i",
+    )
+    return gated.select(
+        F.col("g").alias(group_col),
+        "id_a",
+        "id_b",
+        jac_of(F.col("__i")).alias("jaccard"),
+        F.lit("exact").alias("tier"),
     )
 
 
@@ -1492,41 +1565,38 @@ def prefix_filter_jaccard_pairs(
             F.col("id").alias("id_b"),
             F.col("hs").alias("hs_b"),
         )
-        shared = (
-            sized.join(sa, "id_a")
-            .join(sb, "id_b")
-            .withColumn(
-                "n_shared",
-                F.size(
-                    F.array_intersect(
-                        F.col("hs_a"), F.col("hs_b")
-                    )
-                ).cast("bigint"),
-            )
+        # Single-evaluation gate (functions/gate.py, r11): the
+        # withColumn+filter form pushed the rational threshold —
+        # which references n_shared THREE times — into the hs_b
+        # join condition, so every candidate paid 3 interpreted
+        # array_intersect evaluations (plus 2 more per survivor in
+        # the projection). The gate evaluates it exactly once.
+        from afg_data_pipeline_spark.functions.gate import (
+            filter_once,
+        )
+
+        shared = filter_once(
+            sized.join(sa, "id_a").join(sb, "id_b"),
+            F.size(
+                F.array_intersect(F.col("hs_a"), F.col("hs_b"))
+            ).cast("bigint"),
+            lambda ns: ns * tden
+            >= (F.col("size_a") + F.col("size_b") - ns) * tnum,
+            "n_shared",
         )
         jacf = F.col("n_shared").cast("double") / (
             F.col("size_a")
             + F.col("size_b")
             - F.col("n_shared")
         ).cast("double")
-        return (
-            shared.filter(
-                F.col("n_shared") * tden
-                >= (
-                    F.col("size_a")
-                    + F.col("size_b")
-                    - F.col("n_shared")
-                )
-                * tnum
-            ).select(
-                "id_a",
-                "id_b",
-                "n_shared",
-                "size_a",
-                "size_b",
-                jacf.alias("jaccard"),
-                F.lit("lsh_subset").alias("tier"),
-            )
+        return shared.select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "size_a",
+            "size_b",
+            jacf.alias("jaccard"),
+            F.lit("lsh_subset").alias("tier"),
         )
 
     pa = prefix.select(
@@ -1807,8 +1877,9 @@ def containment_pairs(
     # re-verifying a duplicate costs one in-task array_intersect
     # (~4µs). Survivors are threshold-filtered first and THEN
     # distinct'd — a tiny set. In the broadcast regime (hash
-    # tables under the autoBroadcast threshold) the whole candidate
-    # stream is map-side, zero shuffles.
+    # tables under the autoBroadcast threshold) the candidate
+    # stream itself stays map-side; the one shuffle on that path
+    # is the (small, pre-expansion) width-pin repartition below.
     # Explicit-count keyed repartition pins the candidate join's
     # width: the join EXPANDS a few MB of prefix postings into
     # millions of candidate verifications, and AQE coalesces the
@@ -1842,6 +1913,15 @@ def containment_pairs(
     sb_h = hsh.select(
         F.col("id").alias("id_b"), F.col("hs").alias("hs_b")
     )
+    # Shape note (measured, r11): the fold-once Generate gate
+    # (functions/gate.py) was tried on this verify and REVERTED —
+    # containment_near_dup 4.81 -> 5.16s at sf0.1 (min-of-4, same
+    # boot; _dedup_keep flat within noise). Survivors are a tiny
+    # fraction of candidates at C >= 0.8, so the pushed
+    # join-condition intersect costs ~1 eval/candidate while the
+    # gate pays a per-candidate Generate row copy of both xxhash64
+    # shingle arrays. The duplicate evaluation is bounded by the
+    # (small) survivor count — keep the select+filter form.
     inter = (
         cand.join(sa_h, "id_a")
         .join(sb_h, "id_b")

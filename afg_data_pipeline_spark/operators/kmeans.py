@@ -429,6 +429,16 @@ def semantic_dedup_pairs(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(par)])),
     )
+    # Shape note (measured, r11): the fold-once Generate gate
+    # (functions/gate.py) that wins on survivor-heavy verifies
+    # (ngram_jaccard_pairs, lsh_near_dup_pairs) LOSES here — 3.37
+    # -> 4.16s at sf0.1 (min-of-4, same boot). At threshold 0.9
+    # survivors are a tiny fraction of candidates, so the pushed
+    # join-condition fold costs ~1 eval/pair (the survivor's second
+    # eval is negligible) while the gate pays a per-CANDIDATE
+    # Generate row copy carrying both 64-dim vectors. Keep the
+    # withColumn+filter form; the duplicate evaluation is bounded
+    # by the (small) survivor count.
     pairs = (
         a.join(b.hint("shuffle_hash"), ["cluster", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -66,13 +66,20 @@ def brute_force_topk(
     # excluded from whole-stage codegen, so the fold over the
     # pair stream would evaluate interpreted (measured 8.1s vs
     # 1.1s over 3.2M pairs — see brute_force_topk_streamed).
+    # The key must be attribute-DERIVED (const_join_key, r11): the
+    # original lit(1) key was constant-folded out of the
+    # equi-condition and the join silently degraded back to BNLJ.
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+    )
+
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
         )
         .withColumn("qn", norm_decimal("qv"))
-        .withColumn("__k", F.lit(1))
+        .withColumn("__k", const_join_key("query_id"))
     )
     c = (
         corpus.select(
@@ -80,7 +87,7 @@ def brute_force_topk(
             F.col(vec_col).alias("cv"),
         )
         .withColumn("cn", norm_decimal("cv"))
-        .withColumn("__k", F.lit(1))
+        .withColumn("__k", const_join_key("neighbor_id"))
     )
     par = q.sparkSession.sparkContext.defaultParallelism
     pairs = (
@@ -400,9 +407,18 @@ def lsh_near_dup_pairs(
     cosine = dot_decimal("va", "vb") / (
         F.col("na") * F.col("nb")
     )
-    return cands.select(
-        "id_a", "id_b", cosine.alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    # Single-evaluation threshold gate (functions/gate.py): the
+    # plain select+filter evaluated the interpreted dot fold TWICE
+    # per unique pair — once in the Filter pushed below the
+    # projection, once in the Project (rule 18c; the only barrier
+    # that removed it before, checkpointing the 771MB pair stream,
+    # measured worse in r10). The Generate gate is the same barrier
+    # at zero materialization cost.
+    from afg_data_pipeline_spark.functions.gate import filter_once
+
+    return filter_once(
+        cands, cosine, lambda c: c >= F.lit(float(threshold)), "cosine"
+    ).select("id_a", "id_b", "cosine")
 
 
 def ivf_assign(
@@ -422,15 +438,22 @@ def ivf_assign(
     # Constant-key BroadcastHashJoin, NOT crossJoin (rule 23):
     # BNLJ is excluded from whole-stage codegen, so the per-pair
     # squared-L2 fold over the corpus x centroid stream — the
-    # index-build hot pass — would evaluate interpreted.
+    # index-build hot pass — would evaluate interpreted. The key
+    # must be attribute-DERIVED (const_join_key, r11): the original
+    # lit(1) key was constant-folded out of the equi-condition and
+    # the join silently degraded back to BNLJ.
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+    )
+
     c = centroids.select(
         F.col("centroid_id"), F.col("centroid").alias("cv")
-    ).withColumn("__k", F.lit(1))
+    ).withColumn("__k", const_join_key("centroid_id"))
     par = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
         df.select(F.col(id_col), F.col(vec_col).alias("v"))
         .repartition(par)
-        .withColumn("__k", F.lit(1))
+        .withColumn("__k", const_join_key(id_col))
         .join(F.broadcast(c), "__k")
         .drop("__k")
     )
@@ -620,14 +643,20 @@ def binary_hamming_topk(
     set)."""
     # Constant-key BroadcastHashJoin, NOT crossJoin (rule 23) —
     # keeps the XOR+bit_count stream inside whole-stage codegen.
+    # Key derived from an attribute (const_join_key, r11): lit(1)
+    # keys constant-fold back to a BNLJ.
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+    )
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         binarize_code(vec_col, dim).alias("qc"),
-    ).withColumn("__k", F.lit(1))
+    ).withColumn("__k", const_join_key("query_id"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         binarize_code(vec_col, dim).alias("cc"),
-    ).withColumn("__k", F.lit(1))
+    ).withColumn("__k", const_join_key("neighbor_id"))
     par = q.sparkSession.sparkContext.defaultParallelism
     pairs = (
         q.repartition(par)
@@ -878,13 +907,17 @@ def brute_force_topk_streamed(
     Output and values are BIT-IDENTICAL to brute_force_topk (same
     fold order, same tie-break) — only the physical plan differs.
     """
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+    )
+
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
         )
         .withColumn("qn", norm_decimal("qv"))
-        .withColumn("__k", F.lit(1))
+        .withColumn("__k", const_join_key("query_id"))
     )
     c = (
         corpus.select(
@@ -892,7 +925,7 @@ def brute_force_topk_streamed(
             F.col(vec_col).alias("cv"),
         )
         .withColumn("cn", norm_decimal("cv"))
-        .withColumn("__k", F.lit(1))
+        .withColumn("__k", const_join_key("neighbor_id"))
     )
     scored = (
         c.join(F.broadcast(q), "__k")

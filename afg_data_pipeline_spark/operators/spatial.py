@@ -68,13 +68,23 @@ def nearest_neighbor_assign(
     # distance evaluation across all cores/executors.
     # Constant-key BroadcastHashJoin, NOT crossJoin (rule 23):
     # BNLJ is excluded from whole-stage codegen, so the per-pair
-    # distance expression would evaluate interpreted.
+    # distance expression would evaluate interpreted. The key must
+    # be attribute-DERIVED (const_join_key, r11): a lit(1) key is
+    # constant-folded out of the equi-condition and the join
+    # silently degrades back to BNLJ.
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+    )
+
     par = left.sparkSession.sparkContext.defaultParallelism
     pairs = (
         left.repartition(par)
-        .withColumn("__k", F.lit(1))
+        .withColumn("__k", const_join_key(left_key))
         .join(
-            F.broadcast(right.withColumn("__k", F.lit(1))), "__k"
+            F.broadcast(
+                right.withColumn("__k", const_join_key(right_key))
+            ),
+            "__k",
         )
         .drop("__k")
     )

@@ -62,15 +62,30 @@ def bpe_token_count(col: str = "text") -> Column:
     ).cast("bigint")
 
 
-def quality_score(col: str = "text") -> Column:
-    """Deterministic [0,1] quality heuristic.
+def quality_score_of(
+    toks: Column, col: str = "text", lang: str = "en"
+) -> Column:
+    """quality_score over a pre-materialized token-array column.
 
-    0.4·stopword-ratio + 0.3·min(1, tokens/100) + 0.3·(1−punct
-    density) — the standard length/stopword/punctuation trio of
-    web-scale quality filters, all per-row IEEE-exact.
+    Callers that evaluate the score in a context WITHOUT
+    subexpression elimination (interpreted generator inputs — the
+    functions/gate.py single-evaluation gates) should project
+    ``tokens(col)`` once and pass the column here: the plain
+    ``quality_score`` re-splits the text once per counter (3×).
+    Value-identical to ``quality_score`` by construction — same
+    expression tree over the same token array, only the array's
+    provenance (column vs inline split) differs.
     """
-    n_tok = token_count(col).cast("double")
-    stop_ratio = stopword_count(col).cast("double") / n_tok
+    n_tok = F.size(toks).cast("bigint").cast("double")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    stop_ratio = (
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stops, t))
+        )
+        .cast("bigint")
+        .cast("double")
+        / n_tok
+    )
     len_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
     punct_density = punct_count(col).cast("double") / F.length(
         F.col(col)
@@ -80,6 +95,16 @@ def quality_score(col: str = "text") -> Column:
         + F.lit(0.3) * len_score
         + F.lit(0.3) * (F.lit(1.0) - punct_density)
     )
+
+
+def quality_score(col: str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic.
+
+    0.4·stopword-ratio + 0.3·min(1, tokens/100) + 0.3·(1−punct
+    density) — the standard length/stopword/punctuation trio of
+    web-scale quality filters, all per-row IEEE-exact.
+    """
+    return quality_score_of(tokens(col), col)
 
 
 def lang_scores(col: str = "text") -> dict[str, Column]:

@@ -932,13 +932,11 @@ def contrastive_pairs_q(
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    positives = (
-        minhash_lsh_candidates(docs)
-        .filter(F.col("jaccard") >= 0.5)
-        .select(
-            F.col("doc_id_a").alias("id_a"),
-            F.col("doc_id_b").alias("id_b"),
-        )
+    positives = minhash_lsh_candidates(
+        docs, threshold=0.5
+    ).select(
+        F.col("doc_id_a").alias("id_a"),
+        F.col("doc_id_b").alias("id_b"),
     )
     return contrastive_pairs(
         docs, positives, n_negatives=3, n_buckets=64
@@ -1025,8 +1023,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from afg_data_pipeline_spark.operators.text import quality_score
 
     docs = read_star_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_candidates(docs).filter(
-        F.col("jaccard") >= 0.5
+    pairs = minhash_lsh_candidates(
+        docs, threshold=0.5
     )
     comps = connected_components(
         pairs, src="doc_id_a", dst="doc_id_b"
@@ -2312,8 +2310,8 @@ def corpus_after_dedup(
     from afg_data_pipeline_spark.operators.text import quality_score
 
     docs = read_star_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_candidates(docs).filter(
-        F.col("jaccard") >= 0.5
+    pairs = minhash_lsh_candidates(
+        docs, threshold=0.5
     )
     comps = connected_components(
         pairs, src="doc_id_a", dst="doc_id_b"
@@ -4505,10 +4503,21 @@ def ks_two_sample_drift(
     # sources x distinct-values completion: constant-key equi-join
     # (BroadcastHashJoin, codegen'd) — a multi-row-build crossJoin
     # would plan an interpreted BroadcastNestedLoopJoin over the
-    # value-distinct stream (rule 23).
+    # value-distinct stream (rule 23). Key derived from an
+    # attribute (const_join_key, r11): lit(1) keys constant-fold
+    # back to a BNLJ.
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+    )
+
     grid = (
-        vals.withColumn("__k", F.lit(1))
-        .join(F.broadcast(ns.withColumn("__k", F.lit(1))), "__k")
+        vals.withColumn("__k", const_join_key("v"))
+        .join(
+            F.broadcast(
+                ns.withColumn("__k", const_join_key("source"))
+            ),
+            "__k",
+        )
         .drop("__k")
     )
     ws = (

@@ -787,8 +787,8 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_stratified_sample,
     )
     from afg_data_pipeline_spark.operators.text import (
-        quality_score,
-        token_count,
+        quality_score_of,
+        tokens,
     )
     from pyspark.sql import Window
 
@@ -796,15 +796,35 @@ def prep_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = exact_dedup(docs).select(
         F.col("keep_id").alias("doc_id")
     )
-    scored = docs.select(
+    # Single-evaluation gate (functions/gate.py, rule 18c) — same
+    # restructure as curate_corpus: the pushed quality/length
+    # predicate ran the tokenizer split, stopword lambda and
+    # punctuation regex twice per row. Tokens are projected ONCE
+    # below the gate (a generator input is interpreted — no
+    # subexpression elimination — so the inline form re-splits the
+    # text once per counter).
+    from afg_data_pipeline_spark.functions.gate import filter_once
+
+    pre = docs.select(
+        "doc_id", "lang", "text", tokens("text").alias("__toks")
+    )
+    scored = filter_once(
+        pre,
+        F.struct(
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            quality_score_of(F.col("__toks"), "text").alias(
+                "quality"
+            ),
+        ),
+        lambda t: (t["quality"] >= 0.4) & (t["n_tokens"] >= 20),
+        "__tq",
+    ).select(
         "doc_id",
         "lang",
-        token_count("text").alias("n_tokens"),
-        quality_score("text").alias("quality"),
+        F.col("__tq.n_tokens").alias("n_tokens"),
+        F.col("__tq.quality").alias("quality"),
     )
-    curated = scored.join(keep, "doc_id", "left_semi").filter(
-        (F.col("quality") >= 0.4) & (F.col("n_tokens") >= 20)
-    )
+    curated = scored.join(keep, "doc_id", "left_semi")
     sampled = hash_stratified_sample(
         curated, "lang", "doc_id", {"en": 0.5}
     )
@@ -1359,18 +1379,41 @@ def lsh_recall_audit(
         F.col("doc_id").alias("doc_id_b"),
         F.col("s").alias("sb"),
     )
+    # Constant-key BHJ + single-evaluation gate (r11): the plain
+    # non-equi join planned a BNLJ with the pushed j-filter in its
+    # condition — 4 interpreted array_intersect evaluations per
+    # pair (2 in the condition's ratio, 2 more in the projection).
+    # The equi-join keeps pair generation codegen'd; the gate
+    # carries the intersection SIZE (the ratio textually embeds it
+    # twice) and rebuilds j with identical int arithmetic + double
+    # division, so values are bit-equal.
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+        filter_once,
+    )
+
     inter = F.size(F.array_intersect("sa", "sb"))
-    uni = F.size("sa") + F.size("sb") - inter
-    truth = (
-        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            (inter.cast("double") / uni.cast("double")).alias(
-                "j"
+    pairs = (
+        a.withColumn("__k", const_join_key("doc_id_a"))
+        .join(
+            F.broadcast(
+                b.withColumn("__k", const_join_key("doc_id_b"))
             ),
+            "__k",
         )
-        .filter(F.col("j") >= 0.5)
+        .drop("__k")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    )
+
+    def j_of(i):
+        return i.cast("double") / (
+            (F.size("sa") + F.size("sb") - i).cast("double")
+        )
+
+    truth = filter_once(
+        pairs, inter, lambda i: j_of(i) >= F.lit(0.5), "__i"
+    ).select(
+        "doc_id_a", "doc_id_b", j_of(F.col("__i")).alias("j")
     )
     cand = minhash_lsh_candidates(sample).select(
         "doc_id_a", "doc_id_b", F.lit(1).alias("found")
@@ -1499,8 +1542,8 @@ def split_leakage_report(
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_candidates(docs).filter(
-        F.col("jaccard") >= 0.5
+    pairs = minhash_lsh_candidates(
+        docs, threshold=0.5
     )
     splits = hash_split(docs, "doc_id").select(
         "doc_id", "split"
@@ -1615,8 +1658,8 @@ def cross_source_dup_matrix(
     matrix aggregate is |sources|^2-bounded. least/greatest
     canonicalizes the pair so A->B and B->A land in one cell."""
     docs = read_star_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_candidates(docs).filter(
-        F.col("jaccard") >= 0.5
+    pairs = minhash_lsh_candidates(
+        docs, threshold=0.5
     )
     srcs = docs.select("doc_id", "source")
     sa = srcs.select(
@@ -1710,8 +1753,8 @@ def dedup_cluster_stats(
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_candidates(docs).filter(
-        F.col("jaccard") >= 0.5
+    pairs = minhash_lsh_candidates(
+        docs, threshold=0.5
     )
     comps = connected_components(
         pairs, src="doc_id_a", dst="doc_id_b"
@@ -1777,8 +1820,8 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_candidates(docs).filter(
-        F.col("jaccard") >= 0.5
+    pairs = minhash_lsh_candidates(
+        docs, threshold=0.5
     )
     comps = connected_components(
         pairs, src="doc_id_a", dst="doc_id_b"
@@ -1811,8 +1854,8 @@ def near_dup_components_star(
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_candidates(docs).filter(
-        F.col("jaccard") >= 0.5
+    pairs = minhash_lsh_candidates(
+        docs, threshold=0.5
     )
     comps = connected_components_star(
         pairs, src="doc_id_a", dst="doc_id_b"
@@ -3806,24 +3849,45 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     one id-join — no full-text shuffle anywhere.
     """
     from afg_data_pipeline_spark.operators.text import (
-        quality_score,
-        token_count,
+        quality_score_of,
+        tokens,
     )
 
     docs = read_star_table(spark, "documents", sf_dir)
     keep = exact_dedup(docs).select(
         F.col("keep_id").alias("doc_id")
     )
-    stats = docs.select(
+    # Single-evaluation gate (functions/gate.py, rule 18c): the
+    # plain select+filter pushed the quality/length predicate below
+    # the projection — the tokenizer split, the stopword lambda and
+    # the punctuation regex all ran twice per row (r11 before-plan:
+    # the full quality pipeline in the scan Filter AND the
+    # Project). The Generate gate computes both stats exactly once,
+    # over a token array projected ONCE below it (generator inputs
+    # are interpreted — no subexpression elimination — so the
+    # inline form would re-split the text once per counter).
+    from afg_data_pipeline_spark.functions.gate import filter_once
+
+    pre = docs.select(
+        "doc_id", "lang", "text", tokens("text").alias("__toks")
+    )
+    stats = filter_once(
+        pre,
+        F.struct(
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            quality_score_of(F.col("__toks"), "text").alias(
+                "quality"
+            ),
+        ),
+        lambda t: (t["quality"] >= 0.4) & (t["n_tokens"] >= 20),
+        "__tq",
+    ).select(
         "doc_id",
         "lang",
-        token_count("text").alias("n_tokens"),
-        quality_score("text").alias("quality"),
+        F.col("__tq.n_tokens").alias("n_tokens"),
+        F.col("__tq.quality").alias("quality"),
     )
-    return (
-        stats.join(keep, "doc_id", "left_semi")
-        .filter((F.col("quality") >= 0.4) & (F.col("n_tokens") >= 20))
-    )
+    return stats.join(keep, "doc_id", "left_semi")
 
 
 @register(
@@ -3887,21 +3951,51 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     par = spark.sparkContext.defaultParallelism
     # norms once per vector, not per O(n²) pair
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    ).withColumn("na", norm_decimal("va")).repartition(par)
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    ).withColumn("nb", norm_decimal("vb"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(
-        F.col("id_a") < F.col("id_b")
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+    )
+
+    # Constant-key BroadcastHashJoin, NOT crossJoin (rule 23): BNLJ
+    # generates pairs interpreted (per-pair JoinedRow + condition
+    # eval outside codegen) and its pushed join condition carried
+    # the full dot fold — interpreted once per O(n²) pair and again
+    # in the projection. The key must be attribute-DERIVED
+    # (const_join_key): a lit(1) key gets constant-folded and the
+    # join degrades back to BNLJ. Measured at sf0.1 (2k vectors,
+    # 2M pairs): 1.41s orig BNLJ → 1.18s BHJ+gate, values exact.
+    a = (
+        emb.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+        )
+        .withColumn("na", norm_decimal("va"))
+        .withColumn("__k", const_join_key("id_a"))
+        .repartition(par)
+    )
+    b = (
+        emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+        )
+        .withColumn("nb", norm_decimal("vb"))
+        .withColumn("__k", const_join_key("id_b"))
+    )
+    pairs = (
+        a.join(F.broadcast(b), "__k")
+        .drop("__k")
+        .filter(F.col("id_a") < F.col("id_b"))
     )
     cosine = dot_decimal("va", "vb") / (
         F.col("na") * F.col("nb")
     )
-    return pairs.select(
-        "id_a", "id_b", cosine.alias("cosine")
-    ).filter(F.col("cosine") >= 0.2)
+    # Single-evaluation threshold gate (functions/gate.py, rule
+    # 18c): keeps `cosine >= 0.2` out of the join condition so the
+    # fold runs exactly once per pair.
+    from afg_data_pipeline_spark.functions.gate import filter_once
+
+    return filter_once(
+        pairs, cosine, lambda c: c >= F.lit(0.2), "cosine"
+    ).select("id_a", "id_b", "cosine")
 
 
 def _srp_lsh_oracle_sql(
@@ -4930,13 +5024,26 @@ def readability_scores(
             F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)
         )
     ).cast("bigint")
-    m = docs.select(
+    # Single-evaluation gate (functions/gate.py, rule 18c): the
+    # plain select+filter pushed (w > 0 AND s > 0) below the
+    # projection, re-running the w and s split+lambda counters
+    # twice per row (r11 before-plan: both pipelines in the scan
+    # Filter AND the Project). The Generate gate computes the three
+    # counters exactly once.
+    from afg_data_pipeline_spark.functions.gate import filter_once
+
+    m = filter_once(
+        docs.select("doc_id", "lang", "text"),
+        F.struct(w.alias("w"), s.alias("s"), y.alias("y")),
+        lambda t: (t["w"] > 0) & (t["s"] > 0),
+        "__wsy",
+    ).select(
         "doc_id",
         "lang",
-        w.alias("w"),
-        s.alias("s"),
-        y.alias("y"),
-    ).filter((F.col("w") > 0) & (F.col("s") > 0))
+        F.col("__wsy.w").alias("w"),
+        F.col("__wsy.s").alias("s"),
+        F.col("__wsy.y").alias("y"),
+    )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     return m.select(
         "doc_id",
@@ -5820,7 +5927,13 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         # interpreted (rule 18). Measured at sf0.1: a 6.0s 1-task
         # stage; with the boundary the inferred filter tests the
         # materialized column instead (explode sub-plan 6.4->0.7s).
-        .localCheckpoint(eager=True)
+        # LAZY (r11, ADVICE): the optimizer barrier is the
+        # LogicalRDD wrapper, present for either eager value — the
+        # first action materializes it; eager=True additionally ran
+        # a real Spark job at PLAN-CONSTRUCTION time, which every
+        # plan-only sweep (schema_lint, plan_audit, explain dumps)
+        # paid for a query it never executed.
+        .localCheckpoint(eager=False)
     )
     exploded = base.select(
         "doc_id", F.explode("shingles").alias("__s")
@@ -5836,7 +5949,7 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(16)]
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy for the same reason as base
     # the band key embeds the hash INDEX, so a pair's colliding
     # keys tell us exactly which of the 16 min-hashes agree: one
     # (da, db) aggregate yields matches (= collision count) and a

@@ -2454,11 +2454,19 @@ def mi_feature_rank(
     # BroadcastNestedLoopJoin whose pair generation is interpreted
     # (~2.4 us/pair over a vocabulary-sized stream, rule 23);
     # the __k BroadcastHashJoin is codegen'd with identical
-    # semantics.
+    # semantics. Key derived from an attribute (const_join_key,
+    # r11): lit(1) keys constant-fold back to a BNLJ.
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+    )
+
     grid = (
-        nt.withColumn("__k", F.lit(1))
+        nt.withColumn("__k", const_join_key("t"))
         .join(
-            F.broadcast(nydoc.withColumn("__k", F.lit(1))), "__k"
+            F.broadcast(
+                nydoc.withColumn("__k", const_join_key("lang"))
+            ),
+            "__k",
         )
         .drop("__k")
         .join(joint, ["t", "lang"], "left")

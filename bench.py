@@ -289,7 +289,13 @@ def _sf_from_dir(path: str) -> float:
 
 
 def _new_session():
-    spark = get_session("afg-bench")
+    # Console-progress \r lines interleave (and destroy) the per-query
+    # JSON lines in a captured stdout tail — PERF_r10's per-query map
+    # came back empty because of it. Quiet the bar; timing methodology
+    # is unchanged (the bar is a driver-side render thread).
+    spark = get_session(
+        "afg-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM/codegen once so the first measured query doesn't
     # pay session startup (min-of-N absorbs most of it anyway).

@@ -194,6 +194,9 @@ HEAVY = [  # cheap-first so partial sweeps still bank results
     # round-10 additions
     "tokenizer_fertility_families",
     "embedding_contamination_audit",
+    # round-11 additions (quality-gate A/B at binding scale)
+    "curate_corpus",
+    "prep_training_corpus",
 ]
 
 SFN = float(os.environ.get("SPARK_GRAFT_SFN", "1"))

@@ -32,7 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLAN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r10",
+    os.environ.get("AFG_PLAN_ROUND", "r11"),
 )
 SUFFIX = os.environ.get("AFG_PLAN_SUFFIX", "before")
 
@@ -70,7 +70,6 @@ def main() -> None:
             f.write(buf.getvalue())
 
         best = float("inf")
-        jobs_before = {j["jobId"] for j in _api(base, "/jobs")}
         last_run_jobs: set[int] = set()
         for _ in range(reps):
             run_start = {j["jobId"] for j in _api(base, "/jobs")}
