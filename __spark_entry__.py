@@ -208,7 +208,7 @@ def _coverage_order(names: list[str]) -> list[str]:
         # changed:
         "containment_near_dup": 10,
         "containment_dedup_keep": 10,
-        "containment_recall_audit": 10,
+        "containment_recall_audit": 11,
         "hits_hub_authority": 10,
         # r10 optimization batch 3: inferred/pushed-filter fixes
         # (outer generates; raw-column null filter; sample-side

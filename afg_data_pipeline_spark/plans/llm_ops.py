@@ -4842,39 +4842,58 @@ def containment_recall_audit_q(
     # whole tokenize+shingle pipeline per CORPUS row at the scan
     # (the lsh_band_plan inferred/pushed-filter class, r10 opt
     # round). Values identical — same 128 ids, same shingle sets.
-    a = (
+    # r11: the r10 restructure was NOT enough — the derived-column
+    # filter references only the docs side, so Catalyst STILL
+    # pushed it below the sample join to the full scan (split
+    # pipeline ×5 in the scan Filter, r11 before-plan). The
+    # single-evaluation gate (functions/gate.py) on the sh
+    # ATTRIBUTE cannot be rewritten below the join's projection.
+    from afg_data_pipeline_spark.functions.gate import (
+        const_join_key,
+        filter_once,
+    )
+
+    a = filter_once(
         docs.join(sample, "doc_id")
         .select("doc_id", tokens("text").alias("__t"))
         .select(
             "doc_id",
             F.array_distinct(shingle_expr("__t", 2)).alias("sh"),
-        )
-        .filter(F.size("sh") >= 5)
-        .select(
-            F.col("doc_id").alias("id_a"),
-            F.col("sh").alias("sh_a"),
-            F.size("sh").alias("sza"),
-        )
+        ),
+        F.size("sh"),
+        lambda z: z >= 5,
+        "__z",
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("__z").alias("sza"),
     )
     par = spark.sparkContext.defaultParallelism
-    truth = (
+    # Constant-key BHJ + i-gate (the lsh_recall_audit r11 shape):
+    # the crossJoin planned a BNLJ whose pushed containment test
+    # evaluated the interpreted array_intersect per (corpus × 128)
+    # pair in the join condition AND per survivor in the
+    # projection; the equi-join keeps pair generation codegen'd
+    # and the gate intersects exactly once per pair.
+    truth = filter_once(
         sh.select(
             F.col("doc_id").alias("id_b"),
             F.col("sh").alias("sh_b"),
         )
+        .withColumn("__k", const_join_key("id_b"))
         .repartition(par)
-        .crossJoin(F.broadcast(a))
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.size(
-                F.array_intersect("sh_a", "sh_b")
-            ).alias("i"),
-            "sza",
+        .join(
+            F.broadcast(
+                a.withColumn("__k", const_join_key("id_a"))
+            ),
+            "__k",
         )
-        .filter(F.col("i") * 5 >= F.col("sza") * 4)
-    )
+        .drop("__k")
+        .filter(F.col("id_a") != F.col("id_b")),
+        F.size(F.array_intersect("sh_a", "sh_b")),
+        lambda i: i * 5 >= F.col("sza") * 4,
+        "i",
+    ).select("id_a", "id_b", "i", "sza")
     got = (
         containment_pairs(docs)
         .join(

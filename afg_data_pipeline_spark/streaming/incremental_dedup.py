@@ -96,23 +96,45 @@ def incremental_dedup_sink(
                     "dup_of",
                 )
             )
+            # Single-evaluation gate (functions/gate.py, r11): the
+            # select+filter form pushed the jaccard threshold into
+            # the prior-shingle join condition, running the
+            # interpreted array_intersect twice per candidate plus
+            # twice per survivor (the batch-side twin of
+            # ngram_jaccard_pairs' LSH tier). The gate carries the
+            # intersection SIZE and rebuilds the ratio with
+            # identical int arithmetic + double division —
+            # bit-equal values (stream==batch equality tests pin
+            # this).
+            from afg_data_pipeline_spark.functions.gate import (
+                filter_once,
+            )
+
             inter = F.size(
                 F.array_intersect(F.col("sh_a"), F.col("sh_b"))
             )
-            union = (
-                F.size(F.col("sh_a"))
-                + F.size(F.col("sh_b"))
-                - inter
-            )
+
+            def jac_of(i):
+                return i.cast("double") / (
+                    (
+                        F.size(F.col("sh_a"))
+                        + F.size(F.col("sh_b"))
+                        - i
+                    ).cast("double")
+                )
+
             (
-                flagged.select(
+                filter_once(
+                    flagged,
+                    inter,
+                    lambda i: jac_of(i) >= F.lit(float(threshold)),
+                    "__i",
+                )
+                .select(
                     "new_id",
                     "dup_of",
-                    (
-                        inter.cast("double") / union.cast("double")
-                    ).alias("jaccard"),
+                    jac_of(F.col("__i")).alias("jaccard"),
                 )
-                .filter(F.col("jaccard") >= threshold)
                 .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
